@@ -1,0 +1,123 @@
+"""Sources: transcript reader + side-input loaders.
+
+Reference analogs:
+  - S1/S2 paginated node log readers (v1/v2 NodeCommunication.java:44-160)
+    -> `ray.data.read_parquet`; Ray's fragment-based splitting replaces
+    manual REST paging and the S3 date-bisection skew splitter.
+  - S5 robot/IP/GeoIP side-input loaders (LogHarvesterTask.java:237-294)
+    -> driver-side pyarrow reads, packed into a small `SideTables` struct
+    that is `ray.put` once and shared by every enrichment actor
+    (broadcast, never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
+                     columns: list[str] | None = None,
+                     override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Read the transcript corpus (optionally a subset of buckets).
+
+    Buckets are the independent harvest/resume units (the "node" analog);
+    a bucket == one parquet file written by the generator, and convs
+    never span buckets.
+    """
+    tdir = os.path.join(fx_dir, "transcripts")
+    if buckets is None:
+        paths = tdir
+    else:
+        paths = [os.path.join(tdir, f"part-{b:02d}.parquet") for b in buckets]
+    return ray.data.read_parquet(
+        paths, columns=columns, override_num_blocks=override_num_blocks)
+
+
+@dataclass
+class SideTables:
+    """Broadcast side inputs (all small; one ray.put for the whole set)."""
+    # conv_meta (sysmeta analog): parallel arrays keyed by conv_id
+    meta_conv_id: pa.Array
+    meta_format_id: pa.Array
+    meta_series_id: pa.Array
+    meta_size: np.ndarray           # int64, -1 for "no entry" handled via take
+    meta_rights_holder: pa.Array
+    meta_read_permission: pa.Array  # list<string>
+    # tool -> family (ObjectFormatCache analog)
+    tool_keys: pa.Array
+    tool_family: pa.Array
+    # membership (DataONE_IPs analog): exact conv_id keys
+    member_keys: pa.Array
+    # range_list (webRobotIPs CIDR analog): merged, sorted, non-overlapping
+    # [lo, hi] intervals over the 32-bit md5 hash space + exact keys
+    range_lo: np.ndarray            # uint64 sorted
+    range_hi: np.ndarray
+    range_exact_keys: pa.Array
+    # regex banks (full/partial robot list analogs), union-compiled
+    partial_union: str
+    full_union: str
+    partial_patterns: list[str]
+    full_patterns: list[str]
+
+
+def _merge_intervals(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(lo) == 0:
+        return lo, hi
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    out_lo, out_hi = [lo[0]], [hi[0]]
+    for i in range(1, len(lo)):
+        if lo[i] <= out_hi[-1]:
+            out_hi[-1] = max(out_hi[-1], hi[i])
+        else:
+            out_lo.append(lo[i])
+            out_hi.append(hi[i])
+    return np.asarray(out_lo, dtype=np.uint64), np.asarray(out_hi, dtype=np.uint64)
+
+
+def union_pattern(patterns: list[str]) -> str:
+    return "(?:" + ")|(?:".join(patterns) + ")"
+
+
+def load_side_tables(fx_dir: str) -> SideTables:
+    meta = pq.read_table(os.path.join(fx_dir, "conv_meta.parquet"))
+    etl = pq.read_table(os.path.join(fx_dir, "event_type_lookup.parquet"))
+    reg = pq.read_table(os.path.join(fx_dir, "node_registry.parquet"))
+    rl = pq.read_table(os.path.join(fx_dir, "range_list.parquet"))
+
+    with open(os.path.join(fx_dir, "patterns_partial.txt")) as f:
+        partial = [ln.strip() for ln in f if ln.strip()]
+    with open(os.path.join(fx_dir, "patterns_full.txt")) as f:
+        full = [ln.strip() for ln in f if ln.strip()]
+
+    is_range = rl.column("kind").to_pandas() == "range"
+    lo = rl.column("lo").to_pandas()[is_range].to_numpy(dtype=np.uint64)
+    hi = rl.column("hi").to_pandas()[is_range].to_numpy(dtype=np.uint64)
+    lo, hi = _merge_intervals(lo, hi)
+    exact = rl.filter(pa.array(~is_range)).column("key").combine_chunks()
+
+    return SideTables(
+        meta_conv_id=meta.column("conv_id").combine_chunks(),
+        meta_format_id=meta.column("format_id").combine_chunks(),
+        meta_series_id=meta.column("series_id").combine_chunks(),
+        meta_size=meta.column("size").to_numpy(),
+        meta_rights_holder=meta.column("rights_holder").combine_chunks(),
+        meta_read_permission=meta.column("read_permission").combine_chunks(),
+        tool_keys=etl.column("tool").combine_chunks(),
+        tool_family=etl.column("tool_family").combine_chunks(),
+        member_keys=reg.column("member_key").combine_chunks(),
+        range_lo=lo, range_hi=hi,
+        range_exact_keys=exact,
+        partial_union=union_pattern(partial),
+        full_union=union_pattern(full),
+        partial_patterns=partial,
+        full_patterns=full,
+    )
