@@ -3,14 +3,16 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Transcript-family queries run over the deterministic generated corpus
+(seed=42, /tmp/graft_data/<sf>/ — generated idempotently on first use);
+their oracle SQL reads the same parquet by absolute path.
+Training-data-family queries run over the pre-registered testdata
+views (documents / embeddings / events).
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +22,22 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (parse -> enrich -> window -> route) on the
+    sf0.001 corpus; returns the enriched-record Dataset."""
+    from d1_log_aggregation_ray.gen.fixtures import generate_fixtures
+    from d1_log_aggregation_ray.pipelines.harvest import build_pipeline
+    fx = generate_fixtures("/root/testdata/sf0.001")
+    return build_pipeline(fx)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
+    return dict(RAY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """SQL oracles for the SQL-expressible queries (non-SQL ops —
+    minhash/simhash/ngram/embedding dedup, lsh topk, lang-id, media
+    decode — are rows-only checked by the driver)."""
+    from d1_log_aggregation_ray.pipelines.queries import oracle_sql_strings
+    return oracle_sql_strings("/root/testdata/sf0.01")

@@ -1,0 +1,485 @@
+"""Driver-contract queries: one Ray-Data implementation + one DuckDB
+oracle SQL string per operator (SURVEY §2 inventory + training-data
+ops).  Column names and value types are aligned on both sides because
+the driver hash-compares values after sorting columns by name.
+
+Transcript-family queries run over the deterministic generated corpus
+(fixture_dir(sf_dir)); their SQL reads the same parquet files via
+read_parquet('<path>').  Training-data-family queries run over the
+provided testdata tables (documents / embeddings / events views).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import DEFAULT_CONFIG
+from ..gen.fixtures import generate_fixtures, fixture_dir
+from ..sources.readers import read_transcripts, load_side_tables
+from ..stages.project import clean_project
+from ..stages.parse import regex_flags
+from ..stages.window import repeat_visit_group
+from ..stages.enrich import Enricher, geo_fields_for_hash
+from ..functions.hashing import md5_lower64
+from ..ops.dedup import (minhash_lsh_dedup, simhash_dedup,
+                         ngram_jaccard_dedup, embedding_cosine_dedup)
+from ..ops.similarity import brute_force_topk, lsh_topk
+from ..ops.sessions import sessionize
+from ..ops.text import (token_count_batch, quality_batch, lang_id_batch,
+                        fingerprint_batch)
+from ..ops.multimodal import MediaDecoder, make_fake_media_table
+
+CFG = DEFAULT_CONFIG
+GATE_SQL = "('" + "','".join(CFG.gate_roles) + "')"
+V1_SQL = "('" + "','".join(CFG.v1_roles) + "')"
+VALID = "conv_id IS NOT NULL AND conv_id <> ''"
+TURN_ID = "conv_id || '.' || CAST(turn_idx AS VARCHAR) AS turn_id"
+
+
+def _fx(sf_dir: str) -> str:
+    return generate_fixtures(sf_dir)
+
+
+def _clean(sf_dir: str) -> ray.data.Dataset:
+    fx = _fx(sf_dir)
+    return read_transcripts(fx).map_batches(
+        clean_project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Transcript family (reference operator analogs)
+# --------------------------------------------------------------------------
+
+def q_clean_project(sf_dir: str):
+    """M1/M2/M5: validity filter + key + version tag."""
+    return _clean(sf_dir).select_columns(
+        ["turn_id", "conv_id", "turn_idx", "role", "version_compliance"])
+
+
+def q_parse_flags(sf_dir: str):
+    """R1-R3: union-compiled regex banks (pre-membership flags)."""
+    side = load_side_tables(_fx(sf_dir))
+    ds = _clean(sf_dir).map_batches(
+        regex_flags, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"partial_union": side.partial_union,
+                   "full_union": side.full_union})
+    return ds.select_columns(["turn_id", "in_partial_list", "in_full_list"])
+
+
+def _enriched_no_window(sf_dir: str) -> ray.data.Dataset:
+    fx = _fx(sf_dir)
+    side_ref = ray.put(load_side_tables(fx))
+    return _clean(sf_dir).map_batches(
+        Enricher, fn_constructor_args=(side_ref, CFG),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=CFG.batch_size, concurrency=CFG.enrich_concurrency)
+
+
+def q_membership_flags(sf_dir: str):
+    """R2/R3 + J5: flags after the membership/range semi-join."""
+    return _enriched_no_window(sf_dir).select_columns(
+        ["turn_id", "in_partial_list", "in_full_list"])
+
+
+def q_enrich_meta(sf_dir: str):
+    """J1/J2/J3: conv_meta broadcast join + tool-family lookup."""
+    return _enriched_no_window(sf_dir).select_columns(
+        ["turn_id", "format_id", "series_id", "size", "rights_holder",
+         "tool_family"])
+
+
+def q_geo_enrich(sf_dir: str):
+    """J4: per-conv synthetic geo (the SQL-expressible columns)."""
+    ds = _clean(sf_dir).groupby("conv_id").aggregate(Count())
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        rows = [geo_fields_for_hash(md5_lower64(c)) for c in convs]
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "country": pa.array([r["country"] for r in rows]),
+            "region": pa.array([r["region"] for r in rows]),
+            "city": pa.array([r["city"] for r in rows]),
+            "location": pa.array([r["location"] for r in rows]),
+        })
+
+    return ds.map_batches(add_geo, batch_format="pyarrow")
+
+
+def _flag_counts(ds: ray.data.Dataset, by: str, extra: list[str]):
+    def to_int(batch: pa.Table) -> pa.Table:
+        for c in extra:
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c,
+                pc.cast(batch.column(c), pa.int64()))
+        return batch
+    agg = ds.map_batches(to_int, batch_format="pyarrow").groupby(by).aggregate(
+        Count(), *[Sum(c) for c in extra])
+    renames = {"count()": "n_rows", **{f"sum({c})": "n_" + c.replace("in_", "").replace("_list", "").replace("is_", "")
+                                       for c in extra}}
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [renames.get(c, c) for c in batch.column_names])
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_route_counts(sf_dir: str):
+    """S6/A2: per-sink routed-row counts + flag totals."""
+    ds = _enriched_no_window(sf_dir).select_columns(
+        ["sink_id", "in_partial_list", "in_full_list"])
+    return _flag_counts(ds, "sink_id", ["in_partial_list", "in_full_list"])
+
+
+def q_watermark(sf_dir: str):
+    """A1/A2: per-conv max-ts watermark + throughput count."""
+    ds = _clean(sf_dir).select_columns(["conv_id", "ts"])
+    agg = ds.groupby("conv_id").aggregate(Count(), Max("ts"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["conv_id", "n_turns", "max_ts"])
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_repeat_visit(sf_dir: str):
+    """W1: repeat-visit flags for gated rows (order-dependent window)."""
+    ds = _clean(sf_dir).groupby("conv_id").map_groups(
+        repeat_visit_group, batch_format="pyarrow")
+    gate = pa.array(list(CFG.gate_roles))
+
+    def gated_only(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch.column("role"), value_set=gate), False)
+        return batch.filter(m).select(["turn_id", "is_repeat_visit"])
+    return ds.map_batches(gated_only, batch_format="pyarrow")
+
+
+def q_harvest_sink_counts(sf_dir: str):
+    """Flagship end-to-end aggregate: per-sink counts of rows + all
+    three COUNTER flags (the golden-count conformance check, A3)."""
+    from .harvest import build_pipeline
+    ds = build_pipeline(_fx(sf_dir), CFG).select_columns(
+        ["sink_id", "in_partial_list", "in_full_list", "is_repeat_visit"])
+    return _flag_counts(ds, "sink_id",
+                        ["in_partial_list", "in_full_list", "is_repeat_visit"])
+
+
+# --------------------------------------------------------------------------
+# Training-data family (documents / embeddings / events testdata tables)
+# --------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per identical text."""
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    agg = ds.groupby("text").aggregate(Min("doc_id"))
+    return agg.map_batches(
+        lambda b: b.select(["min(doc_id)"]).rename_columns(["doc_id"]),
+        batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.filter(lambda r: r["text"] is not None)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        batch = fingerprint_batch(batch)
+        return batch.select(["doc_id", "fingerprint"])
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.filter(lambda r: r["text"] is not None)
+    return ds.map_batches(token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"])
+
+
+def q_doc_quality(sf_dir: str):
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.filter(lambda r: r["text"] is not None)
+    return ds.map_batches(quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens", "n_chars_m", "n_punct", "n_upper"])
+
+
+def q_lang_id(sf_dir: str):
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = pc.index(t.column("vec_id"), 0).as_py()
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
+    return out.select(["vec_id"])
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id", "score"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    return minhash_lsh_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_dedup_simhash(sf_dir: str):
+    return simhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_dedup_ngram(sf_dir: str):
+    return ngram_jaccard_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_dedup_embedding(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_cosine_dedup(ds, threshold=0.99)
+
+
+def q_sessionize(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "ts"])
+    return sessionize(ds)
+
+
+def q_events_agg(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(Count(), Min("value"), Max("value"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["event_type", "n", "min_value", "max_value"]),
+        batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> actor-pool decode
+    (deterministic fake kernel; real codecs stubbed per environment)."""
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    texts = [t or "" for t in docs.column("text").to_pylist()[:500]]
+    kinds = ["image", "audio", "video"] * (len(texts) // 3 + 1)
+    tbl = make_fake_media_table(texts, kinds[:len(texts)])
+    ds = ray.data.from_arrow(tbl)
+    return ds.map_batches(MediaDecoder, fn_constructor_kwargs={"fake": True},
+                          batch_size=64, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+# --------------------------------------------------------------------------
+
+def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB SQL equivalents.  Transcript-family SQL reads the
+    generated corpus by absolute path (generation is triggered here so
+    the files exist before the driver runs the SQL)."""
+    fx = _fx(sf_dir)
+    TP = f"read_parquet('{fx}/transcripts/*.parquet')"
+    META = f"read_parquet('{fx}/conv_meta.parquet')"
+    ETL = f"read_parquet('{fx}/event_type_lookup.parquet')"
+    REG = f"read_parquet('{fx}/node_registry.parquet')"
+    RL = f"read_parquet('{fx}/range_list.parquet')"
+    side = load_side_tables(fx)
+    PU, FU = side.partial_union, side.full_union
+    H = "md5_number_lower(conv_id)"
+    W = CFG.repeat_visit_interval_end_s
+
+    member_expr = f"""COALESCE(conv_id IN (SELECT member_key FROM {REG}), FALSE)
+        OR COALESCE(conv_id IN (SELECT key FROM {RL} WHERE kind = 'exact' AND key IS NOT NULL), FALSE)
+        OR EXISTS (SELECT 1 FROM {RL} r WHERE r.kind = 'range'
+                   AND {H} % 4294967296 BETWEEN r.lo AND r.hi)"""
+
+    flags_cte = f"""WITH base AS (
+      SELECT conv_id, turn_idx, role, text,
+             COALESCE(role IN {GATE_SQL}, FALSE) AS gated,
+             COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{PU}'), FALSE) AS rp,
+             COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{FU}'), FALSE) AS rf,
+             ({member_expr}) AS member
+      FROM {TP} WHERE {VALID}
+    ), flags AS (
+      SELECT conv_id, turn_idx,
+             rp OR (gated AND member AND NOT (rp AND rf)) AS in_partial_list,
+             rf OR (gated AND member AND NOT (rp AND rf)) AS in_full_list
+      FROM base
+    )"""
+
+    repeat_cte = f"""WITH RECURSIVE g AS (
+      SELECT conv_id, turn_idx, ts,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+      FROM {TP}
+      WHERE {VALID} AND role IN {GATE_SQL} AND ts IS NOT NULL
+    ), scan AS (
+      SELECT conv_id, turn_idx, ts, rn, ts AS ws, FALSE AS is_repeat FROM g WHERE rn = 1
+      UNION ALL
+      SELECT g.conv_id, g.turn_idx, g.ts, g.rn,
+             CASE WHEN g.ts > s.ws AND g.ts < s.ws + INTERVAL {W} SECOND
+                  THEN s.ws ELSE g.ts END,
+             (g.ts > s.ws AND g.ts < s.ws + INTERVAL {W} SECOND)
+      FROM g JOIN scan s ON g.conv_id = s.conv_id AND g.rn = s.rn + 1
+    )"""
+
+    return {
+        "clean_project": f"""
+            SELECT {TURN_ID}, conv_id, turn_idx, role,
+                   CASE WHEN role IN {V1_SQL} THEN 'v1' ELSE 'v2' END AS version_compliance
+            FROM {TP} WHERE {VALID}""",
+
+        "parse_flags": f"""
+            SELECT {TURN_ID},
+                   COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{PU}'), FALSE) AS in_partial_list,
+                   COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{FU}'), FALSE) AS in_full_list
+            FROM {TP} WHERE {VALID}""",
+
+        "membership_flags": flags_cte + f"""
+            SELECT {TURN_ID}, in_partial_list, in_full_list FROM flags""",
+
+        "enrich_meta": f"""
+            SELECT t.conv_id || '.' || CAST(t.turn_idx AS VARCHAR) AS turn_id,
+                   m.format_id, m.series_id, COALESCE(m.size, 0) AS size,
+                   m.rights_holder, e.tool_family
+            FROM {TP} t
+            LEFT JOIN {META} m USING (conv_id)
+            LEFT JOIN {ETL} e ON t.tool = e.tool
+            WHERE t.conv_id IS NOT NULL AND t.conv_id <> ''""",
+
+        "geo_enrich": f"""
+            SELECT DISTINCT conv_id,
+                   'country-' || CAST({H} % 40 AS VARCHAR) AS country,
+                   'region-'  || CAST(({H} // 40) % 60 AS VARCHAR) AS region,
+                   'city-'    || CAST(({H} // 2400) % 97 AS VARCHAR) AS city,
+                   printf('%.4f, %.4f',
+                          ({H} % 170000) / 1000.0 - 85.0,
+                          (({H} // 170000) % 360000) / 1000.0 - 180.0) AS location
+            FROM {TP} WHERE {VALID}""",
+
+        "route_counts": flags_cte + f"""
+            SELECT CAST(md5_number_lower(conv_id) % {CFG.n_sinks} AS INTEGER) AS sink_id,
+                   count(*) AS n_rows,
+                   SUM(CASE WHEN in_partial_list THEN 1 ELSE 0 END) AS n_partial,
+                   SUM(CASE WHEN in_full_list THEN 1 ELSE 0 END) AS n_full
+            FROM flags GROUP BY 1""",
+
+        "watermark": f"""
+            SELECT conv_id, count(*) AS n_turns, max(ts) AS max_ts
+            FROM {TP} WHERE {VALID} GROUP BY conv_id""",
+
+        "repeat_visit": repeat_cte + f"""
+            SELECT {TURN_ID}, is_repeat AS is_repeat_visit FROM scan
+            UNION ALL
+            SELECT {TURN_ID}, FALSE AS is_repeat_visit
+            FROM {TP} WHERE {VALID} AND role IN {GATE_SQL} AND ts IS NULL""",
+
+        "harvest_sink_counts": repeat_cte + f""", base AS (
+      SELECT conv_id, turn_idx, role, text,
+             COALESCE(role IN {GATE_SQL}, FALSE) AS gated,
+             COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{PU}'), FALSE) AS rp,
+             COALESCE(role IN {GATE_SQL} AND regexp_matches(text, '{FU}'), FALSE) AS rf,
+             ({member_expr}) AS member
+      FROM {TP} WHERE {VALID}
+    ), flags AS (
+      SELECT conv_id, turn_idx,
+             rp OR (gated AND member AND NOT (rp AND rf)) AS in_partial_list,
+             rf OR (gated AND member AND NOT (rp AND rf)) AS in_full_list
+      FROM base
+    ), rv AS (
+      SELECT conv_id, turn_idx, is_repeat FROM scan
+    )
+            SELECT CAST(md5_number_lower(f.conv_id) % {CFG.n_sinks} AS INTEGER) AS sink_id,
+                   count(*) AS n_rows,
+                   SUM(CASE WHEN f.in_partial_list THEN 1 ELSE 0 END) AS n_partial,
+                   SUM(CASE WHEN f.in_full_list THEN 1 ELSE 0 END) AS n_full,
+                   SUM(CASE WHEN COALESCE(rv.is_repeat, FALSE) THEN 1 ELSE 0 END) AS n_repeat_visit
+            FROM flags f LEFT JOIN rv
+              ON f.conv_id = rv.conv_id AND f.turn_idx = rv.turn_idx
+            GROUP BY 1""",
+
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+        "doc_fingerprint": """
+            SELECT doc_id, md5_number_lower(text) AS fingerprint
+            FROM documents WHERE text IS NOT NULL""",
+
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents WHERE text IS NOT NULL""",
+
+        "doc_quality": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_m,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+            FROM documents WHERE text IS NOT NULL""",
+
+        "ann_cosine_topk": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score
+              FROM embeddings WHERE vec_id <> 0)
+            ORDER BY score DESC, vec_id LIMIT 10""",
+
+        "sessionize": """
+            SELECT user_id, count(*) AS n_events,
+                   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND
+                       THEN 1 ELSE 0 END) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            GROUP BY user_id""",
+
+        "events_agg": """
+            SELECT event_type, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type""",
+    }
+
+
+RAY_QUERIES = {
+    "clean_project": q_clean_project,
+    "parse_flags": q_parse_flags,
+    "membership_flags": q_membership_flags,
+    "enrich_meta": q_enrich_meta,
+    "geo_enrich": q_geo_enrich,
+    "route_counts": q_route_counts,
+    "watermark": q_watermark,
+    "repeat_visit": q_repeat_visit,
+    "harvest_sink_counts": q_harvest_sink_counts,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "sessionize": q_sessionize,
+    "events_agg": q_events_agg,
+    "media_decode": q_media_decode,
+}

@@ -1,0 +1,73 @@
+"""Replicates the driver's correctness gate locally: run every
+SQL-backed queries() entry at sf0.001 and compare against its DuckDB
+oracle — row count, column names, and order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("uint", "int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _sql_names():
+    from d1_log_aggregation_ray.pipelines.queries import oracle_sql_strings
+    return sorted(oracle_sql_strings(SF_DIR).keys())
+
+
+@pytest.mark.parametrize("name", _sql_names())
+def test_query_matches_oracle(name, con, fx_dir):
+    from d1_log_aggregation_ray.pipelines.queries import (RAY_QUERIES,
+                                                          oracle_sql_strings)
+    engine = _normalize(_to_pandas(RAY_QUERIES[name](SF_DIR)))
+    oracle = _normalize(con.execute(oracle_sql_strings(SF_DIR)[name]).df())
+    assert list(engine.columns) == list(oracle.columns), (
+        f"{name}: cols {list(engine.columns)} vs {list(oracle.columns)}")
+    assert len(engine) == len(oracle), f"{name}: {len(engine)} vs {len(oracle)} rows"
+    for c in engine.columns:
+        e, o = engine[c], oracle[c]
+        eq = (e == o) | (e.isna() & o.isna())
+        assert eq.all(), f"{name}.{c}: {int((~eq).sum())}/{len(e)} mismatches"
+
+
+def test_rows_only_queries_run(fx_dir):
+    """Non-SQL ops: smoke-run them, assert non-trivial row counts."""
+    from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
+    for name in ["lang_id", "ann_lsh_topk", "dedup_minhash", "dedup_simhash",
+                 "dedup_ngram", "dedup_embedding", "media_decode"]:
+        res = _to_pandas(RAY_QUERIES[name](SF_DIR))
+        assert len(res) > 0, name
