@@ -38,10 +38,10 @@ class PipelineConfig:
     # number of hash buckets the generator partitions transcripts into;
     # convs never span buckets, so buckets are independent harvest units
     # (the "node" analog) and the unit of resume.
-    n_buckets: int = 8
+    n_buckets: int = 32
     # map_batches operating point
-    batch_size: int | None = 4096
-    enrich_concurrency: tuple[int, int] = (2, 8)
+    batch_size: int | None = 8192
+    enrich_concurrency: tuple[int, int] = (2, 16)
     v1_roles: tuple[str, ...] = field(default=V1_ROLES)
 
 

@@ -125,7 +125,7 @@ FORMAT_IDS = [f"fmt/{x}" for x in (
     "pdf", "png", "wav", "mp4", "bin")]
 SUBJECTS = [f"cn=subject{i:02d},dc=synth,dc=org" for i in range(15)]
 
-N_BUCKETS = 8
+N_BUCKETS = 32
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -243,13 +243,23 @@ def generate_fixtures(sf_dir: str, force: bool = False) -> str:
     """Generate (idempotently) the corpus for sf_dir; returns fixture dir."""
     out = fixture_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker) and not force:
+
+    def _current() -> bool:
+        if not os.path.exists(marker):
+            return False
+        try:
+            with open(os.path.join(out, "meta.json")) as f:
+                return json.load(f).get("n_buckets") == N_BUCKETS
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    if _current() and not force:
         return out
     os.makedirs(DATA_ROOT, exist_ok=True)
     lock_path = os.path.join(DATA_ROOT, f".lock-{os.path.basename(out)}")
     with open(lock_path, "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        if os.path.exists(marker) and not force:
+        if _current() and not force:
             return out
         _generate(out, sf_from_dir(sf_dir))
         with open(marker, "w") as f:

@@ -29,51 +29,78 @@ import ray.data
 
 from ..functions.hashing import md5_lower64
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1  # 31-bit modulus: (a*x + b) fits in uint64
+_WCOMB = np.uint64(1_000_003)
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles -> uint64 hashes (crc32 pair, process-stable)."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        b = s.encode("utf-8")
-        out[i] = np.uint64(zlib.crc32(b)) | (np.uint64(zlib.crc32(b, 0xA5A5)) << np.uint64(32))
+def _word_codes(words: list[str], vocab: dict) -> np.ndarray:
+    """word -> 31-bit crc code, memoized in `vocab` (per-batch/actor)."""
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        c = vocab.get(w)
+        if c is None:
+            c = zlib.crc32(w.encode("utf-8")) & _MERSENNE31
+            vocab[w] = c
+        out[i] = c
     return out
 
 
+def _shingle_hashes(text: str, k: int = 3, vocab: dict | None = None) -> np.ndarray:
+    """k-word shingles -> 31-bit hashes, fully vectorized: per-word crc
+    codes combined with a polynomial roll (no string joins)."""
+    if vocab is None:
+        vocab = {}
+    codes = _word_codes(text.split(), vocab)
+    n = len(codes)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for c in codes:
+            h = (h * _WCOMB + c) % np.uint64(_MERSENNE31)
+        return np.array([h], dtype=np.uint64)
+    h = codes[:n - k + 1].copy()
+    for j in range(1, k):
+        h = (h * _WCOMB + codes[j:n - k + 1 + j]) % np.uint64(_MERSENNE31)
+    return h
+
+
 class MinHasher:
-    """Stateless-per-batch signature stage; permutation coefficients are
-    built once per actor in __init__ (seeded, identical across actors)."""
+    """Signature stage: per-batch vectorized minhash.  All docs' shingle
+    hashes are concatenated and the (a*x+b) mod p sketch is computed
+    with segment-min (np.minimum.reduceat) over perm chunks — no
+    per-doc Python math.  Coefficients are seeded once per actor in
+    __init__ and identical across actors."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.RandomState(7)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.randint(1, _MERSENNE31, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE31, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, vectorized over shingles x perms (uint64 with
-        # python-int promotion to dodge overflow on the multiply)
-        x = sh.astype(object)[:, None]
-        vals = (x * self.a.astype(object)[None, :] + self.b.astype(object)[None, :]) % _MERSENNE
-        return np.min(np.asarray(vals, dtype=np.uint64), axis=0)
+        self._vocab: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if t:
-                sigs[i] = self.signature(t)
+        n = len(texts)
+        if len(self._vocab) > 4_000_000:
+            self._vocab.clear()
+        chunks = [_shingle_hashes(t, self.k, self._vocab) if t
+                  else np.zeros(1, dtype=np.uint64) for t in texts]
+        lens = np.array([len(c) for c in chunks])
+        offsets = np.zeros(n, dtype=np.int64)
+        offsets[1:] = np.cumsum(lens)[:-1]
+        allh = np.concatenate(chunks)  # (total_shingles,)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        M = np.uint64(_MERSENNE31)
+        for p0 in range(0, self.num_perm, 16):  # chunk perms: bounded memory
+            a = self.a[p0:p0 + 16]
+            b = self.b[p0:p0 + 16]
+            vals = (allh[:, None] * a[None, :] + b[None, :]) % M
+            sigs[:, p0:p0 + 16] = np.minimum.reduceat(vals, offsets, axis=0)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             self.text_col: batch.column(self.text_col),
@@ -84,26 +111,31 @@ class MinHasher:
 
 def _band_rows(batch: pa.Table, n_bands: int, id_col: str = "doc_id",
                carry_text: bool = False) -> pa.Table:
-    """Expand each doc into one row per band: (band, band_key, id)."""
+    """Expand each doc into one row per band: (band_key, id) — fully
+    vectorized (band key = polynomial combine of the band's sig slice
+    plus a band-salt, so identical slices in different bands never
+    collide into one bucket)."""
+    nrows = batch.num_rows
     sig = np.asarray(batch.column("signature").combine_chunks().flatten()
-                     ).reshape(batch.num_rows, -1)
+                     ).reshape(nrows, -1)
     rows_per = sig.shape[1] // n_bands
     ids = batch.column(id_col).to_numpy()
-    bands, keys, out_ids, text_idx = [], [], [], []
+    P = np.uint64(1099511628211)
+    SALT = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.empty((nrows, n_bands), dtype=np.uint64)
     for b in range(n_bands):
         chunk = sig[:, b * rows_per:(b + 1) * rows_per]
-        for i in range(len(ids)):
-            bands.append(b)
-            keys.append(zlib.crc32(chunk[i].tobytes()) | (b << 32))
-            out_ids.append(ids[i])
-            text_idx.append(i)
+        k = np.full(nrows, np.uint64(b) * SALT, dtype=np.uint64)
+        for j in range(rows_per):
+            k = k * P + chunk[:, j]  # uint64 wraparound is the hash
+        keys[:, b] = k
     cols = {
-        "band_key": pa.array(np.array(keys, dtype=np.int64)),
-        id_col: pa.array(out_ids),
+        "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+        id_col: pa.array(np.repeat(ids, n_bands)),
     }
     if carry_text:
-        texts = batch.column("text").to_pylist()
-        cols["text"] = pa.array([texts[i] for i in text_idx], type=pa.string())
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        cols["text"] = pa.array(np.repeat(texts, n_bands), type=pa.string())
     return pa.table(cols)
 
 
@@ -132,15 +164,30 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
     return per_doc.filter(lambda r: r["max(dup)"] == 0).select_columns([id_col])
 
 
-def simhash64(text: str) -> int:
-    """64-bit simhash over word tokens (crc32-pair token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        b = w.encode("utf-8")
-        h = zlib.crc32(b) | (zlib.crc32(b, 0xA5A5) << 32)
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), np.uint8),
-                             bitorder="little").astype(np.int64)
-        acc += bits * 2 - 1
+def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        c = vocab.get(w)
+        if c is None:
+            b = w.encode("utf-8")
+            c = zlib.crc32(b) | (zlib.crc32(b, 0xA5A5) << 32)
+            vocab[w] = c
+        out[i] = c
+    return out
+
+
+def simhash64(text: str, vocab: dict | None = None) -> int:
+    """64-bit simhash over word tokens — vectorized bit counting
+    (unpackbits over the token-hash byte view + column sums)."""
+    if vocab is None:
+        vocab = {}
+    words = text.split()
+    if not words:
+        return 0
+    hs = _word_hash64(words, vocab)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(len(hs), 8),
+                         axis=1, bitorder="little").astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(hs)
     out_bits = (acc > 0).astype(np.uint8)
     return int.from_bytes(np.packbits(out_bits, bitorder="little").tobytes(),
                           "little")
@@ -152,8 +199,10 @@ def simhash_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     would split the 64 bits into 4 bands of 16)."""
 
     def add_simhash(batch: pa.Table) -> pa.Table:
+        vocab: dict = {}
         texts = batch.column(text_col).to_pylist()
-        hs = np.array([simhash64(t) if t else 0 for t in texts], dtype=np.uint64)
+        hs = np.array([simhash64(t, vocab) if t else 0 for t in texts],
+                      dtype=np.uint64)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(hs.astype(np.int64))})
 
@@ -228,11 +277,10 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
         nv = np.linalg.norm(v, axis=1, keepdims=True)
         nv[nv == 0] = 1.0
         sims = (v / nv) @ m.T  # (batch, N)
-        keep = np.ones(len(bids), dtype=bool)
-        for i, bid in enumerate(bids):
-            smaller = all_ids < bid
-            if smaller.any() and sims[i, smaller].max() >= threshold:
-                keep[i] = False
+        # mask out cols with id >= row id, then one vectorized row-max
+        smaller = all_ids[None, :] < bids[:, None]
+        best = np.where(smaller, sims, -np.inf).max(axis=1)
+        keep = best < threshold
         return pa.table({id_col: pa.array(bids[keep])})
 
-    return ds.map_batches(mark, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(mark, batch_format="pyarrow", batch_size=512)

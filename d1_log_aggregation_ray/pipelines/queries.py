@@ -116,45 +116,84 @@ def q_geo_enrich(sf_dir: str):
 
 
 def _flag_counts(ds: ray.data.Dataset, by: str, extra: list[str]):
-    def to_int(batch: pa.Table) -> pa.Table:
-        for c in extra:
-            batch = batch.set_column(
-                batch.schema.get_field_index(c), c,
-                pc.cast(batch.column(c), pa.int64()))
-        return batch
-    agg = ds.map_batches(to_int, batch_format="pyarrow").groupby(by).aggregate(
-        Count(), *[Sum(c) for c in extra])
-    renames = {"count()": "n_rows", **{f"sum({c})": "n_" + c.replace("in_", "").replace("_list", "").replace("is_", "")
-                                       for c in extra}}
+    """Per-key counts + boolean-flag sums with a per-batch COMBINER:
+    each batch collapses to <= n_keys partial rows before the groupby,
+    so the all-to-all exchange moves a few rows per block instead of
+    the whole table (the pre-aggregate pattern from SURVEY §7)."""
+    out_names = ["n_" + c.replace("in_", "").replace("_list", "").replace("is_", "")
+                 for c in extra]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {c: pc.cast(batch.column(c), pa.int64()) for c in extra}
+        t = pa.table({by: batch.column(by), **cols})
+        agg = t.group_by(by).aggregate(
+            [([], "count_all")] + [(c, "sum") for c in extra])
+        name_map = {by: by, "count_all": "n_rows",
+                    **{f"{c}_sum": n for c, n in zip(extra, out_names)}}
+        return agg.rename_columns([name_map[c] for c in agg.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby(by).aggregate(
+        Sum("n_rows"), *[Sum(n) for n in out_names])
+    renames = {f"sum(n_rows)": "n_rows", **{f"sum({n})": n for n in out_names}}
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
-            [renames.get(c, c) for c in batch.column_names])
+            [renames.get(c, c) for c in batch.column_names]).select(
+            [by, "n_rows"] + out_names)
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def q_route_counts(sf_dir: str):
-    """S6/A2: per-sink routed-row counts + flag totals."""
-    ds = _enriched_no_window(sf_dir).select_columns(
-        ["sink_id", "in_partial_list", "in_full_list"])
+    """S6/A2: per-sink routed-row counts + flag totals (light enricher:
+    flags + routing only, no unused enrichment columns)."""
+    fx = _fx(sf_dir)
+    side_ref = ray.put(load_side_tables(fx))
+    ds = _clean(sf_dir).map_batches(
+        Enricher, fn_constructor_args=(side_ref, CFG),
+        fn_constructor_kwargs={"light": True},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=CFG.batch_size, concurrency=CFG.enrich_concurrency)
+    ds = ds.select_columns(["sink_id", "in_partial_list", "in_full_list"])
     return _flag_counts(ds, "sink_id", ["in_partial_list", "in_full_list"])
 
 
 def q_watermark(sf_dir: str):
-    """A1/A2: per-conv max-ts watermark + throughput count."""
-    ds = _clean(sf_dir).select_columns(["conv_id", "ts"])
-    agg = ds.groupby("conv_id").aggregate(Count(), Max("ts"))
+    """A1/A2: per-conv max-ts watermark + throughput count.
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["conv_id", "n_turns", "max_ts"])
-    return agg.map_batches(rename, batch_format="pyarrow")
+    Shuffle-free: convs are bucket-local, so the groupby runs as one
+    vectorized arrow group_by per bucket block (a partial aggregate
+    that IS the final aggregate under the partitioning invariant)."""
+    fx = _fx(sf_dir)
+    ds = read_transcripts(fx, columns=["conv_id", "ts"],
+                          one_block_per_bucket=True)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id")
+        valid = pc.fill_null(
+            pc.and_kleene(conv.is_valid(), pc.not_equal(conv, "")), False)
+        batch = batch.filter(valid)
+        agg = batch.group_by("conv_id").aggregate(
+            [("ts", "max"), ([], "count_all")])
+        name_map = {"ts_max": "max_ts", "count_all": "n_turns",
+                    "conv_id": "conv_id"}
+        agg = agg.rename_columns([name_map[c] for c in agg.column_names])
+        return agg.select(["conv_id", "n_turns", "max_ts"])
+
+    return ds.map_batches(per_bucket, batch_size=None, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_repeat_visit(sf_dir: str):
-    """W1: repeat-visit flags for gated rows (order-dependent window)."""
-    ds = _clean(sf_dir).groupby("conv_id").map_groups(
-        repeat_visit_group, batch_format="pyarrow")
+    """W1: repeat-visit flags for gated rows (order-dependent window).
+    Uses the shuffle-free bucket scan (input is conv-hash partitioned);
+    the general groupby path is repeat_visit_group."""
+    from ..stages.window import bucket_window_scan
+    fx = _fx(sf_dir)
+    ds = read_transcripts(fx, one_block_per_bucket=True).map_batches(
+        lambda b: bucket_window_scan(clean_project(b)),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
     gate = pa.array(list(CFG.gate_roles))
 
     def gated_only(batch: pa.Table) -> pa.Table:

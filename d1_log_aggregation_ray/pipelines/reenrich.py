@@ -1,0 +1,113 @@
+"""S7 + C6: point-query source and incremental re-enrichment.
+
+Reference analogs:
+  - S7 Solr query source: page all index docs matching pid:<escaped>
+    back into POJOs (SystemMetadataEntryListener.java:143-178)
+    -> hash-pruned read of the enriched output: conv_id determines its
+    bucket (bucket = md5_lower64(conv_id) % n_buckets), so a point
+    query touches exactly ONE bucket directory, not the whole output.
+  - C6 sysmeta-change re-enrichment listener: on sysmeta add/update,
+    re-query all records for that pid, re-run the sysmeta join, set
+    dateUpdated=now, re-publish in batches
+    (SystemMetadataEntryListener.java:109-218)
+    -> reenrich_convs: re-read only the affected buckets, re-apply the
+    conv_meta join for the changed convs, stamp date_updated, and
+    atomically overwrite just those bucket partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray
+import ray.data
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..functions.hashing import md5_lower64
+from ..sources.readers import load_side_tables
+
+
+def bucket_for_conv(conv_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    return md5_lower64(conv_id) % cfg.n_buckets
+
+
+def retrieve_turns(out_dir: str, conv_id: str,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Point query: all enriched turns of one conv, reading only its
+    hash bucket (S7 analog; replaces paged Solr pid queries)."""
+    bdir = os.path.join(out_dir, f"bucket_id={bucket_for_conv(conv_id, cfg)}")
+    dset = pads.dataset(bdir, partitioning="hive")
+    t = dset.to_table(filter=pads.field("conv_id") == conv_id)
+    return t.sort_by("turn_idx")
+
+
+def reenrich_convs(out_dir: str, fx_dir: str, conv_ids: list[str],
+                   update_ts: datetime,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Incremental update: re-apply the conv_meta join for the given
+    convs across their (few) affected buckets; every other row is
+    rewritten byte-identical.  Partition-atomic: each bucket dir is
+    rebuilt in a temp dir and swapped in (the idempotent-overwrite
+    analog of Solr upsert-by-id)."""
+    side = load_side_tables(fx_dir)
+    changed = pa.array(sorted(set(conv_ids)))
+    buckets = sorted({bucket_for_conv(c, cfg) for c in conv_ids})
+    sentinel_us = int(update_ts.timestamp() * 1e6)
+    rows_updated = 0
+
+    for b in buckets:
+        bdir = os.path.join(out_dir, f"bucket_id={b}")
+        dset = pads.dataset(bdir, partitioning="hive")
+        t = dset.to_table()
+        hit = pc.fill_null(pc.is_in(t.column("conv_id"), value_set=changed), False)
+        n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        if n_hit == 0:
+            continue
+        rows_updated += n_hit
+        # re-run J1/J3 for hit rows (vectorized over the whole bucket,
+        # then blended by mask)
+        midx = pc.index_in(t.column("conv_id").combine_chunks(),
+                           side.meta_conv_id)
+        for col, src in (("format_id", side.meta_format_id),
+                         ("series_id", side.meta_series_id),
+                         ("rights_holder", side.meta_rights_holder),
+                         ("read_permission", side.meta_read_permission)):
+            fresh = pc.take(src, midx)
+            blended = pc.if_else(hit, fresh, t.column(col).combine_chunks())
+            t = t.set_column(t.schema.get_field_index(col), col, blended)
+        size_fresh = pc.cast(pc.fill_null(
+            pc.take(pa.array(side.meta_size), midx), 0), pa.int64())
+        t = t.set_column(t.schema.get_field_index("size"), "size",
+                         pc.if_else(hit, size_fresh,
+                                    t.column("size").combine_chunks()))
+        du = pa.array(np.full(t.num_rows, sentinel_us), type=pa.int64()).cast(
+            pa.timestamp("us"))
+        t = t.set_column(t.schema.get_field_index("date_updated"),
+                         "date_updated",
+                         pc.if_else(hit, du,
+                                    t.column("date_updated").combine_chunks()))
+        # partition-atomic swap
+        tmp = bdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        import pyarrow.parquet as pq
+        for s in range(cfg.n_sinks):
+            sub = t.filter(pc.equal(t.column("sink_id"), s))
+            if sub.num_rows == 0:
+                continue
+            sdir = os.path.join(tmp, f"sink_id={s}")
+            os.makedirs(sdir)
+            pq.write_table(sub.drop_columns(["sink_id"]),
+                           os.path.join(sdir, "part-00000.parquet"))
+        shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+
+    return {"buckets_touched": buckets, "rows_updated": int(rows_updated),
+            "date_updated": update_ts.isoformat()}

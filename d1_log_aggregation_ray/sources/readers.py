@@ -25,20 +25,26 @@ import ray.data
 
 def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
                      columns: list[str] | None = None,
-                     override_num_blocks: int | None = None) -> ray.data.Dataset:
+                     one_block_per_bucket: bool = False) -> ray.data.Dataset:
     """Read the transcript corpus (optionally a subset of buckets).
 
     Buckets are the independent harvest/resume units (the "node" analog);
     a bucket == one parquet file written by the generator, and convs
-    never span buckets.
+    never span buckets.  With one_block_per_bucket=True, each bucket
+    file becomes exactly one block, so a downstream
+    map_batches(batch_size=None) sees whole buckets — the partitioning
+    contract the shuffle-free window scan relies on.
     """
     tdir = os.path.join(fx_dir, "transcripts")
     if buckets is None:
-        paths = tdir
+        import glob
+        paths = sorted(glob.glob(os.path.join(tdir, "part-*.parquet")))
     else:
         paths = [os.path.join(tdir, f"part-{b:02d}.parquet") for b in buckets]
-    return ray.data.read_parquet(
-        paths, columns=columns, override_num_blocks=override_num_blocks)
+    kwargs = {}
+    if one_block_per_bucket:
+        kwargs["override_num_blocks"] = len(paths)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 @dataclass
@@ -61,6 +67,14 @@ class SideTables:
     range_lo: np.ndarray            # uint64 sorted
     range_hi: np.ndarray
     range_exact_keys: pa.Array
+    # DRIVER-PREBUILT lookup indexes (built once here, shipped to every
+    # worker): fixed-width numpy string arrays resolved via vectorized
+    # np.searchsorted.  Python dict/set builds of 100k+ strings take
+    # seconds per worker under a concurrent fleet start (GIL + allocator
+    # churn), so workers must never build their own indexes.
+    member_sorted: np.ndarray       # sorted U-dtype: member + exact keys
+    meta_keys_sorted: np.ndarray    # sorted U-dtype conv_ids of conv_meta
+    meta_perm: np.ndarray           # meta_keys_sorted[i] -> row in meta_*
     # regex banks (full/partial robot list analogs), union-compiled
     partial_union: str
     full_union: str
@@ -104,7 +118,18 @@ def load_side_tables(fx_dir: str) -> SideTables:
     lo, hi = _merge_intervals(lo, hi)
     exact = rl.filter(pa.array(~is_range)).column("key").combine_chunks()
 
+    member_list = reg.column("member_key").to_pylist() + [
+        k for k in exact.to_pylist() if k is not None]
+    member_sorted = np.sort(np.array(member_list, dtype=str)) if member_list \
+        else np.empty(0, dtype="U1")
+    meta_keys = np.array(meta.column("conv_id").to_pylist(), dtype=str)
+    meta_perm = np.argsort(meta_keys, kind="stable").astype(np.int64)
+    meta_keys_sorted = meta_keys[meta_perm]
+
     return SideTables(
+        member_sorted=member_sorted,
+        meta_keys_sorted=meta_keys_sorted,
+        meta_perm=meta_perm,
         meta_conv_id=meta.column("conv_id").combine_chunks(),
         meta_format_id=meta.column("format_id").combine_chunks(),
         meta_series_id=meta.column("series_id").combine_chunks(),

@@ -1,5 +1,5 @@
 from .project import clean_project
-from .window import repeat_visit_group, repeat_visit_scan
+from .window import repeat_visit_group, repeat_visit_scan, bucket_window_scan
 from .enrich import Enricher
 from .parse import regex_flags
 

@@ -78,33 +78,90 @@ class Enricher:
 
     def __init__(self, side: "SideTables | ray.ObjectRef",
                  cfg: PipelineConfig = DEFAULT_CONFIG,
-                 run_ts: datetime = DEFAULT_RUN_TS):
+                 run_ts: datetime = DEFAULT_RUN_TS,
+                 light: bool = False):
+        """light=True: flags + routing only (skip meta/geo/constants) —
+        for aggregate-only consumers that would otherwise pay for ~25
+        unused enrichment columns."""
         if isinstance(side, ray.ObjectRef):
             side = ray.get(side)
+        self.light = light
         self.side = side
         self.cfg = cfg
         self.run_ts = run_ts
         self._gate_set = pa.array(list(cfg.gate_roles))
+        # NOTE: __init__ must stay O(1).  All heavy lookup indexes
+        # (member_sorted / meta_keys_sorted / meta_perm) are prebuilt in
+        # the DRIVER by load_side_tables and resolved here with
+        # vectorized np.searchsorted — a worker that builds a 300k-key
+        # python dict takes seconds under a concurrent fleet start, and
+        # per-batch pc.index_in/is_in rebuild their hash table on every
+        # call (~40 ms/batch).  Both are avoided.
+        # per-actor cross-batch cache:
+        #   conv_id -> (h64, geo fields, is_member, meta_row_or_-1)
+        # convs recur heavily across batches, so md5 + geohash + member
+        # + meta resolution run once per conv per ACTOR, not per batch
+        self._conv_cache: dict[str, tuple] = {}
+        self._conv_cache_max = 2_000_000
 
     # -- per-batch helpers -------------------------------------------------
 
     def _conv_luts(self, conv: pa.Array):
-        """Per-unique-conv hash + geo LUTs, scattered via index_in."""
-        uniq = pc.unique(conv)
+        """Per-unique-conv LUTs (hash, geo, membership, meta row),
+        scattered to rows via dictionary indices."""
+        enc = conv.dictionary_encode()
+        uniq = enc.dictionary
         n = len(uniq)
         h64 = np.zeros(n, dtype=np.uint64)
+        member = np.zeros(n, dtype=bool)
+        meta_row = np.full(n, -1, dtype=np.int64)
         geo_cols = {k: np.empty(n, dtype=object)
                     for k in ("country", "region", "city", "location", "geohash")}
-        for i in range(n):
-            s = uniq[i].as_py()
-            h = md5_lower64(s)
-            h64[i] = h
-            g = geo_fields_for_hash(h)
+        cache = self._conv_cache
+        if len(cache) > self._conv_cache_max:
+            cache.clear()
+        side = self.side
+        uniq_list = uniq.to_pylist()
+        miss_idx = [i for i, s in enumerate(uniq_list) if s not in cache]
+        if miss_idx:
+            # vectorized resolution of all cache misses at once:
+            # membership + meta row via searchsorted on driver-sorted
+            # fixed-width string arrays (C string compares, no GIL churn)
+            mu = np.array([uniq_list[i] for i in miss_idx], dtype=str)
+            ms = side.member_sorted
+            if len(ms):
+                pos = np.clip(np.searchsorted(ms, mu), 0, len(ms) - 1)
+                is_mem = ms[pos] == mu
+            else:
+                is_mem = np.zeros(len(mu), dtype=bool)
+            ks = side.meta_keys_sorted
+            if len(ks):
+                pos = np.clip(np.searchsorted(ks, mu), 0, len(ks) - 1)
+                ok = ks[pos] == mu
+                rows = np.where(ok, side.meta_perm[pos], -1)
+            else:
+                rows = np.full(len(mu), -1, dtype=np.int64)
+            lo, hi = side.range_lo, side.range_hi
+            for j, i in enumerate(miss_idx):
+                s = uniq_list[i]
+                h = md5_lower64(s)
+                g = geo_fields_for_hash(h)
+                m = bool(is_mem[j])
+                if not m and len(lo):
+                    h32 = h % 2**32
+                    p = int(np.searchsorted(lo, h32, side="right")) - 1
+                    m = p >= 0 and h32 <= int(hi[p])
+                cache[s] = (h, g, m, int(rows[j]))
+        for i, s in enumerate(uniq_list):
+            hit = cache[s]
+            h64[i] = hit[0]
+            g = hit[1]
             for k in geo_cols:
                 geo_cols[k][i] = g[k]
-        idx = pc.index_in(conv, uniq).fill_null(0).to_numpy(zero_copy_only=False)
-        idx = idx.astype(np.int64)
-        return h64, geo_cols, idx
+            member[i] = hit[2]
+            meta_row[i] = hit[3]
+        idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
+        return h64, geo_cols, member, meta_row, idx
 
     def _range_hit(self, h32: np.ndarray) -> np.ndarray:
         lo, hi = self.side.range_lo, self.side.range_hi
@@ -124,22 +181,19 @@ class Enricher:
         # R1-R3: regex banks (vectorized union match)
         batch = regex_flags(batch, side.partial_union, side.full_union, cfg)
 
-        h64_lut, geo_lut, idx = self._conv_luts(conv)
+        h64_lut, geo_lut, member_lut, meta_lut, idx = self._conv_luts(conv)
         h64 = h64_lut[idx]
-        h32 = h64 % np.uint64(2**32)
 
-        # J5: membership semi-join (exact keys + hash-space intervals);
-        # promotes BOTH flags for gated rows not already fully flagged
-        # (reference: checks skipped when UA already matched both lists,
+        # J5: membership semi-join (exact keys + hash-space intervals,
+        # resolved once per unique conv in _conv_luts); promotes BOTH
+        # flags for gated rows not already fully flagged (reference:
+        # checks skipped when UA already matched both lists,
         # LogEntrySolrItem.java:388-394)
         gated = pc.fill_null(
             pc.is_in(batch.column("role"), value_set=self._gate_set), False)
         in_p = batch.column("in_partial_list")
         in_f = batch.column("in_full_list")
-        member = pc.or_(
-            pc.fill_null(pc.is_in(conv, value_set=side.member_keys), False),
-            pc.fill_null(pc.is_in(conv, value_set=side.range_exact_keys), False))
-        member = pc.or_(member, pa.array(self._range_hit(h32)))
+        member = pa.array(member_lut[idx])
         promote = pc.and_(pc.and_(gated, member),
                           pc.invert(pc.and_(in_p, in_f)))
         in_p = pc.or_(in_p, promote)
@@ -151,9 +205,20 @@ class Enricher:
             batch.schema.get_field_index("in_full_list"),
             "in_full_list", in_f)
 
+        if self.light:
+            sink = (h64 % np.uint64(cfg.n_sinks)).astype(np.int32)
+            batch = batch.append_column("sink_id", pa.array(sink, type=pa.int32()))
+            keep = [c for c in ("turn_id", "conv_id", "turn_idx",
+                                "in_partial_list", "in_full_list",
+                                "is_repeat_visit", "sink_id")
+                    if c in batch.column_names]
+            return batch.select(keep)
+
         # J1/J3: conv_meta broadcast join (null-tolerant; size default 0,
-        # LogEntrySolrItem.java:251-256)
-        midx = pc.index_in(conv, side.meta_conv_id)
+        # LogEntrySolrItem.java:251-256) — row indexes resolved per
+        # unique conv in _conv_luts, scattered here, then one take()
+        mrows = meta_lut[idx]
+        midx = pa.array(mrows, mask=(mrows < 0))
         batch = batch.append_column("format_id", pc.take(side.meta_format_id, midx))
         batch = batch.append_column("series_id", pc.take(side.meta_series_id, midx))
         size = pc.fill_null(pc.take(pa.array(side.meta_size), midx), 0)

@@ -57,12 +57,88 @@ def repeat_visit_scan(ts_us: np.ndarray, valid: np.ndarray,
     return out
 
 
+def bucket_window_scan(batch: pa.Table,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Shuffle-free W1: process a WHOLE conv-hash bucket as one block.
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): the input block contains every turn of every conv it touches
+    (convs never span buckets — the generator hash-partitions by
+    conv_id, and at 100 TB scale the bucket count scales with the data
+    while this per-bucket scan stays a single vectorized sort + one
+    linear pass).  This replaces groupby(conv_id).map_groups: no
+    all-to-all exchange and no per-group Python overhead.  For inputs
+    WITHOUT the bucket guarantee, use repeat_visit_group under
+    groupby() instead.
+    """
+    batch = batch.combine_chunks().sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("is_repeat_visit",
+                                   pa.array(np.zeros(0, dtype=bool)))
+
+    conv = batch.column("conv_id").combine_chunks()
+    gidx = np.asarray(conv.dictionary_encode().indices)
+
+    # D1 exact dedup by natural key (conv_id, turn_idx): duplicates are
+    # adjacent after the sort; keep first (reference: Solr upsert-by-id
+    # makes overlap harvests idempotent, LogHarvesterTask.java:431-435)
+    tix = batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = (gidx[1:] == gidx[:-1]) & (tix[1:] == tix[:-1])
+    if dup.any():
+        batch = batch.filter(pa.array(~dup))
+        n = batch.num_rows
+        conv = batch.column("conv_id").combine_chunks()
+        gidx = np.asarray(conv.dictionary_encode().indices)
+
+    repeat = np.zeros(n, dtype=bool)
+    ts = batch.column("ts").combine_chunks()
+    ts_us = ts.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    ts_ok = ts.is_valid().to_numpy(zero_copy_only=False)
+    interval_end_us = cfg.repeat_visit_interval_end_s * 1_000_000
+    roles = batch.column("role")
+
+    for role in cfg.gate_roles:
+        mask = pc.fill_null(pc.equal(roles, role), False).to_numpy(
+            zero_copy_only=False)
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            continue
+        g = gidx[idx]
+        t = ts_us[idx]
+        v = ts_ok[idx]
+        out = np.zeros(len(idx), dtype=bool)
+        prev_g, ws, have = -1, 0, False
+        for j in range(len(idx)):  # single pass over gated rows, all groups
+            if g[j] != prev_g:
+                prev_g = g[j]
+                have = False
+            if not v[j]:
+                continue
+            tj = t[j]
+            if have and ws < tj < ws + interval_end_us:
+                out[j] = True
+            else:
+                ws = tj
+                have = True
+        repeat[idx] = out
+
+    return batch.append_column("is_repeat_visit", pa.array(repeat))
+
+
 def repeat_visit_group(group: pa.Table,
                        cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
     """map_groups fn: one conv. Sort by turn_idx (the explicit ordering
     invariant, O1 — the reference merely *assumed* chronological order),
     then scan each gated role's turns."""
     group = group.sort_by("turn_idx")
+    tix = group.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    dup = np.zeros(len(tix), dtype=bool)
+    dup[1:] = tix[1:] == tix[:-1]
+    if dup.any():  # D1: keep-first on the natural key
+        group = group.filter(pa.array(~dup))
     n = group.num_rows
     repeat = np.zeros(n, dtype=bool)
 

@@ -30,8 +30,10 @@ def test_kill_resume_no_dupes_no_gaps(fx_dir, tmp_path):
                 f.write(json.dumps(r) + "\n")
     shutil.rmtree(f"{out}/bucket_id=5")
 
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
     s2 = run_harvest(fx_dir, out, resume=True)
-    assert s2["resumed_skipped"] == [0, 1, 2, 3, 4, 6, 7]
+    assert s2["resumed_skipped"] == [b for b in range(DEFAULT_CONFIG.n_buckets)
+                                     if b != 5]
     assert s2["rows_in_this_run"] < s1["rows_in_this_run"]
     assert _read_keys(out) == keys_full
     for k in ("rows_out_total", "in_partial_list", "in_full_list",
@@ -42,6 +44,7 @@ def test_kill_resume_no_dupes_no_gaps(fx_dir, tmp_path):
 def test_resume_complete_run_is_noop(fx_dir, tmp_path):
     out = str(tmp_path / "out")
     run_harvest(fx_dir, out, resume=False)
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
     s = run_harvest(fx_dir, out, resume=True)
     assert s["rows_in_this_run"] == 0
-    assert s["resumed_skipped"] == list(range(8))
+    assert s["resumed_skipped"] == list(range(DEFAULT_CONFIG.n_buckets))
