@@ -42,6 +42,10 @@ class PipelineConfig:
     # map_batches operating point
     batch_size: int | None = 8192
     enrich_concurrency: tuple[int, int] = (2, 16)
+    # rows per terminal enrich+write slice (the skew-splitting unit: a
+    # hot bucket parallelizes across slices instead of becoming one
+    # straggler task)
+    write_slice_rows: int = 65536
     v1_roles: tuple[str, ...] = field(default=V1_ROLES)
 
 

@@ -77,52 +77,92 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     return ds
 
 
-def _wave_stats(out_dir: str, buckets: list[int],
-                cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[int, dict]:
-    """Per-bucket lineage stats for a completed wave: ONE column-pruned
-    parallel arrow scan over the wave's sink files + a vectorized
-    group_by, instead of 32 sequential per-bucket reads."""
-    paths = [os.path.join(out_dir, f"bucket_id={b}") for b in buckets
-             if os.path.isdir(os.path.join(out_dir, f"bucket_id={b}"))]
-    out: dict[int, dict] = {b: {
-        "rows_out": 0, "per_sink_rows": {}, "in_partial_list": 0,
-        "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None,
-    } for b in buckets}
-    if not paths:
-        return out
-    dset = pads.dataset([pads.dataset(p, partitioning="hive") for p in paths])
-    t = dset.to_table(columns=["conv_id", "sink_id", "in_partial_list",
-                               "in_full_list", "is_repeat_visit", "ts"])
-    from ..functions.hashing import md5_lower64_array
-    bucket_arr = pa.array(
-        (md5_lower64_array(t.column("conv_id").combine_chunks())
-         % np.uint64(cfg.n_buckets)).astype(np.int64))
-    t = t.append_column("bucket_id", bucket_arr)
-    flags = pa.table({
-        "bucket_id": t.column("bucket_id"),
-        "sink_id": t.column("sink_id"),
-        "p": pc.cast(t.column("in_partial_list"), pa.int64()),
-        "f": pc.cast(t.column("in_full_list"), pa.int64()),
-        "r": pc.cast(t.column("is_repeat_visit"), pa.int64()),
-        "ts": t.column("ts"),
-    })
-    agg = flags.group_by(["bucket_id", "sink_id"]).aggregate(
-        [([], "count_all"), ("p", "sum"), ("f", "sum"), ("r", "sum"),
-         ("ts", "max")])
-    for row in agg.to_pylist():
-        b = row["bucket_id"]
-        rec = out[b]
-        rec["rows_out"] += row["count_all"]
-        rec["per_sink_rows"][str(row["sink_id"])] = row["count_all"]
-        rec["in_partial_list"] += row["p_sum"] or 0
-        rec["in_full_list"] += row["f_sum"] or 0
-        rec["is_repeat_visit"] += row["r_sum"] or 0
-        mt = row["ts_max"]
-        if mt is not None:
-            iso = mt.isoformat()
-            if rec["max_ts"] is None or iso > rec["max_ts"]:
-                rec["max_ts"] = iso
-    return out
+# worker-process-global Enricher cache (workers are reused across tasks;
+# construction is O(1) but the conv cache inside is worth keeping warm)
+_WORKER_ENRICHERS: dict = {}
+
+
+def _get_enricher(side_ref, cfg, run_ts) -> Enricher:
+    key = (side_ref.hex() if hasattr(side_ref, "hex") else id(side_ref),
+           run_ts)
+    e = _WORKER_ENRICHERS.get(key)
+    if e is None:
+        e = Enricher(side_ref, cfg, run_ts)
+        _WORKER_ENRICHERS.clear()
+        _WORKER_ENRICHERS[key] = e
+    return e
+
+
+_STATS_SCHEMA = pa.schema([
+    ("bucket_id", pa.int32()), ("rows_out", pa.int64()),
+    ("in_partial_list", pa.int64()), ("in_full_list", pa.int64()),
+    ("is_repeat_visit", pa.int64()), ("max_ts", pa.string()),
+    ("per_sink", pa.string()),
+])
+
+
+def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
+                            run_ts) -> pa.Table:
+    """Terminal fused stage: enrich a slice of scanned rows and write
+    its per-(bucket, sink) parquet files directly, returning per-bucket
+    lineage/stats rows.
+
+    Writing inside the map task keeps the (4-5x wider) enriched data
+    out of the object store — it saves a full copy + transfer of every
+    enriched block.  Slices (not whole buckets) are the write unit so a
+    hot-conv bucket doesn't become a straggler task: the 100TB skew
+    story is slice-level parallelism under bucket-level resume.  File
+    names are content-derived (bucket + first/last turn_id + count), so
+    a retried task overwrites its own file idempotently; a resumed run
+    clears incomplete bucket dirs first (partition-atomic overwrite,
+    the Solr upsert-by-id analog)."""
+    import pyarrow.parquet as pq
+    from ..functions.hashing import md5_lower64
+    e = _get_enricher(side_ref, cfg, run_ts)
+    n = batch.num_rows
+    if n == 0:
+        return _STATS_SCHEMA.empty_table()
+    outs = []
+    step = cfg.batch_size or 8192
+    for off in range(0, n, step):
+        outs.append(e(batch.slice(off, step)))
+    t = pa.concat_tables(outs).combine_chunks()
+
+    stats_rows = []
+    bucket_col = t.column("bucket_id")
+    for b in pc.unique(bucket_col).to_pylist():
+        tb = t.filter(pc.equal(bucket_col, b))
+        bdir = os.path.join(out_dir, f"bucket_id={b}")
+        tag = md5_lower64(
+            f"{tb.column('turn_id')[0].as_py()}|"
+            f"{tb.column('turn_id')[-1].as_py()}|{tb.num_rows}")
+        per_sink = {}
+        sink_col = tb.column("sink_id")
+        for s in pc.unique(sink_col).to_pylist():
+            sub = tb.filter(pc.equal(sink_col, s))
+            sdir = os.path.join(bdir, f"sink_id={s}")
+            os.makedirs(sdir, exist_ok=True)
+            fpath = os.path.join(sdir, f"part-{tag:016x}.parquet")
+            tmp = fpath + ".tmp"
+            pq.write_table(sub.drop_columns(["bucket_id", "sink_id"]), tmp,
+                           row_group_size=128 * 1024)
+            os.replace(tmp, fpath)
+            per_sink[str(s)] = sub.num_rows
+        max_ts = pc.max(tb.column("ts")).as_py()
+        stats_rows.append({
+            "bucket_id": b,
+            "rows_out": tb.num_rows,
+            "in_partial_list": int(pc.sum(pc.cast(
+                tb.column("in_partial_list"), pa.int64())).as_py() or 0),
+            "in_full_list": int(pc.sum(pc.cast(
+                tb.column("in_full_list"), pa.int64())).as_py() or 0),
+            "is_repeat_visit": int(pc.sum(pc.cast(
+                tb.column("is_repeat_visit"), pa.int64())).as_py() or 0),
+            "max_ts": max_ts.isoformat() if max_ts else None,
+            "per_sink": ",".join(f"{k}:{v}" for k, v in
+                                 sorted(per_sink.items())),
+        })
+    return pa.Table.from_pylist(stats_rows, schema=_STATS_SCHEMA)
 
 
 def run_harvest(fx_dir: str, out_dir: str,
@@ -154,6 +194,8 @@ def run_harvest(fx_dir: str, out_dir: str,
     # clear partials from a previous killed run
     for b in todo:
         shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}.inprogress"),
+                      ignore_errors=True)
 
     side_ref = ray.put(load_side_tables(fx_dir))
     t_start = time.time()
@@ -166,20 +208,56 @@ def run_harvest(fx_dir: str, out_dir: str,
                                       f"part-{b:02d}.parquet")).count_rows()
             for b in wave)
         rows_in_total += n_in
-        ds = build_pipeline(fx_dir, cfg, buckets=wave, run_ts=run_ts,
-                            side_ref=side_ref)
-        ds.write_parquet(out_dir, partition_cols=["bucket_id", "sink_id"])
+        ds = read_transcripts(fx_dir, buckets=wave, one_block_per_bucket=True)
+
+        def clean_then_scan(batch, cfg=cfg):
+            return bucket_window_scan(clean_project(batch, cfg), cfg)
+
+        # num_cpus=1.01 on the per-bucket scan prevents operator fusion
+        # with the slice stage: fused, each task would process a WHOLE
+        # bucket serially and the hot-conv bucket becomes the job's
+        # critical path; unfused, scanned blocks redistribute across
+        # the pool as ~64k-row slices (skew-splitting)
+        ds = ds.map_batches(clean_then_scan, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            num_cpus=1.01)
+        ds = ds.map_batches(
+            _enrich_and_write_slice, batch_size=cfg.write_slice_rows,
+            batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"out_dir": out_dir, "side_ref": side_ref,
+                       "cfg": cfg, "run_ts": run_ts})
+        slice_rows = ds.take_all()
         dt = time.time() - t0
-        wave_stats = _wave_stats(out_dir, wave, cfg)
-        for b in wave:
-            stats = wave_stats[b]
+        # roll slice-level stats up to bucket-level lineage records
+        agg: dict[int, dict] = {}
+        for row in slice_rows:
+            b = int(row["bucket_id"])
+            rec = agg.setdefault(b, {
+                "rows_out": 0, "per_sink_rows": {}, "in_partial_list": 0,
+                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None})
+            rec["rows_out"] += int(row["rows_out"])
+            for kv in (row["per_sink"] or "").split(","):
+                if kv:
+                    k, v = kv.split(":")
+                    rec["per_sink_rows"][k] = rec["per_sink_rows"].get(k, 0) + int(v)
+            rec["in_partial_list"] += int(row["in_partial_list"])
+            rec["in_full_list"] += int(row["in_full_list"])
+            rec["is_repeat_visit"] += int(row["is_repeat_visit"])
+            if row["max_ts"] and (rec["max_ts"] is None
+                                  or row["max_ts"] > rec["max_ts"]):
+                rec["max_ts"] = row["max_ts"]
+        for b in wave:  # buckets with zero surviving rows still complete
+            agg.setdefault(b, {
+                "rows_out": 0, "per_sink_rows": {}, "in_partial_list": 0,
+                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None})
+        for b in sorted(agg):
             manifest.append({
                 "bucket": b, "complete": True,
                 "fragment": f"transcripts/part-{b:02d}.parquet",
                 "wave": wave, "wave_rows_in": n_in,
                 "wave_duration_s": round(dt, 3),
                 "run_ts": run_ts.isoformat(),
-                **stats,
+                **agg[b],
             })
 
     recs = [r for r in manifest.records() if r.get("complete")]
