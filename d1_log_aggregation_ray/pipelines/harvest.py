@@ -97,8 +97,49 @@ _STATS_SCHEMA = pa.schema([
     ("bucket_id", pa.int32()), ("rows_out", pa.int64()),
     ("in_partial_list", pa.int64()), ("in_full_list", pa.int64()),
     ("is_repeat_visit", pa.int64()), ("max_ts", pa.string()),
-    ("per_sink", pa.string()),
+    ("per_sink", pa.string()), ("error_rows", pa.int64()),
 ])
+
+# sink-retry operating point (reference: MAX_OFFERED_ATTEMPTS = 5,
+# LogHarvesterTask.java:103,474-480)
+MAX_SINK_ATTEMPTS = 5
+
+
+def _enrich_tolerant(e: Enricher, chunk: pa.Table) -> tuple[pa.Table | None, int]:
+    """M3 error-tolerant skip (reference: try/catch per enrichment
+    stage logs + skips the record, LogHarvesterTask.java:364-394):
+    vectorized fast path; on failure fall back to row-level slices so
+    one poison row never drops a whole batch.  Returns (enriched table
+    or None, count of dropped rows)."""
+    try:
+        return e(chunk), 0
+    except Exception:
+        good, dropped = [], 0
+        for r in range(chunk.num_rows):
+            try:
+                good.append(e(chunk.slice(r, 1)))
+            except Exception:
+                dropped += 1
+        if not good:
+            return None, chunk.num_rows
+        return pa.concat_tables(good), dropped
+
+
+def _write_with_retry(table: pa.Table, path: str) -> None:
+    """C5 bounded sink retry (reference: publish retried <=5 then
+    abort with the watermark persisted)."""
+    import pyarrow.parquet as pq
+    tmp = path + ".tmp"
+    last: Exception | None = None
+    for _ in range(MAX_SINK_ATTEMPTS):
+        try:
+            pq.write_table(table, tmp, row_group_size=128 * 1024)
+            os.replace(tmp, path)
+            return
+        except OSError as err:
+            last = err
+            time.sleep(0.2)
+    raise last  # manifest entry never written -> bucket resumes cleanly
 
 
 def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
@@ -116,16 +157,21 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
     a retried task overwrites its own file idempotently; a resumed run
     clears incomplete bucket dirs first (partition-atomic overwrite,
     the Solr upsert-by-id analog)."""
-    import pyarrow.parquet as pq
     from ..functions.hashing import md5_lower64
     e = _get_enricher(side_ref, cfg, run_ts)
     n = batch.num_rows
     if n == 0:
         return _STATS_SCHEMA.empty_table()
     outs = []
+    error_rows = 0
     step = cfg.batch_size or 8192
     for off in range(0, n, step):
-        outs.append(e(batch.slice(off, step)))
+        out, dropped = _enrich_tolerant(e, batch.slice(off, step))
+        error_rows += dropped
+        if out is not None:
+            outs.append(out)
+    if not outs:
+        return _STATS_SCHEMA.empty_table()
     t = pa.concat_tables(outs).combine_chunks()
 
     stats_rows = []
@@ -143,10 +189,7 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
             sdir = os.path.join(bdir, f"sink_id={s}")
             os.makedirs(sdir, exist_ok=True)
             fpath = os.path.join(sdir, f"part-{tag:016x}.parquet")
-            tmp = fpath + ".tmp"
-            pq.write_table(sub.drop_columns(["bucket_id", "sink_id"]), tmp,
-                           row_group_size=128 * 1024)
-            os.replace(tmp, fpath)
+            _write_with_retry(sub.drop_columns(["bucket_id", "sink_id"]), fpath)
             per_sink[str(s)] = sub.num_rows
         max_ts = pc.max(tb.column("ts")).as_py()
         stats_rows.append({
@@ -161,7 +204,10 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
             "max_ts": max_ts.isoformat() if max_ts else None,
             "per_sink": ",".join(f"{k}:{v}" for k, v in
                                  sorted(per_sink.items())),
+            "error_rows": 0,
         })
+    if stats_rows:
+        stats_rows[0]["error_rows"] = error_rows
     return pa.Table.from_pylist(stats_rows, schema=_STATS_SCHEMA)
 
 
@@ -234,8 +280,10 @@ def run_harvest(fx_dir: str, out_dir: str,
             b = int(row["bucket_id"])
             rec = agg.setdefault(b, {
                 "rows_out": 0, "per_sink_rows": {}, "in_partial_list": 0,
-                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None})
+                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None,
+                "error_rows": 0})
             rec["rows_out"] += int(row["rows_out"])
+            rec["error_rows"] += int(row["error_rows"])
             for kv in (row["per_sink"] or "").split(","):
                 if kv:
                     k, v = kv.split(":")
@@ -249,7 +297,8 @@ def run_harvest(fx_dir: str, out_dir: str,
         for b in wave:  # buckets with zero surviving rows still complete
             agg.setdefault(b, {
                 "rows_out": 0, "per_sink_rows": {}, "in_partial_list": 0,
-                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None})
+                "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None,
+                "error_rows": 0})
         for b in sorted(agg):
             manifest.append({
                 "bucket": b, "complete": True,

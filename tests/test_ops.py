@@ -1,0 +1,156 @@
+"""Semantic tests for the training-data operators: dedup families find
+planted duplicates, similarity search matches a numpy oracle, text
+analysis matches python reference, media plumbing round-trips."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from d1_log_aggregation_ray.ops.dedup import (minhash_lsh_dedup, simhash_dedup,
+                                              ngram_jaccard_dedup,
+                                              embedding_cosine_dedup, simhash64)
+from d1_log_aggregation_ray.ops.similarity import brute_force_topk, lsh_topk
+from d1_log_aggregation_ray.ops.text import (token_count_batch, quality_batch,
+                                             lang_id_batch, fingerprint_batch)
+from d1_log_aggregation_ray.ops.sessions import sessionize
+from d1_log_aggregation_ray.ops.multimodal import (MediaDecoder,
+                                                   make_fake_media_table,
+                                                   frame_sample_indices)
+
+
+def _docs_with_dups():
+    rng = np.random.RandomState(3)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    # plant exact dup (40<-3) and near dup (41<-7 with one word changed)
+    texts.append(texts[3])
+    near = texts[7].split()
+    near[5] = "changedword"
+    texts.append(" ".join(near))
+    ids = list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                         "text": pa.array(texts)}))
+
+
+def test_minhash_finds_planted_dups():
+    ds = _docs_with_dups()
+    survivors = set(r["doc_id"] for r in minhash_lsh_dedup(ds).take_all())
+    assert 40 not in survivors      # exact dup killed
+    assert 3 in survivors           # its original kept (min id)
+    assert 41 not in survivors      # near dup (29/30 shingle overlap) killed
+    assert len(survivors) >= 38     # random docs survive
+
+
+def test_simhash_exact_dup():
+    ds = _docs_with_dups()
+    survivors = set(r["doc_id"] for r in simhash_dedup(ds).take_all())
+    assert 40 not in survivors and 3 in survivors
+    v = {}
+    assert simhash64("alpha beta gamma", v) == simhash64("alpha beta gamma", {})
+
+
+def test_ngram_jaccard_verifies():
+    ds = _docs_with_dups()
+    survivors = set(r["doc_id"] for r in
+                    ngram_jaccard_dedup(ds, threshold=0.8).take_all())
+    assert 40 not in survivors and 3 in survivors
+
+
+def test_embedding_dedup_and_topk():
+    rng = np.random.RandomState(5)
+    mat = rng.randn(60, 16)
+    mat[50] = mat[10] * 2.0          # same direction -> cosine 1.0
+    tbl = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(list(mat.astype(np.float64)),
+                                          type=pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    survivors = set(r["vec_id"] for r in
+                    embedding_cosine_dedup(ds, threshold=0.999).take_all())
+    assert 50 not in survivors and 10 in survivors
+
+    # brute-force top-k matches a numpy oracle
+    q = mat[0]
+    res = brute_force_topk(ds, q, k=5)
+    got = res.column("vec_id").to_pylist()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = norm @ (q / np.linalg.norm(q))
+    expect = np.lexsort((np.arange(60), -scores))[:5].tolist()
+    assert got == expect
+
+    # LSH variant returns a subset of plausible neighbors incl. itself
+    lsh = lsh_topk(ds, q, k=5)
+    assert 0 in lsh.column("vec_id").to_pylist()
+
+
+def test_text_ops_match_python_reference():
+    texts = ["Hello, world. This is GREAT!", "the and of to in is that it",
+             "der die und das ist nicht mit ein", "", None]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = quality_batch(t)
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        assert out.column("n_tokens")[i].as_py() == len(s.split(" "))
+        assert out.column("n_chars_m")[i].as_py() == len(s)
+        assert out.column("n_punct")[i].as_py() == sum(c in ".!?,;:" for c in s)
+        assert out.column("n_upper")[i].as_py() == sum(c.isupper() and c.isascii() for c in s)
+    langs = lang_id_batch(t).column("lang_pred").to_pylist()
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    fp = fingerprint_batch(t)
+    import duckdb
+    expect = duckdb.connect().execute(
+        "select md5_number_lower('Hello, world. This is GREAT!')").fetchone()[0]
+    assert fp.column("fingerprint")[0].as_py() == expect
+
+
+def test_sessionize_semantics():
+    US = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([0, 100 * US, 2000 * US, 2100 * US, 0],
+                       pa.timestamp("us")),
+    })
+    out = {r["user_id"]: r for r in
+           sessionize(ray.data.from_arrow(t)).take_all()}
+    assert out[1]["n_sessions"] == 2 and out[1]["n_events"] == 4
+    assert out[2]["n_sessions"] == 1
+
+
+def test_media_plumbing():
+    tbl = make_fake_media_table(["abc", "defg", "hijkl"],
+                                ["image", "audio", "video"])
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(MediaDecoder, fn_constructor_kwargs={"fake": True},
+                         batch_size=2, batch_format="pyarrow",
+                         concurrency=(1, 2)).take_all()
+    assert len(out) == 3
+    img = next(r for r in out if r["kind"] == "image")
+    assert img["width"] >= 64 and img["n_frames"] == 1
+    vid = next(r for r in out if r["kind"] == "video")
+    assert vid["n_frames"] >= 1
+    assert len(frame_sample_indices(100, 30)) == 4
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)._decode_real(b"x", "image")
+
+
+def test_enrich_tolerant_row_fallback():
+    """M3: a poison batch falls back to row-level processing and only
+    the failing rows are dropped."""
+    from d1_log_aggregation_ray.pipelines.harvest import _enrich_tolerant
+
+    class Flaky:
+        def __call__(self, chunk):
+            if any(v.as_py() == "poison" for v in chunk.column("x")):
+                raise ValueError("boom")
+            return chunk
+
+    t = pa.table({"x": pa.array(["a", "poison", "b"])})
+    out, dropped = _enrich_tolerant(Flaky(), t)
+    assert dropped == 1
+    assert out.column("x").to_pylist() == ["a", "b"]
