@@ -64,7 +64,8 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         def clean_then_scan(batch, cfg=cfg):
             return bucket_window_scan(clean_project(batch, cfg), cfg)
         ds = ds.map_batches(clean_then_scan, batch_size=None,
-                            batch_format="pyarrow", zero_copy_batch=True)
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            num_cpus=1.01)
     else:
         ds = ds.map_batches(clean_project, batch_format="pyarrow",
                             zero_copy_batch=True, fn_kwargs={"cfg": cfg})

@@ -193,7 +193,8 @@ def q_repeat_visit(sf_dir: str):
     fx = _fx(sf_dir)
     ds = read_transcripts(fx, one_block_per_bucket=True).map_batches(
         lambda b: bucket_window_scan(clean_project(b)),
-        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+        num_cpus=1.01)
     gate = pa.array(list(CFG.gate_roles))
 
     def gated_only(batch: pa.Table) -> pa.Table:
@@ -311,6 +312,22 @@ def q_events_agg(sf_dir: str):
     return agg.map_batches(
         lambda b: b.rename_columns(["event_type", "n", "min_value", "max_value"]),
         batch_format="pyarrow")
+
+
+def q_props_extract(sf_dir: str):
+    """Grok-style field extraction from the events `props` JSON-ish
+    string column (R2 analog on the events payload): vectorized
+    pc.extract_regex, no python row loop."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_media_decode(sf_dir: str):
@@ -490,6 +507,11 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events)
             GROUP BY user_id""",
 
+        "props_extract": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+            FROM events""",
+
         "events_agg": """
             SELECT event_type, count(*) AS n,
                    min(value) AS min_value, max(value) AS max_value
@@ -520,5 +542,6 @@ RAY_QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
+    "props_extract": q_props_extract,
     "media_decode": q_media_decode,
 }

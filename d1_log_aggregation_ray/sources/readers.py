@@ -41,10 +41,28 @@ def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
         paths = sorted(glob.glob(os.path.join(tdir, "part-*.parquet")))
     else:
         paths = [os.path.join(tdir, f"part-{b:02d}.parquet") for b in buckets]
-    kwargs = {}
     if one_block_per_bucket:
-        kwargs["override_num_blocks"] = len(paths)
-    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+        # CONTRACTUAL whole-file blocks: the parquet read happens inside
+        # the map task (one task per file), so a bucket can never be
+        # split across blocks — override_num_blocks is only a hint and a
+        # silently split bucket would corrupt the window scan.  IO still
+        # runs fully parallel across tasks.
+        import pyarrow.parquet as pq
+
+        def load_file(batch: "pa.Table") -> "pa.Table":
+            assert batch.num_rows == 1
+            return pq.read_table(batch.column("path")[0].as_py(),
+                                 columns=columns)
+
+        ds = ray.data.from_items([{"path": p} for p in paths],
+                                 override_num_blocks=len(paths))
+        # num_cpus=1.01 matches the downstream per-bucket scan stage so
+        # load+scan FUSE into one task (raw bytes never hit the object
+        # store) while the scan stage stays unfused from the slice
+        # stage (see harvest.run_harvest)
+        return ds.map_batches(load_file, batch_size=None,
+                              batch_format="pyarrow", num_cpus=1.01)
+    return ray.data.read_parquet(paths, columns=columns)
 
 
 @dataclass
