@@ -1,0 +1,93 @@
+"""CLI driver — the `ray job submit` entry point.
+
+Replaces the reference's Quartz schedule manager + per-node jobs
+(LogAggregationScheduleManager.java:270-353, LogAggregationHarvestJob):
+one driver process owns the run; per-bucket leases/watermarks live in
+the checkpoint manifest, so a killed run resumes with
+
+    ray job submit -- python -m d1_log_aggregation_ray.cli harvest \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/harvest_out
+
+Subcommands:
+  harvest   run/resume the flagship pipeline
+  reenrich  incremental re-enrichment for changed convs (C6)
+  query     run one named query and print row count + head
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime
+
+import ray
+
+
+def _ensure_ray():
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def cmd_harvest(args) -> int:
+    from .gen.fixtures import generate_fixtures
+    from .pipelines.harvest import run_harvest
+    _ensure_ray()
+    fx = generate_fixtures(args.sf_dir)
+    summary = run_harvest(fx, args.out, resume=not args.no_resume,
+                          wave_size=args.wave_size)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_reenrich(args) -> int:
+    from .gen.fixtures import generate_fixtures
+    from .pipelines.reenrich import reenrich_convs
+    _ensure_ray()
+    fx = generate_fixtures(args.sf_dir)
+    res = reenrich_convs(args.out, fx, args.conv, datetime.now())
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .pipelines.queries import RAY_QUERIES
+    _ensure_ray()
+    res = RAY_QUERIES[args.name](args.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    print(f"rows={len(df)}")
+    print(df.head(10))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="d1_log_aggregation_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("harvest")
+    h.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    h.add_argument("--out", required=True)
+    h.add_argument("--wave-size", type=int, default=8)
+    h.add_argument("--no-resume", action="store_true")
+    h.set_defaults(fn=cmd_harvest)
+
+    r = sub.add_parser("reenrich")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    r.add_argument("--out", required=True)
+    r.add_argument("--conv", nargs="+", required=True)
+    r.set_defaults(fn=cmd_reenrich)
+
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
