@@ -30,6 +30,35 @@ import ray.data
 from ..functions.hashing import md5_lower64
 
 _MERSENNE31 = (1 << 31) - 1  # 31-bit modulus: (a*x + b) fits in uint64
+
+
+_WORKER_HASHERS: dict = {}
+
+
+def _signatures(ds: ray.data.Dataset, num_perm: int, text_col: str,
+                id_col: str) -> ray.data.Dataset:
+    """Signature stage as TASKS with a worker-global MinHasher (init is
+    just seeded coefficient generation, so tasks schedule better than
+    an actor pool here — no spin-up, perfect balance)."""
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        key = (num_perm, text_col, id_col)
+        h = _WORKER_HASHERS.get(key)
+        if h is None:
+            h = _WORKER_HASHERS[key] = MinHasher(
+                num_perm=num_perm, text_col=text_col, id_col=id_col)
+        return h(batch)
+    return ds.map_batches(sig_fn, batch_format="pyarrow")
+
+
+def _join_partitions() -> int:
+    """Size hash-join aggregator count to the cluster: each partition
+    is an actor, and requesting more actors than free CPUs stalls the
+    join on a small (e.g. 4-cpu test) session."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
 _WCOMB = np.uint64(1_000_003)
 
 
@@ -143,25 +172,49 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
                       n_bands: int = 16, id_col: str = "doc_id",
                       text_col: str = "text") -> ray.data.Dataset:
     """Docs surviving minhash-LSH dedup (doc is a dup iff any band
-    bucket contains a smaller doc id whose full band-slice matches)."""
-    sigs = ds.map_batches(MinHasher,
-                          fn_constructor_kwargs={"num_perm": num_perm,
-                                                 "text_col": text_col,
-                                                 "id_col": id_col},
-                          batch_format="pyarrow", concurrency=(1, 8))
+    bucket contains a smaller doc id whose full band-slice matches).
+
+    All-vectorized formulation: per-bucket min id via a sort-based
+    groupby AGGREGATE (never per-group python — band buckets are
+    mostly singletons, so map_groups would pay ~1 python call per
+    row), then a hash join back and a per-doc max.  Equivalent to:
+    survivor iff doc_id == min(doc_id) in EVERY band bucket it is in."""
+    sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows, fn_kwargs={"n_bands": n_bands,
                                                    "id_col": id_col},
                             batch_format="pyarrow")
+    mins = band.groupby("band_key").min(id_col)  # (band_key, min(doc_id))
 
-    def mark_dups(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column(id_col).to_numpy())
-        dup = np.ones(len(ids), dtype=np.int8)
-        dup[0] = 0  # min id in the bucket survives
-        return pa.table({id_col: pa.array(ids), "dup": pa.array(dup)})
+    # broadcast the (band_key -> min id) map and resolve with
+    # searchsorted: one shuffle total.  At 100 TB scale, when the min
+    # map outgrows a broadcast, swap this block for
+    # band.join(mins, num_partitions=_join_partitions()) — same result.
+    mt = pa.concat_tables(ray.get(mins.to_arrow_refs()))
+    keys = mt.column("band_key").to_numpy()
+    vals = mt.column(f"min({id_col})").to_numpy()
+    order = np.argsort(keys)
+    bref = ray.put((keys[order], vals[order]))
 
-    marked = band.groupby("band_key").map_groups(mark_dups, batch_format="pyarrow")
-    per_doc = marked.groupby(id_col).max("dup")
-    return per_doc.filter(lambda r: r["max(dup)"] == 0).select_columns([id_col])
+    def dup_ids(batch: pa.Table) -> pa.Table:
+        k_sorted, v_sorted = ray.get(bref)
+        bk = batch.column("band_key").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        pos = np.searchsorted(k_sorted, bk)
+        dup = ids > v_sorted[pos]
+        return pa.table({id_col: pa.array(np.unique(ids[dup]))})
+
+    dup_set = set()
+    for b in band.map_batches(dup_ids, batch_format="pyarrow").to_arrow_refs():
+        dup_set.update(ray.get(b).column(id_col).to_pylist())
+    dref = ray.put(pa.array(sorted(dup_set)))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dref)
+        keep = pc.invert(pc.fill_null(
+            pc.is_in(batch.column(id_col), value_set=dups), False))
+        return pa.table({id_col: batch.column(id_col).filter(keep)})
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
 
 
 def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
@@ -225,15 +278,19 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
                         text_col: str = "text") -> ray.data.Dataset:
     """LSH candidate buckets + EXACT n-gram-shingle Jaccard verification
     against the bucket's min-id representative."""
-    sigs = ds.map_batches(MinHasher,
-                          fn_constructor_kwargs={"num_perm": num_perm,
-                                                 "text_col": text_col,
-                                                 "id_col": id_col},
-                          batch_format="pyarrow", concurrency=(1, 8))
+    sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,
                             fn_kwargs={"n_bands": n_bands, "id_col": id_col,
                                        "carry_text": True},
                             batch_format="pyarrow")
+
+    # exact-verify ONLY multi-doc buckets: band buckets are mostly
+    # singletons, and a singleton can't produce a dup — the count join
+    # keeps the expensive per-group text jaccard off 99% of rows
+    counts = band.groupby("band_key").count()
+    multi = counts.filter(lambda r: r["count()"] > 1).select_columns(["band_key"])
+    cand = band.join(multi, join_type="inner",
+                     num_partitions=_join_partitions(), on=("band_key",))
 
     def verify(group: pa.Table) -> pa.Table:
         order = np.argsort(group.column(id_col).to_numpy())
@@ -245,8 +302,12 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
             dup[i] = 1 if _jaccard(rep, _shingle_hashes(texts[i] or "")) >= threshold else 0
         return pa.table({id_col: pa.array(ids), "dup": pa.array(dup)})
 
-    marked = band.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    per_doc = marked.groupby(id_col).max("dup")
+    marked = cand.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    all_ids = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
     return per_doc.filter(lambda r: r["max(dup)"] == 0).select_columns([id_col])
 
 
