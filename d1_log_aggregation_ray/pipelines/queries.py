@@ -75,13 +75,28 @@ def q_parse_flags(sf_dir: str):
     return ds.select_columns(["turn_id", "in_partial_list", "in_full_list"])
 
 
+def _enrich_tasks(ds: ray.data.Dataset, fx: str,
+                  light: bool = False) -> ray.data.Dataset:
+    """Enrichment as TASKS with a worker-global cached Enricher —
+    O(1) init makes tasks schedule better than an actor pool for
+    short interactive queries (the flagship harvest entry() keeps the
+    actor-pool formulation)."""
+    from .harvest import _get_enricher
+    from ..stages.enrich import DEFAULT_RUN_TS
+    side_ref = ray.put(load_side_tables(fx))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        e = _get_enricher(side_ref, CFG, DEFAULT_RUN_TS)
+        e.light = light
+        return e(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=CFG.batch_size)
+
+
 def _enriched_no_window(sf_dir: str) -> ray.data.Dataset:
     fx = _fx(sf_dir)
-    side_ref = ray.put(load_side_tables(fx))
-    return _clean(sf_dir).map_batches(
-        Enricher, fn_constructor_args=(side_ref, CFG),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=CFG.batch_size, concurrency=CFG.enrich_concurrency)
+    return _enrich_tasks(_clean(sf_dir), fx)
 
 
 def q_membership_flags(sf_dir: str):
@@ -149,12 +164,7 @@ def q_route_counts(sf_dir: str):
     """S6/A2: per-sink routed-row counts + flag totals (light enricher:
     flags + routing only, no unused enrichment columns)."""
     fx = _fx(sf_dir)
-    side_ref = ray.put(load_side_tables(fx))
-    ds = _clean(sf_dir).map_batches(
-        Enricher, fn_constructor_args=(side_ref, CFG),
-        fn_constructor_kwargs={"light": True},
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=CFG.batch_size, concurrency=CFG.enrich_concurrency)
+    ds = _enrich_tasks(_clean(sf_dir), fx, light=True)
     ds = ds.select_columns(["sink_id", "in_partial_list", "in_full_list"])
     return _flag_counts(ds, "sink_id", ["in_partial_list", "in_full_list"])
 
