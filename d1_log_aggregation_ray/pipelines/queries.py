@@ -444,8 +444,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "route_counts": flags_cte + f"""
             SELECT CAST(md5_number_lower(conv_id) % {CFG.n_sinks} AS INTEGER) AS sink_id,
                    count(*) AS n_rows,
-                   SUM(CASE WHEN in_partial_list THEN 1 ELSE 0 END) AS n_partial,
-                   SUM(CASE WHEN in_full_list THEN 1 ELSE 0 END) AS n_full
+                   CAST(SUM(CASE WHEN in_partial_list THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+                   CAST(SUM(CASE WHEN in_full_list THEN 1 ELSE 0 END) AS BIGINT) AS n_full
             FROM flags GROUP BY 1""",
 
         "watermark": f"""
@@ -475,9 +475,9 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     )
             SELECT CAST(md5_number_lower(f.conv_id) % {CFG.n_sinks} AS INTEGER) AS sink_id,
                    count(*) AS n_rows,
-                   SUM(CASE WHEN f.in_partial_list THEN 1 ELSE 0 END) AS n_partial,
-                   SUM(CASE WHEN f.in_full_list THEN 1 ELSE 0 END) AS n_full,
-                   SUM(CASE WHEN COALESCE(rv.is_repeat, FALSE) THEN 1 ELSE 0 END) AS n_repeat_visit
+                   CAST(SUM(CASE WHEN f.in_partial_list THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+                   CAST(SUM(CASE WHEN f.in_full_list THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+                   CAST(SUM(CASE WHEN COALESCE(rv.is_repeat, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_visit
             FROM flags f LEFT JOIN rv
               ON f.conv_id = rv.conv_id AND f.turn_idx = rv.turn_idx
             GROUP BY 1""",
@@ -510,8 +510,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
-                   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND
-                       THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                   FROM events)

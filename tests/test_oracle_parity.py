@@ -53,8 +53,19 @@ def _sql_names():
 def test_query_matches_oracle(name, con, fx_dir):
     from d1_log_aggregation_ray.pipelines.queries import (RAY_QUERIES,
                                                           oracle_sql_strings)
-    engine = _normalize(_to_pandas(RAY_QUERIES[name](SF_DIR)))
-    oracle = _normalize(con.execute(oracle_sql_strings(SF_DIR)[name]).df())
+    engine_raw = _to_pandas(RAY_QUERIES[name](SF_DIR))
+    oracle_raw = con.execute(oracle_sql_strings(SF_DIR)[name]).df()
+    # dtype KIND must match before any normalization — the driver's
+    # value-hash may not coerce (e.g. duckdb SUM() returns HUGEINT ->
+    # float64 in pandas unless CAST to BIGINT in the oracle SQL)
+    for c in sorted(engine_raw.columns):
+        ek = engine_raw[c].dtype.kind
+        ok = oracle_raw[c].dtype.kind
+        norm = {"u": "i", "b": "i"}  # uint==int ok; bool==int ok
+        assert norm.get(ek, ek) == norm.get(ok, ok), (
+            f"{name}.{c}: dtype {engine_raw[c].dtype} vs {oracle_raw[c].dtype}")
+    engine = _normalize(engine_raw)
+    oracle = _normalize(oracle_raw)
     assert list(engine.columns) == list(oracle.columns), (
         f"{name}: cols {list(engine.columns)} vs {list(oracle.columns)}")
     assert len(engine) == len(oracle), f"{name}: {len(engine)} vs {len(oracle)} rows"
