@@ -195,6 +195,17 @@ def q_watermark(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_watermark_salted(sf_dir: str):
+    """A1 watermark via SALTED groupby (skew-splitting for hot
+    conv_ids, S3 analog): same result as q_watermark, but a mega conv
+    contributes n_salt partial rows to the exchange instead of all its
+    rows — the general-path answer when inputs are NOT pre-bucketed."""
+    from ..stages.aggregate import salted_count_max
+    ds = _clean(sf_dir).select_columns(["conv_id", "ts"])
+    return salted_count_max(ds, "conv_id", "ts").select_columns(
+        ["conv_id", "n_turns", "max_ts"])
+
+
 def q_repeat_visit(sf_dir: str):
     """W1: repeat-visit flags for gated rows (order-dependent window).
     Uses the shuffle-free bucket scan (input is conv-hash partitioned);
@@ -452,6 +463,10 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns, max(ts) AS max_ts
             FROM {TP} WHERE {VALID} GROUP BY conv_id""",
 
+        "watermark_salted": f"""
+            SELECT conv_id, count(*) AS n_turns, max(ts) AS max_ts
+            FROM {TP} WHERE {VALID} GROUP BY conv_id""",
+
         "repeat_visit": repeat_cte + f"""
             SELECT {TURN_ID}, is_repeat AS is_repeat_visit FROM scan
             UNION ALL
@@ -537,6 +552,7 @@ RAY_QUERIES = {
     "geo_enrich": q_geo_enrich,
     "route_counts": q_route_counts,
     "watermark": q_watermark,
+    "watermark_salted": q_watermark_salted,
     "repeat_visit": q_repeat_visit,
     "harvest_sink_counts": q_harvest_sink_counts,
     "dedup_exact": q_dedup_exact,
