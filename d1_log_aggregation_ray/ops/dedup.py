@@ -288,7 +288,9 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     # singletons, and a singleton can't produce a dup — the count join
     # keeps the expensive per-group text jaccard off 99% of rows
     counts = band.groupby("band_key").count()
-    multi = counts.filter(lambda r: r["count()"] > 1).select_columns(["band_key"])
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+        batch_format="pyarrow").select_columns(["band_key"])
     cand = band.join(multi, join_type="inner",
                      num_partitions=_join_partitions(), on=("band_key",))
 
@@ -308,7 +310,9 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
                             "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
         batch_format="pyarrow")
     per_doc = all_ids.union(marked).groupby(id_col).max("dup")
-    return per_doc.filter(lambda r: r["max(dup)"] == 0).select_columns([id_col])
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
+        batch_format="pyarrow").select_columns([id_col])
 
 
 def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,

@@ -253,7 +253,8 @@ def q_dedup_exact(sf_dir: str):
 
 def q_doc_fingerprint(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
-    ds = ds.filter(lambda r: r["text"] is not None)
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
 
     def fp(batch: pa.Table) -> pa.Table:
         batch = fingerprint_batch(batch)
@@ -263,7 +264,8 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_token_count(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
-    ds = ds.filter(lambda r: r["text"] is not None)
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(token_count_batch, batch_format="pyarrow",
                           zero_copy_batch=True).select_columns(
         ["doc_id", "n_tokens"])
@@ -271,7 +273,8 @@ def q_token_count(sf_dir: str):
 
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
-    ds = ds.filter(lambda r: r["text"] is not None)
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(quality_batch, batch_format="pyarrow",
                           zero_copy_batch=True).select_columns(
         ["doc_id", "n_tokens", "n_chars_m", "n_punct", "n_upper"])
@@ -292,14 +295,18 @@ def _query_vec(sf_dir: str) -> np.ndarray:
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
+        batch_format="pyarrow", zero_copy_batch=True)
     out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
     return out.select(["vec_id"])
 
 
 def q_ann_lsh_topk(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
+        batch_format="pyarrow", zero_copy_batch=True)
     return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id", "score"])
 
 
