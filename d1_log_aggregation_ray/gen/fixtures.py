@@ -49,16 +49,16 @@ EPOCH_US = int(datetime(2025, 1, 1).timestamp() * 1_000_000)
 # ---- regex banks (RE2-safe: no lookaround/backrefs, work identically in
 # python re and DuckDB regexp_matches) -------------------------------------
 PARTIAL_PATTERNS = [
-    r"ERRCODE-\d{3}",
+    r"ERRCODE-[0-9]{3}",
     r"tool_call:(search|browse|fetch)",
-    r"AgentSig/\d+\.\d+",
-    r"\[RETRY \d+\]",
+    r"AgentSig/[0-9]+\.[0-9]+",
+    r"\[RETRY [0-9]+\]",
     r"segfault at 0x[0-9a-f]+",
-    r"TIMEOUT after \d+s",
+    r"TIMEOUT after [0-9]+s",
     r"robots?\.txt",
     r"crawler-[a-z]{4}",
     r"spiderbot",
-    r"HTTP/1\.[01] 50\d",
+    r"HTTP/1\.[01] 50[0-9]",
     r"OOM-killed",
     r"quota exceeded",
     r"rate.limit",
@@ -70,7 +70,7 @@ FULL_EXTRA_PATTERNS = [
     r"EPERM",
     r"sandbox violation",
     r"watchdog timer",
-    r"GC pause \d+ms",
+    r"GC pause [0-9]+ms",
     r"cache miss storm",
     r"connection reset by peer",
     r"certificate expired",
@@ -126,6 +126,13 @@ FORMAT_IDS = [f"fmt/{x}" for x in (
 SUBJECTS = [f"cn=subject{i:02d},dc=synth,dc=org" for i in range(15)]
 
 N_BUCKETS = 32
+GEN_VERSION = 2  # bump to invalidate cached corpora in /tmp
+
+# non-ASCII vocabulary (~1.5% of texts): proves RE2 (DuckDB) and python
+# `re` agree on the banks under unicode input (banks use explicit ASCII
+# classes — \d/\w would diverge between the engines)
+_UNICODE_WORDS = ["схема", "データ処理", "modèle", "größe", "技术方案",
+                  "θεωρία", "परीक्षण", "śledzenie"]
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -222,6 +229,10 @@ def _build_transcripts(rng: np.random.RandomState, n: int) -> dict[str, np.ndarr
             texts[i] = (f"note {num[i]}: {_PLAIN_WORDS[w1[i]]} "
                         f"{_FULL_ONLY_MARKERS[pick_full[i]]} during "
                         f"{_PLAIN_WORDS[w2[i]]} {_PLAIN_WORDS[w3[i]]}")
+        elif ri < 0.285:
+            texts[i] = (f"{_UNICODE_WORDS[w1[i] % len(_UNICODE_WORDS)]} "
+                        f"{_PLAIN_WORDS[w2[i]]} "
+                        f"{_UNICODE_WORDS[w3[i] % len(_UNICODE_WORDS)]} {num[i]}")
         else:
             texts[i] = (f"{_PLAIN_WORDS[w1[i]]} {_PLAIN_WORDS[w2[i]]} "
                         f"{_PLAIN_WORDS[w3[i]]} {num[i]}")
@@ -249,7 +260,9 @@ def generate_fixtures(sf_dir: str, force: bool = False) -> str:
             return False
         try:
             with open(os.path.join(out, "meta.json")) as f:
-                return json.load(f).get("n_buckets") == N_BUCKETS
+                meta = json.load(f)
+                return (meta.get("n_buckets") == N_BUCKETS
+                        and meta.get("gen_version") == GEN_VERSION)
         except (OSError, json.JSONDecodeError):
             return False
 
@@ -389,7 +402,8 @@ def _generate(out: str, sf: float) -> None:
         f.write("\n".join(FULL_PATTERNS) + "\n")
 
     with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump({"seed": SEED, "sf": sf, "n_rows": int(len(conv_all)),
+        json.dump({"seed": SEED, "gen_version": GEN_VERSION, "sf": sf,
+                   "n_rows": int(len(conv_all)),
                    "n_valid": int(n), "n_corrupt": int(n_bad),
                    "n_convs": int(n_convs), "n_buckets": N_BUCKETS,
                    "n_members": int(len(members))}, f, indent=2)
