@@ -358,6 +358,44 @@ def q_props_extract(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=columns)
+
+
+def q_asof_prior(sf_dir: str):
+    """As-of join: for each click, the value of the most recent
+    strictly-prior view by the same user (custom operator per SURVEY —
+    per-key merge_asof under groupby)."""
+    from ..ops.relational import asof_join_prior
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+    return asof_join_prior(ds, key="user_id", ts_col="ts",
+                           left_type="click", right_type="view")
+
+
+def q_tumbling_counts(sf_dir: str):
+    """Tumbling 1-hour window counts per user (windowed aggregate with
+    combiner pre-aggregation)."""
+    from ..ops.relational import tumbling_counts
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return tumbling_counts(ds, key="user_id", ts_col="ts", window_s=3600)
+
+
+def q_topk_per_user(sf_dir: str):
+    """Top-2 events by value per user (per-group top-k)."""
+    from ..ops.relational import topk_per_key
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    return topk_per_key(ds, key="user_id", order_col="value", k=2)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type (combiner pair-dedup
+    before the exchange)."""
+    from ..ops.relational import distinct_count
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    return distinct_count(ds, key="event_type", distinct_col="user_id")
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool decode
     (deterministic fake kernel; real codecs stubbed per environment)."""
@@ -544,6 +582,31 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
             FROM events""",
 
+        "asof_prior": """
+            SELECT a.event_id, b.value AS prior_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+              ON a.user_id = b.user_id AND a.ts > b.ts""",
+
+        "tumbling_counts": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2""",
+
+        "topk_per_user": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 2""",
+
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type""",
+
         "events_agg": """
             SELECT event_type, count(*) AS n,
                    min(value) AS min_value, max(value) AS max_value
@@ -576,5 +639,9 @@ RAY_QUERIES = {
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,
+    "asof_prior": q_asof_prior,
+    "tumbling_counts": q_tumbling_counts,
+    "topk_per_user": q_topk_per_user,
+    "distinct_users": q_distinct_users,
     "media_decode": q_media_decode,
 }
