@@ -49,3 +49,11 @@ def hash32_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     DuckDB equivalent: ``md5_number_lower(x) % 4294967296``.
     """
     return md5_lower64_array(arr) % np.uint64(2**32)
+
+
+def epoch_us(dt) -> int:
+    """Naive-datetime -> microseconds since epoch, TZ-INDEPENDENT
+    (datetime.timestamp() interprets naive datetimes in the local
+    zone, which would make outputs machine-dependent)."""
+    from datetime import datetime as _dt
+    return int((dt - _dt(1970, 1, 1)).total_seconds() * 1_000_000)

@@ -44,7 +44,8 @@ from ..functions.hashing import md5_lower64
 
 SEED = 42
 DATA_ROOT = "/tmp/graft_data"
-EPOCH_US = int(datetime(2025, 1, 1).timestamp() * 1_000_000)
+# TZ-independent (datetime.timestamp() would use the local zone)
+EPOCH_US = int((datetime(2025, 1, 1) - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
 
 # ---- regex banks (RE2-safe: no lookaround/backrefs, work identically in
 # python re and DuckDB regexp_matches) -------------------------------------
@@ -126,7 +127,7 @@ FORMAT_IDS = [f"fmt/{x}" for x in (
 SUBJECTS = [f"cn=subject{i:02d},dc=synth,dc=org" for i in range(15)]
 
 N_BUCKETS = 32
-GEN_VERSION = 2  # bump to invalidate cached corpora in /tmp
+GEN_VERSION = 3  # bump to invalidate cached corpora in /tmp
 
 # non-ASCII vocabulary (~1.5% of texts): proves RE2 (DuckDB) and python
 # `re` agree on the banks under unicode input (banks use explicit ASCII
@@ -201,8 +202,15 @@ def _build_transcripts(rng: np.random.RandomState, n: int) -> dict[str, np.ndarr
     within = cs - np.repeat(cs[starts], lens)
     ts_s = np.repeat(base_s, lens) + within
     ts_us = (EPOCH_US + ts_s * 1e6).astype(np.int64)
-    # out-of-order: swap with previous row inside the same conv
+    # out-of-order: swap with previous row inside the same conv.
+    # Adjacent candidates would alias under the vectorized fancy-index
+    # swap (ts[i-1]=old[i]; ts[i]=old[i+1]; ts[i+1]=old[i] loses one
+    # value) — enforce a gap of >= 2 between candidates first.
     cand = np.where((turn_idx > 0) & (rng.random_sample(n) < 0.02))[0]
+    if len(cand) > 1:
+        keep = np.ones(len(cand), dtype=bool)
+        keep[1:] = np.diff(cand) > 1
+        cand = cand[keep]
     prev = cand - 1
     ts_us[cand], ts_us[prev] = ts_us[prev], ts_us[cand].copy()
     ts_null = rng.random_sample(n) < 0.005

@@ -66,7 +66,11 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
         t = pa.table({key: batch.column(key),
                       "window_start": win})
         agg = t.group_by([key, "window_start"]).aggregate([([], "count_all")])
-        return agg.rename_columns([key, "window_start", "n"])
+        # order-insensitive rename (pyarrow group_by column order is
+        # keys-first only on recent releases)
+        name_map = {key: key, "window_start": "window_start",
+                    "count_all": "n"}
+        return agg.rename_columns([name_map[c] for c in agg.column_names])
 
     partials = ds.map_batches(add_window, batch_format="pyarrow",
                               zero_copy_batch=True)

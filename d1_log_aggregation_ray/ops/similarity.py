@@ -43,12 +43,12 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         m = _normalize(_as_matrix(batch, vec_col))
         scores = m @ qv
         ids = batch.column(id_col).to_numpy()
-        if len(scores) > k:
-            part = np.argpartition(-scores, k)[:k]
-        else:
-            part = np.arange(len(scores))
-        return pa.table({id_col: pa.array(ids[part]),
-                         "score": pa.array(scores[part])})
+        # deterministic tie-break (-score, id) BEFORE truncating to k:
+        # argpartition would keep an arbitrary subset of boundary ties,
+        # diverging from the oracle's ORDER BY score DESC, id
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score": pa.array(scores[order])})
 
     local = ds.map_batches(local_topk, batch_format="pyarrow",
                            batch_size=4096).take_all()
@@ -82,10 +82,9 @@ def lsh_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         mask = np.isin(sigs, list(want))
         ids = batch.column(id_col).to_numpy()[mask]
         scores = (m[mask] @ qv)
-        if len(scores) > k:
-            part = np.argpartition(-scores, k)[:k]
-            ids, scores = ids[part], scores[part]
-        return pa.table({id_col: pa.array(ids), "score": pa.array(scores)})
+        order = np.lexsort((ids, -scores))[:k]  # deterministic ties
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score": pa.array(scores[order])})
 
     local = ds.map_batches(candidates, batch_format="pyarrow",
                            batch_size=4096).take_all()

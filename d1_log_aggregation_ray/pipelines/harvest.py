@@ -171,8 +171,18 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
         error_rows += dropped
         if out is not None:
             outs.append(out)
+
+    # dropped rows can't be attributed to a bucket (the failing rows
+    # never got one); record them under bucket_id=-1 — the manifest
+    # rollup surfaces them as unattributed error lineage rather than
+    # silently losing them (even when EVERY row of the slice failed)
+    err_row = [{
+        "bucket_id": -1, "rows_out": 0, "in_partial_list": 0,
+        "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None,
+        "per_sink": "", "error_rows": error_rows,
+    }] if error_rows else []
     if not outs:
-        return _STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(err_row, schema=_STATS_SCHEMA)
     t = pa.concat_tables(outs).combine_chunks()
 
     stats_rows = []
@@ -207,9 +217,7 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
                                  sorted(per_sink.items())),
             "error_rows": 0,
         })
-    if stats_rows:
-        stats_rows[0]["error_rows"] = error_rows
-    return pa.Table.from_pylist(stats_rows, schema=_STATS_SCHEMA)
+    return pa.Table.from_pylist(stats_rows + err_row, schema=_STATS_SCHEMA)
 
 
 def run_harvest(fx_dir: str, out_dir: str,
@@ -275,7 +283,11 @@ def run_harvest(fx_dir: str, out_dir: str,
                        "cfg": cfg, "run_ts": run_ts})
         slice_rows = ds.take_all()
         dt = time.time() - t0
-        # roll slice-level stats up to bucket-level lineage records
+        # roll slice-level stats up to bucket-level lineage records;
+        # bucket_id=-1 rows are unattributed enrichment errors (M3)
+        unattributed_errors = sum(int(r["error_rows"]) for r in slice_rows
+                                  if int(r["bucket_id"]) == -1)
+        slice_rows = [r for r in slice_rows if int(r["bucket_id"]) != -1]
         agg: dict[int, dict] = {}
         for row in slice_rows:
             b = int(row["bucket_id"])
@@ -309,9 +321,15 @@ def run_harvest(fx_dir: str, out_dir: str,
                 "run_ts": run_ts.isoformat(),
                 **agg[b],
             })
+        if unattributed_errors:
+            manifest.append({"bucket": -1, "complete": False,
+                             "wave": wave, "run_ts": run_ts.isoformat(),
+                             "error_rows": int(unattributed_errors)})
 
-    recs = [r for r in manifest.records() if r.get("complete")]
+    all_recs = manifest.records()
+    recs = [r for r in all_recs if r.get("complete")]
     total_out = sum(r["rows_out"] for r in recs)
+    total_errors = sum(r.get("error_rows", 0) for r in all_recs)
     summary = {
         "buckets": len(recs),
         "resumed_skipped": sorted(done),
@@ -321,6 +339,7 @@ def run_harvest(fx_dir: str, out_dir: str,
         "in_full_list": sum(r["in_full_list"] for r in recs),
         "is_repeat_visit": sum(r["is_repeat_visit"] for r in recs),
         "max_ts": max((r["max_ts"] for r in recs if r["max_ts"]), default=None),
+        "error_rows": total_errors,
         "duration_s": round(time.time() - t_start, 3),
     }
     return summary

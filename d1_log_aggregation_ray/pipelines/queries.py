@@ -448,19 +448,25 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
       FROM base
     )"""
 
+    # window state is per (conv_id, role) — matching the engine's scan
+    # key (ipAddress+pid analog); partitioning by conv_id alone would
+    # interleave roles into one window whenever gate_roles has >1 entry
     repeat_cte = f"""WITH RECURSIVE g AS (
-      SELECT conv_id, turn_idx, ts,
-             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+      SELECT conv_id, role, turn_idx, ts,
+             row_number() OVER (PARTITION BY conv_id, role
+                                ORDER BY turn_idx) AS rn
       FROM {TP}
       WHERE {VALID} AND role IN {GATE_SQL} AND ts IS NOT NULL
     ), scan AS (
-      SELECT conv_id, turn_idx, ts, rn, ts AS ws, FALSE AS is_repeat FROM g WHERE rn = 1
+      SELECT conv_id, role, turn_idx, ts, rn, ts AS ws, FALSE AS is_repeat
+      FROM g WHERE rn = 1
       UNION ALL
-      SELECT g.conv_id, g.turn_idx, g.ts, g.rn,
+      SELECT g.conv_id, g.role, g.turn_idx, g.ts, g.rn,
              CASE WHEN g.ts > s.ws AND g.ts < s.ws + INTERVAL {W} SECOND
                   THEN s.ws ELSE g.ts END,
              (g.ts > s.ws AND g.ts < s.ws + INTERVAL {W} SECOND)
-      FROM g JOIN scan s ON g.conv_id = s.conv_id AND g.rn = s.rn + 1
+      FROM g JOIN scan s ON g.conv_id = s.conv_id AND g.role = s.role
+                        AND g.rn = s.rn + 1
     )"""
 
     return {

@@ -43,6 +43,11 @@ def retrieve_turns(out_dir: str, conv_id: str,
     """Point query: all enriched turns of one conv, reading only its
     hash bucket (S7 analog; replaces paged Solr pid queries)."""
     bdir = os.path.join(out_dir, f"bucket_id={bucket_for_conv(conv_id, cfg)}")
+    if not os.path.isdir(bdir):
+        # bucket never produced output (all rows filtered / unknown
+        # conv): a point query is a no-op, like an empty Solr result
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32())})
     dset = pads.dataset(bdir, partitioning="hive")
     t = dset.to_table(filter=pads.field("conv_id") == conv_id)
     return t.sort_by("turn_idx")
@@ -59,11 +64,14 @@ def reenrich_convs(out_dir: str, fx_dir: str, conv_ids: list[str],
     side = load_side_tables(fx_dir)
     changed = pa.array(sorted(set(conv_ids)))
     buckets = sorted({bucket_for_conv(c, cfg) for c in conv_ids})
-    sentinel_us = int(update_ts.timestamp() * 1e6)
+    from ..functions.hashing import epoch_us
+    sentinel_us = epoch_us(update_ts)
     rows_updated = 0
 
     for b in buckets:
         bdir = os.path.join(out_dir, f"bucket_id={b}")
+        if not os.path.isdir(bdir):
+            continue
         dset = pads.dataset(bdir, partitioning="hive")
         t = dset.to_table()
         hit = pc.fill_null(pc.is_in(t.column("conv_id"), value_set=changed), False)
@@ -106,8 +114,14 @@ def reenrich_convs(out_dir: str, fx_dir: str, conv_ids: list[str],
             os.makedirs(sdir)
             pq.write_table(sub.drop_columns(["sink_id"]),
                            os.path.join(sdir, "part-00000.parquet"))
-        shutil.rmtree(bdir)
+        # crash-safe swap: demote old, promote new, then drop old — a
+        # kill between steps leaves either the old or the new bucket
+        # present, never neither
+        old = bdir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(bdir, old)
         os.replace(tmp, bdir)
+        shutil.rmtree(old)
 
     return {"buckets_touched": buckets, "rows_updated": int(rows_updated),
             "date_updated": update_ts.isoformat()}

@@ -103,6 +103,14 @@ class Enricher:
         # + meta resolution run once per conv per ACTOR, not per batch
         self._conv_cache: dict[str, tuple] = {}
         self._conv_cache_max = 2_000_000
+        # per-batch constants prebuilt once (TZ-independent epoch math —
+        # datetime.timestamp() would use the machine's local zone)
+        from ..functions.hashing import epoch_us
+        self._run_ts_us = epoch_us(run_ts)
+        self._sentinel_us = epoch_us(datetime.fromisoformat(DATE_UPDATED_SENTINEL))
+        self._meta_size_arr = pa.array(side.meta_size)
+        self._node_ids = pa.array([f"urn:node:SYNTH{b:02d}"
+                                   for b in range(cfg.n_buckets)])
 
     # -- per-batch helpers -------------------------------------------------
 
@@ -163,16 +171,6 @@ class Enricher:
         idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
         return h64, geo_cols, member, meta_row, idx
 
-    def _range_hit(self, h32: np.ndarray) -> np.ndarray:
-        lo, hi = self.side.range_lo, self.side.range_hi
-        if len(lo) == 0:
-            return np.zeros(len(h32), dtype=bool)
-        pos = np.searchsorted(lo, h32, side="right") - 1
-        ok = pos >= 0
-        hit = np.zeros(len(h32), dtype=bool)
-        hit[ok] = h32[ok] <= hi[pos[ok]]
-        return hit
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         side, cfg = self.side, self.cfg
         n = batch.num_rows
@@ -221,7 +219,7 @@ class Enricher:
         midx = pa.array(mrows, mask=(mrows < 0))
         batch = batch.append_column("format_id", pc.take(side.meta_format_id, midx))
         batch = batch.append_column("series_id", pc.take(side.meta_series_id, midx))
-        size = pc.fill_null(pc.take(pa.array(side.meta_size), midx), 0)
+        size = pc.fill_null(pc.take(self._meta_size_arr, midx), 0)
         batch = batch.append_column("size", pc.cast(size, pa.int64()))
         batch = batch.append_column("rights_holder",
                                     pc.take(side.meta_rights_holder, midx))
@@ -234,18 +232,15 @@ class Enricher:
 
         # M4: constants + node overwrite
         bucket = (h64 % np.uint64(cfg.n_buckets)).astype(np.int64)
-        node_id = pc.binary_join_element_wise(
-            pa.array(["urn:node:SYNTH"] * n),
-            pc.utf8_lpad(pc.cast(pa.array(bucket), pa.string()), 2, "0"), "")
+        node_id = pc.take(self._node_ids, pa.array(bucket))
         batch = batch.append_column("node_id", node_id)
         batch = batch.append_column(
             "date_aggregated",
-            pa.array(np.full(n, int(self.run_ts.timestamp() * 1e6)),
+            pa.array(np.full(n, self._run_ts_us),
                      type=pa.int64()).cast(pa.timestamp("us")))
-        sentinel = int(datetime.fromisoformat(DATE_UPDATED_SENTINEL).timestamp() * 1e6)
         batch = batch.append_column(
             "date_updated",
-            pa.array(np.full(n, sentinel), type=pa.int64()).cast(pa.timestamp("us")))
+            pa.array(np.full(n, self._sentinel_us), type=pa.int64()).cast(pa.timestamp("us")))
 
         # J4: synthetic geo + geohash prefixes 1..9
         for k in ("country", "region", "city", "location"):
