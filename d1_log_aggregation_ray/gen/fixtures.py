@@ -140,7 +140,12 @@ def sf_from_dir(sf_dir: str) -> float:
     """Parse a scale factor out of a path like /root/testdata/sf0.01."""
     base = os.path.basename(os.path.normpath(sf_dir))
     m = re.search(r"sf([0-9.]+)", base)
-    return float(m.group(1)) if m else 0.01
+    if not m:
+        raise ValueError(
+            f"cannot parse a scale factor from {sf_dir!r} (expected a "
+            "path component like 'sf0.01') — refusing to silently "
+            "default to another corpus")
+    return float(m.group(1))
 
 
 def fixture_dir(sf_dir: str) -> str:

@@ -62,7 +62,8 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     if bucketed:
         # clean + whole-bucket sort + window scan in ONE task per bucket
         def clean_then_scan(batch, cfg=cfg):
-            return bucket_window_scan(clean_project(batch, cfg), cfg)
+            return bucket_window_scan(clean_project(batch, cfg), cfg,
+                                      check_bucket=True)
         ds = ds.map_batches(clean_then_scan, batch_size=None,
                             batch_format="pyarrow", zero_copy_batch=True,
                             num_cpus=1.01)
@@ -83,9 +84,26 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 _WORKER_ENRICHERS: dict = {}
 
 
+def _corpus_buckets(fx_dir: str) -> list[int]:
+    """Bucket ids present in the CORPUS (from its part files) — never
+    derived from PipelineConfig.n_buckets, which could silently drop
+    (smaller) or fail on (larger) the actual partition count."""
+    import glob
+    import re as _re
+    out = []
+    for p in sorted(glob.glob(os.path.join(fx_dir, "transcripts",
+                                           "part-*.parquet"))):
+        m = _re.search(r"part-(\d+)\.parquet$", p)
+        if m:
+            out.append(int(m.group(1)))
+    if not out:
+        raise FileNotFoundError(f"no transcript part files under {fx_dir}")
+    return out
+
+
 def _get_enricher(side_ref, cfg, run_ts) -> Enricher:
     key = (side_ref.hex() if hasattr(side_ref, "hex") else id(side_ref),
-           run_ts)
+           cfg, run_ts)  # cfg is a frozen (hashable) dataclass
     e = _WORKER_ENRICHERS.get(key)
     if e is None:
         e = Enricher(side_ref, cfg, run_ts)
@@ -237,15 +255,16 @@ def run_harvest(fx_dir: str, out_dir: str,
     # "_" prefix: ignored by parquet dataset discovery (ignore_prefixes)
     manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
     done = manifest.completed_buckets() if resume else set()
-    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    corpus_buckets = _corpus_buckets(fx_dir)
+    todo = [b for b in corpus_buckets if b not in done]
     if not resume:
-        for b in range(cfg.n_buckets):
+        for b in corpus_buckets:
             shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
                           ignore_errors=True)
         if os.path.exists(manifest.path):
             os.remove(manifest.path)
         done = set()
-        todo = list(range(cfg.n_buckets))
+        todo = list(corpus_buckets)
     # clear partials from a previous killed run
     for b in todo:
         shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"), ignore_errors=True)
@@ -266,7 +285,8 @@ def run_harvest(fx_dir: str, out_dir: str,
         ds = read_transcripts(fx_dir, buckets=wave, one_block_per_bucket=True)
 
         def clean_then_scan(batch, cfg=cfg):
-            return bucket_window_scan(clean_project(batch, cfg), cfg)
+            return bucket_window_scan(clean_project(batch, cfg), cfg,
+                                      check_bucket=True)
 
         # num_cpus=1.01 on the per-bucket scan prevents operator fusion
         # with the slice stage: fused, each task would process a WHOLE

@@ -213,7 +213,7 @@ def q_repeat_visit(sf_dir: str):
     from ..stages.window import bucket_window_scan
     fx = _fx(sf_dir)
     ds = read_transcripts(fx, one_block_per_bucket=True).map_batches(
-        lambda b: bucket_window_scan(clean_project(b)),
+        lambda b: bucket_window_scan(clean_project(b), check_bucket=True),
         batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
         num_cpus=1.01)
     gate = pa.array(list(CFG.gate_roles))

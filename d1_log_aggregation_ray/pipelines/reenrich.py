@@ -38,14 +38,29 @@ def bucket_for_conv(conv_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
     return md5_lower64(conv_id) % cfg.n_buckets
 
 
+def _recover_bucket(bdir: str) -> None:
+    """Crash recovery for the swap in reenrich_convs: a kill between
+    demote and promote leaves bdir missing with bdir.old present —
+    restore the old data before any read."""
+    old = bdir + ".old"
+    if not os.path.isdir(bdir) and os.path.isdir(old):
+        os.replace(old, bdir)
+
+
 def retrieve_turns(out_dir: str, conv_id: str,
                    cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
     """Point query: all enriched turns of one conv, reading only its
     hash bucket (S7 analog; replaces paged Solr pid queries)."""
     bdir = os.path.join(out_dir, f"bucket_id={bucket_for_conv(conv_id, cfg)}")
+    _recover_bucket(bdir)
     if not os.path.isdir(bdir):
         # bucket never produced output (all rows filtered / unknown
-        # conv): a point query is a no-op, like an empty Solr result
+        # conv): a point query is a no-op, like an empty Solr result —
+        # with the REAL enriched schema when any sibling bucket exists
+        import glob
+        for sib in sorted(glob.glob(os.path.join(out_dir, "bucket_id=*"))):
+            if os.path.isdir(sib):
+                return pads.dataset(sib, partitioning="hive").schema.empty_table()
         return pa.table({"conv_id": pa.array([], pa.string()),
                          "turn_idx": pa.array([], pa.int32())})
     dset = pads.dataset(bdir, partitioning="hive")
@@ -70,6 +85,7 @@ def reenrich_convs(out_dir: str, fx_dir: str, conv_ids: list[str],
 
     for b in buckets:
         bdir = os.path.join(out_dir, f"bucket_id={b}")
+        _recover_bucket(bdir)
         if not os.path.isdir(bdir):
             continue
         dset = pads.dataset(bdir, partitioning="hive")

@@ -58,7 +58,8 @@ def repeat_visit_scan(ts_us: np.ndarray, valid: np.ndarray,
 
 
 def bucket_window_scan(batch: pa.Table,
-                       cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       check_bucket: bool = False) -> pa.Table:
     """Shuffle-free W1: process a WHOLE conv-hash bucket as one block.
 
     Partitioning assumption (documented per SURVEY §2 custom-operator
@@ -92,6 +93,21 @@ def bucket_window_scan(batch: pa.Table,
         n = batch.num_rows
         conv = batch.column("conv_id").combine_chunks()
         gidx = np.asarray(conv.dictionary_encode().indices)
+
+    if check_bucket:
+        # GUARD the whole-bucket contract: every conv in this block
+        # must hash to ONE bucket.  If the reader ever delivered a
+        # split or merged bucket (fusion/block-size rule changes), the
+        # scan would silently reset window state mid-conv — fail loudly.
+        from ..functions.hashing import md5_lower64
+        uniq_str = conv.dictionary_encode().dictionary
+        bvals = {md5_lower64(uniq_str[i].as_py()) % cfg.n_buckets
+                 for i in range(len(uniq_str))}
+        if len(bvals) > 1:
+            raise AssertionError(
+                f"bucket_window_scan got a block spanning {len(bvals)} "
+                "conv-hash buckets — the whole-bucket partitioning contract "
+                "is broken (use the groupby repeat_visit_group path)")
 
     repeat = np.zeros(n, dtype=bool)
     ts = batch.column("ts").combine_chunks()
