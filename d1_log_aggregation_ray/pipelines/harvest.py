@@ -256,6 +256,20 @@ def run_harvest(fx_dir: str, out_dir: str,
     manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
     done = manifest.completed_buckets() if resume else set()
     corpus_buckets = _corpus_buckets(fx_dir)
+    # cfg.n_buckets feeds bucket_id = hash % n (sink layout, node_id,
+    # lineage keys); it MUST match the corpus partitioning or output
+    # dirs and manifest keys diverge from the input fragments
+    import json as _json
+    try:
+        with open(os.path.join(fx_dir, "meta.json")) as f:
+            corpus_n = _json.load(f).get("n_buckets")
+    except OSError:
+        corpus_n = len(corpus_buckets)
+    if corpus_n != cfg.n_buckets:
+        raise ValueError(
+            f"cfg.n_buckets={cfg.n_buckets} != corpus n_buckets={corpus_n} "
+            f"({fx_dir}); bucket-derived columns would disagree with the "
+            "input partitioning")
     todo = [b for b in corpus_buckets if b not in done]
     if not resume:
         for b in corpus_buckets:
