@@ -115,6 +115,13 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
+        if n == 0:
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                self.text_col: batch.column(self.text_col),
+                "signature": pa.array([], pa.list_(pa.uint64(),
+                                                   self.num_perm)),
+            })
         if len(self._vocab) > 4_000_000:
             self._vocab.clear()
         chunks = [_shingle_hashes(t, self.k, self._vocab) if t
@@ -145,8 +152,19 @@ def _band_rows(batch: pa.Table, n_bands: int, id_col: str = "doc_id",
     plus a band-salt, so identical slices in different bands never
     collide into one bucket)."""
     nrows = batch.num_rows
+    if nrows == 0:
+        cols = {"band_key": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64())}
+        if carry_text:
+            cols["text"] = pa.array([], pa.string())
+        return pa.table(cols)
     sig = np.asarray(batch.column("signature").combine_chunks().flatten()
                      ).reshape(nrows, -1)
+    if sig.shape[1] % n_bands != 0 or sig.shape[1] < n_bands:
+        raise ValueError(
+            f"num_perm={sig.shape[1]} must be a positive multiple of "
+            f"n_bands={n_bands} (otherwise perms are silently dropped or "
+            "every doc collapses into one salt-only bucket)")
     rows_per = sig.shape[1] // n_bands
     ids = batch.column(id_col).to_numpy()
     P = np.uint64(1099511628211)
@@ -183,6 +201,11 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
     band = sigs.map_batches(_band_rows, fn_kwargs={"n_bands": n_bands,
                                                    "id_col": id_col},
                             batch_format="pyarrow")
+    # band is consumed TWICE (mins + dup scan): materialize so the
+    # signature/banding lineage doesn't re-execute.  The banded table is
+    # (8-byte key, id) per doc per band — small relative to the corpus;
+    # at extreme scale prefer re-execution or a persisted intermediate.
+    band = band.materialize()
     mins = band.groupby("band_key").min(id_col)  # (band_key, min(doc_id))
 
     # broadcast the (band_key -> min id) map and resolve with
@@ -287,6 +310,7 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     # exact-verify ONLY multi-doc buckets: band buckets are mostly
     # singletons, and a singleton can't produce a dup — the count join
     # keeps the expensive per-group text jaccard off 99% of rows
+    band = band.materialize()  # consumed by counts AND the join below
     counts = band.groupby("band_key").count()
     multi = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), 1)),
@@ -323,25 +347,22 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
     matrix is ray.put once and each batch does one blockwise matmul
     against it (at 100 TB scale, swap the broadcast for the IVF/LSH
     bucketing in similarity.py)."""
+    from .similarity import _as_matrix, _normalize
     mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
     tables = [ray.get(r) for r in mat_tbl]
-    full = pa.concat_tables(tables)
+    full = pa.concat_tables(tables).combine_chunks()
     ids = full.column(id_col).to_numpy()
     order = np.argsort(ids)
-    mat = np.vstack(full.column(vec_col).to_pylist()).astype(np.float64)[order]
+    mat_n = _normalize(_as_matrix(full, vec_col))[order]
     ids = ids[order]
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms
     ref = ray.put((ids, mat_n))
 
     def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
         all_ids, m = ray.get(ref)
         bids = batch.column(id_col).to_numpy()
-        v = np.vstack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        nv = np.linalg.norm(v, axis=1, keepdims=True)
-        nv[nv == 0] = 1.0
-        sims = (v / nv) @ m.T  # (batch, N)
+        sims = _normalize(_as_matrix(batch, vec_col)) @ m.T  # (batch, N)
         # mask out cols with id >= row id, then one vectorized row-max
         smaller = all_ids[None, :] < bids[:, None]
         best = np.where(smaller, sims, -np.inf).max(axis=1)

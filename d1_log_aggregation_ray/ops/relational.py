@@ -62,7 +62,10 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
 
     def add_window(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).combine_chunks().cast(pa.int64())
-        win = pc.multiply(pc.divide(ts, win_us), win_us)  # floor to window
+        # numpy // FLOORS (matching DuckDB //); pc.divide truncates,
+        # which would misbin pre-epoch timestamps
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        win = pa.array((ts_np // win_us) * win_us, type=pa.int64())
         t = pa.table({key: batch.column(key),
                       "window_start": win})
         agg = t.group_by([key, "window_start"]).aggregate([([], "count_all")])
@@ -109,6 +112,8 @@ def distinct_count(ds: ray.data.Dataset, key: str,
     def pairs(batch: pa.Table) -> pa.Table:
         t = pa.table({key: batch.column(key),
                       distinct_col: batch.column(distinct_col)})
+        # COUNT(DISTINCT x) ignores NULLs — drop them before the dedup
+        t = t.filter(t.column(distinct_col).combine_chunks().is_valid())
         return t.group_by([key, distinct_col]).aggregate([])
 
     uniq_pairs = ds.map_batches(pairs, batch_format="pyarrow",

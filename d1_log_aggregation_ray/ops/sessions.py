@@ -21,9 +21,17 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
     gap_us = gap_s * 1_000_000
 
     def per_user(group: pa.Table) -> pa.Table:
+        # null-ts events carry no ordering information: excluded here
+        # AND in the SQL oracle (WHERE ts IS NOT NULL)
+        group = group.filter(group.column(ts_col).combine_chunks().is_valid())
         group = group.sort_by([(ts_col, "ascending"), ("event_id", "ascending")])
-        ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
+        ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         n = len(ts)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
         new_sess = np.ones(n, dtype=np.int64)
         if n > 1:
             new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)

@@ -19,6 +19,8 @@ import ray.data
 
 def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch.column(vec_col).combine_chunks()
+    if batch.num_rows == 0:
+        return np.empty((0, 1), dtype=np.float64)
     flat = np.asarray(col.flatten(), dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
 

@@ -580,7 +580,7 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                  FROM events)
+                  FROM events WHERE ts IS NOT NULL)
             GROUP BY user_id""",
 
         "props_extract": """

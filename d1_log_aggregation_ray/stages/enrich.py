@@ -117,6 +117,10 @@ class Enricher:
     def _conv_luts(self, conv: pa.Array):
         """Per-unique-conv LUTs (hash, geo, membership, meta row),
         scattered to rows via dictionary indices."""
+        if conv.null_count:
+            raise ValueError(
+                "Enricher requires cleaned input (null conv_id present) — "
+                "run clean_project / the M2 validity filter first")
         enc = conv.dictionary_encode()
         uniq = enc.dictionary
         n = len(uniq)
