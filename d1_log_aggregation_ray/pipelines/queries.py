@@ -396,6 +396,15 @@ def q_distinct_users(sf_dir: str):
     return distinct_count(ds, key="event_type", distinct_col="user_id")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct users per event type (mergeable-sketch
+    combiner: the exchange moves 4 KiB sketches, not the key column;
+    rows-only check — approximation has no exact SQL oracle)."""
+    from ..ops.sketch import approx_distinct
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    return approx_distinct(ds, key="event_type", distinct_col="user_id")
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool decode
     (deterministic fake kernel; real codecs stubbed per environment)."""
@@ -649,5 +658,6 @@ RAY_QUERIES = {
     "tumbling_counts": q_tumbling_counts,
     "topk_per_user": q_topk_per_user,
     "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,
     "media_decode": q_media_decode,
 }

@@ -1,0 +1,54 @@
+"""HLL sketch: mergeability and accuracy vs the exact distinct count."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from d1_log_aggregation_ray.ops.sketch import HLL, approx_distinct, _hash_column
+from d1_log_aggregation_ray.ops.relational import distinct_count
+
+
+def test_hll_estimate_accuracy():
+    rng = np.random.RandomState(1)
+    h = HLL(p=12)
+    n = 20_000
+    hashes = rng.randint(-2**63, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+    h.add_hashes(hashes)
+    est = h.estimate()
+    assert abs(est - n) / n < 0.05  # ~1.6% expected at p=12
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.RandomState(2)
+    a_h = rng.randint(-2**63, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    b_h = rng.randint(-2**63, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    ha, hb, hu = HLL(), HLL(), HLL()
+    ha.add_hashes(a_h)
+    hb.add_hashes(b_h)
+    hu.add_hashes(np.concatenate([a_h, b_h]))
+    ha.merge(hb)
+    assert ha.estimate() == hu.estimate()  # register-max merge is exact
+    # serialization round trip
+    assert HLL.from_bytes(ha.to_bytes()).estimate() == ha.estimate()
+
+
+def test_approx_distinct_matches_exact_within_error():
+    rng = np.random.RandomState(3)
+    n = 30_000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    vals = rng.randint(0, 5000, size=n)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t)
+    approx = {r["k"]: r["n_distinct_approx"]
+              for r in approx_distinct(ds, "k", "v").take_all()}
+    exact = {r["k"]: r["n_distinct"]
+             for r in distinct_count(ds, "k", "v").take_all()}
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / exact[k]
+        assert rel < 0.08, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_hash_column_stable():
+    a = _hash_column(pa.array(["x", "y", "x"]))
+    assert a[0] == a[2] != a[1]
