@@ -43,6 +43,31 @@ def md5_lower64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return lut[idx.astype(np.int64)]
 
 
+def md5_bytes_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Full 128-bit md5 digests of an Arrow string array as
+    fixed-width binary(16) (nulls -> 16 zero bytes).
+
+    The exact-dedup exchange key: 16 fixed bytes instead of raw text.
+    64 bits would see ~birthday(2^64) collisions at 10^12 docs; 128
+    bits is collision-free at any realistic corpus size, so a
+    hash-groupby is equivalent to GROUP BY text.  md5 is inherently
+    per-item; hash each unique value once and scatter (house pattern).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    uniq = pc.unique(arr)
+    lut = []
+    for i in range(len(uniq)):
+        s = uniq[i].as_py()
+        lut.append(b"\x00" * 16 if s is None
+                   else hashlib.md5(s.encode("utf-8")).digest())
+    idx = pc.index_in(arr, uniq).fill_null(0).to_numpy(zero_copy_only=False)
+    lut_np = np.frombuffer(b"".join(lut), dtype=np.uint8).reshape(-1, 16)
+    buf = lut_np[idx.astype(np.int64)].tobytes()
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(16), len(idx), [None, pa.py_buffer(buf)])
+
+
 def hash32_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """32-bit membership-space hash: md5_lower64 % 2**32 (uint64 ndarray).
 

@@ -1,19 +1,33 @@
 """Deduplication operators over the `documents` table.
 
 Five families, each Ray-Data-native:
-  - exact: content-hash groupby, keep min id  (D1 analog at doc scale)
+  - exact: content-hash groupby, keep min id  (D1 analog at doc scale;
+    the query-level formulation lives in pipelines/queries.q_dedup_exact)
   - minhash + LSH: shingle -> minhash signature -> band buckets ->
-    groupby(band, band_key) -> keep min id per bucket
-  - simhash: 64-bit simhash exact-bucket dedup
+    per-bucket min id -> keep docs that are the min of EVERY bucket
+  - simhash: 64-bit simhash exact-bucket dedup + a banded near-dup
+    variant (4x16-bit bands, hamming-<=k verify)
   - n-gram Jaccard: LSH candidate buckets + exact shingle-set verify
-  - embedding cosine near-dup: normalized-matrix broadcast + blockwise
-    matmul (the brute-force baseline; IVF/LSH variant in similarity.py)
+  - embedding cosine near-dup: sign-LSH bucket assignment with 1-bit
+    multiprobe replication, within-bucket cosine verify (brute-force
+    all-pairs variant kept ONLY as a test oracle)
 
-Scale notes: every groupby key is a fixed-width hash (never raw text —
-the shuffle moves 8-byte keys + doc ids); signatures are computed once
-per doc in a stateless map_batches; the embedding broadcast uses one
-ray.put of the normalized matrix.  Hash functions are crc32-based
-(deterministic across processes, unlike Python's salted hash()).
+Scale notes:
+  - Every groupby key is a fixed-width hash (never raw text) — the
+    shuffles move 8-16 byte keys + doc ids.
+  - NOTHING is materialized on the driver: per-bucket mins, dup sets
+    and survivors are all computed inside the distributed plan (round-1
+    had a driver-side band-min broadcast + dup-id set here; replaced).
+  - The house pattern for "vectorized work per key bucket" is a manual
+    hash partition: a `part = bucket_key % P` column + groupby(part)
+    .map_groups — P python calls TOTAL (each a whole-partition numpy
+    scan), instead of one python call per mostly-singleton bucket, and
+    it works under Ray's default sort-shuffle (repartition(keys=...)
+    would require flipping the session-global shuffle strategy).
+    Partitioning assumption: one partition (~corpus/P band rows) fits
+    in a worker's heap; P scales with the cluster.
+  - Hash functions are crc32-based (deterministic across processes,
+    unlike Python's salted hash()).
 """
 
 from __future__ import annotations
@@ -59,6 +73,19 @@ def _join_partitions() -> int:
     except Exception:
         cpus = 4
     return max(2, min(16, cpus // 2))
+
+
+def _num_parts() -> int:
+    """Manual hash-partition count for the partition-scan pattern:
+    enough for full CPU parallelism, few enough that per-partition
+    python-call overhead is negligible."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus * 2)
+
+
 _WCOMB = np.uint64(1_000_003)
 
 
@@ -145,19 +172,18 @@ class MinHasher:
         })
 
 
-def _band_rows(batch: pa.Table, n_bands: int, id_col: str = "doc_id",
-               carry_text: bool = False) -> pa.Table:
-    """Expand each doc into one row per band: (band_key, id) — fully
-    vectorized (band key = polynomial combine of the band's sig slice
-    plus a band-salt, so identical slices in different bands never
-    collide into one bucket)."""
+def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
+               id_col: str = "doc_id") -> pa.Table:
+    """Expand each doc into one row per band: (part, band_key, id) —
+    fully vectorized (band key = polynomial combine of the band's sig
+    slice plus a band-salt, so identical slices in different bands
+    never collide into one bucket).  `part` is the manual hash
+    partition the downstream partition scan groups on."""
     nrows = batch.num_rows
     if nrows == 0:
-        cols = {"band_key": pa.array([], pa.int64()),
-                id_col: pa.array([], pa.int64())}
-        if carry_text:
-            cols["text"] = pa.array([], pa.string())
-        return pa.table(cols)
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "band_key": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64())})
     sig = np.asarray(batch.column("signature").combine_chunks().flatten()
                      ).reshape(nrows, -1)
     if sig.shape[1] % n_bands != 0 or sig.shape[1] < n_bands:
@@ -172,18 +198,27 @@ def _band_rows(batch: pa.Table, n_bands: int, id_col: str = "doc_id",
     keys = np.empty((nrows, n_bands), dtype=np.uint64)
     for b in range(n_bands):
         chunk = sig[:, b * rows_per:(b + 1) * rows_per]
-        k = np.full(nrows, np.uint64(b) * SALT, dtype=np.uint64)
+        salt = np.uint64((b * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
+        k = np.full(nrows, salt, dtype=np.uint64)
         for j in range(rows_per):
             k = k * P + chunk[:, j]  # uint64 wraparound is the hash
         keys[:, b] = k
-    cols = {
-        "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+    flat = keys.reshape(-1)
+    return pa.table({
+        "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
+        "band_key": pa.array(flat.view(np.int64)),
         id_col: pa.array(np.repeat(ids, n_bands)),
-    }
-    if carry_text:
-        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
-        cols["text"] = pa.array(np.repeat(texts, n_bands), type=pa.string())
-    return pa.table(cols)
+    })
+
+
+def _bucket_segments(keys: np.ndarray, ids: np.ndarray):
+    """Sort (key, id) rows and return (keys_s, ids_s, starts, counts):
+    contiguous segments per key, ids ascending within a segment."""
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    counts = np.diff(np.r_[starts, len(k)])
+    return k, i, starts, counts
 
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
@@ -192,52 +227,44 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
     """Docs surviving minhash-LSH dedup (doc is a dup iff any band
     bucket contains a smaller doc id whose full band-slice matches).
 
-    All-vectorized formulation: per-bucket min id via a sort-based
-    groupby AGGREGATE (never per-group python — band buckets are
-    mostly singletons, so map_groups would pay ~1 python call per
-    row), then a hash join back and a per-doc max.  Equivalent to:
-    survivor iff doc_id == min(doc_id) in EVERY band bucket it is in."""
+    Fully distributed, one narrow all-to-all exchange on (8-byte key,
+    id) rows: hash-partition the band rows by band_key, then ONE
+    vectorized numpy scan per partition computes every bucket's min id
+    AND the partition-local per-doc min of those bucket mins (combiner).
+    A doc survives iff the global min over its buckets' mins equals its
+    own id — so the final tiny groupby(id).min() emits the verdict
+    directly; no join, no broadcast, no driver-side dup set."""
+    n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
-    band = sigs.map_batches(_band_rows, fn_kwargs={"n_bands": n_bands,
-                                                   "id_col": id_col},
+    band = sigs.map_batches(_band_rows,
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
                             batch_format="pyarrow")
-    # band is consumed TWICE (mins + dup scan): materialize so the
-    # signature/banding lineage doesn't re-execute.  The banded table is
-    # (8-byte key, id) per doc per band — small relative to the corpus;
-    # at extreme scale prefer re-execution or a persisted intermediate.
-    band = band.materialize()
-    mins = band.groupby("band_key").min(id_col)  # (band_key, min(doc_id))
 
-    # broadcast the (band_key -> min id) map and resolve with
-    # searchsorted: one shuffle total.  At 100 TB scale, when the min
-    # map outgrows a broadcast, swap this block for
-    # band.join(mins, num_partitions=_join_partitions()) — same result.
-    mt = pa.concat_tables(ray.get(mins.to_arrow_refs()))
-    keys = mt.column("band_key").to_numpy()
-    vals = mt.column(f"min({id_col})").to_numpy()
-    order = np.argsort(keys)
-    bref = ray.put((keys[order], vals[order]))
+    def partition_scan(group: pa.Table) -> pa.Table:
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        _, i, starts, counts = _bucket_segments(keys, ids)
+        bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
+        # partition-local combiner: min bucket-min per doc (first value
+        # after a stable (id, bmin) lexsort)
+        o2 = np.lexsort((bmin_per_row, i))
+        i2, b2 = i[o2], bmin_per_row[o2]
+        s2 = np.flatnonzero(np.r_[True, i2[1:] != i2[:-1]])
+        return pa.table({id_col: pa.array(i2[s2]),
+                         "bmin": pa.array(b2[s2])})
 
-    def dup_ids(batch: pa.Table) -> pa.Table:
-        k_sorted, v_sorted = ray.get(bref)
-        bk = batch.column("band_key").to_numpy()
-        ids = batch.column(id_col).to_numpy()
-        pos = np.searchsorted(k_sorted, bk)
-        dup = ids > v_sorted[pos]
-        return pa.table({id_col: pa.array(np.unique(ids[dup]))})
-
-    dup_set = set()
-    for b in band.map_batches(dup_ids, batch_format="pyarrow").to_arrow_refs():
-        dup_set.update(ray.get(b).column(id_col).to_pylist())
-    dref = ray.put(pa.array(sorted(dup_set)))
+    per_part = band.groupby("part").map_groups(partition_scan,
+                                               batch_format="pyarrow")
+    per_doc = per_part.groupby(id_col).min("bmin")
 
     def survivors(batch: pa.Table) -> pa.Table:
-        dups = ray.get(dref)
-        keep = pc.invert(pc.fill_null(
-            pc.is_in(batch.column(id_col), value_set=dups), False))
-        return pa.table({id_col: batch.column(id_col).filter(keep)})
+        keep = pc.equal(batch.column("min(bmin)"), batch.column(id_col))
+        return pa.table({id_col: batch.column(id_col).filter(
+            pc.fill_null(keep, False))})
 
-    return ds.map_batches(survivors, batch_format="pyarrow")
+    return per_doc.map_batches(survivors, batch_format="pyarrow")
 
 
 def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
@@ -269,23 +296,117 @@ def simhash64(text: str, vocab: dict | None = None) -> int:
                           "little")
 
 
+def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    vocab: dict = {}
+    texts = batch.column(text_col).to_pylist()
+    hs = np.array([simhash64(t, vocab) if t else 0 for t in texts],
+                  dtype=np.uint64)
+    return pa.table({id_col: batch.column(id_col),
+                     "simhash": pa.array(hs.astype(np.int64))})
+
+
 def simhash_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                   text_col: str = "text") -> ray.data.Dataset:
-    """Exact-simhash-bucket dedup (hamming-0; near-dup via band trick
-    would split the 64 bits into 4 bands of 16)."""
-
-    def add_simhash(batch: pa.Table) -> pa.Table:
-        vocab: dict = {}
-        texts = batch.column(text_col).to_pylist()
-        hs = np.array([simhash64(t, vocab) if t else 0 for t in texts],
-                      dtype=np.uint64)
-        return pa.table({id_col: batch.column(id_col),
-                         "simhash": pa.array(hs.astype(np.int64))})
-
-    with_h = ds.map_batches(add_simhash, batch_format="pyarrow")
+    """Exact-simhash-bucket dedup (hamming-0); the near-dup variant is
+    simhash_near_dedup below."""
+    with_h = ds.map_batches(_add_simhash, batch_format="pyarrow",
+                            fn_kwargs={"id_col": id_col,
+                                       "text_col": text_col})
     return with_h.groupby("simhash").min(id_col).map_batches(
         lambda b: b.select(["min(" + id_col + ")"]).rename_columns([id_col]),
         batch_format="pyarrow")
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element hamming distance of two uint64 arrays (vectorized
+    popcount via unpackbits over the byte view)."""
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
+                       n_bands: int = 4, id_col: str = "doc_id",
+                       text_col: str = "text") -> ray.data.Dataset:
+    """Near-dup simhash dedup: 64 bits split into n_bands bands (4x16
+    by default); docs sharing any band bucket are candidates, verified
+    by full-hash hamming <= max_hamming against the bucket's min-id
+    representative.  By pigeonhole, any pair within hamming n_bands-1
+    shares at least one exact band, so <=3-bit near-dups are always
+    caught with 4 bands.
+
+    Same distributed shape as minhash_lsh_dedup: (8-byte band key, id,
+    8-byte simhash) rows, manual hash partition + one vectorized scan
+    per partition, final groupby(id) verdict.  The verify python loop
+    runs only over multi-doc buckets (rare)."""
+    assert 64 % n_bands == 0
+    bits_per = 64 // n_bands
+    mask = np.uint64((1 << bits_per) - 1)
+    n_parts = _num_parts()
+    with_h = ds.map_batches(_add_simhash, batch_format="pyarrow",
+                            fn_kwargs={"id_col": id_col,
+                                       "text_col": text_col})
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        sh = batch.column("simhash").to_numpy().view(np.uint64)
+        ids = batch.column(id_col).to_numpy()
+        SALT = np.uint64(0x9E3779B97F4A7C15)
+        keys = np.empty((n, n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            chunk = (sh >> np.uint64(b * bits_per)) & mask
+            salt = np.uint64(((b + 1) * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
+            keys[:, b] = chunk + salt
+        flat = keys.reshape(-1)
+        return pa.table({
+            "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
+            "band_key": pa.array(flat.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, n_bands)),
+            "simhash": pa.array(np.repeat(sh, n_bands).view(np.int64)),
+        })
+
+    band = with_h.map_batches(band_rows, batch_format="pyarrow")
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        sh = group.column("simhash").to_numpy().view(np.uint64)
+        order = np.lexsort((ids, keys))
+        k, i, h = keys[order], ids[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[starts, len(k)])
+        dup_ids = []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            # pairwise within-bucket verify (ids asc): dup iff ANY
+            # strictly-smaller id is within max_hamming — buckets are
+            # tiny, so the (c,c) popcount matrix is cheap
+            hh = h[s:s + c]
+            ii = i[s:s + c]
+            x = (hh[:, None] ^ hh[None, :]).view(np.uint8).reshape(c, c, 8)
+            ham = np.unpackbits(x, axis=2).sum(axis=2)
+            smaller = (ii[None, :] < ii[:, None])
+            near = ((ham <= max_hamming) & smaller).any(axis=1)
+            if near.any():
+                dup_ids.append(ii[near])
+        out = (np.unique(np.concatenate(dup_ids)) if dup_ids
+               else np.empty(0, dtype=ids.dtype))
+        return pa.table({id_col: pa.array(out),
+                         "dup": pa.array(np.ones(len(out), np.int8))})
+
+    marked = band.groupby("part").map_groups(partition_scan,
+                                             batch_format="pyarrow")
+    all_ids = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
+        batch_format="pyarrow").select_columns([id_col])
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -300,32 +421,45 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> ray.data.Dataset:
     """LSH candidate buckets + EXACT n-gram-shingle Jaccard verification
-    against the bucket's min-id representative."""
+    against the bucket's min-id representative.
+
+    Text never rides the band shuffle: phase 1 is the same narrow
+    (band_key, id) partition scan as minhash, emitting only MULTI-doc
+    buckets (band buckets are mostly singletons and a singleton can't
+    produce a dup); phase 2 joins the (small) candidate set back to the
+    corpus to attach texts; phase 3 verifies per candidate bucket.  The
+    per-group python verify runs only on multi-doc buckets."""
+    n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,
-                            fn_kwargs={"n_bands": n_bands, "id_col": id_col,
-                                       "carry_text": True},
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
                             batch_format="pyarrow")
 
-    # exact-verify ONLY multi-doc buckets: band buckets are mostly
-    # singletons, and a singleton can't produce a dup — the count join
-    # keeps the expensive per-group text jaccard off 99% of rows
-    band = band.materialize()  # consumed by counts AND the join below
-    counts = band.groupby("band_key").count()
-    multi = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
-        batch_format="pyarrow").select_columns(["band_key"])
-    cand = band.join(multi, join_type="inner",
-                     num_partitions=_join_partitions(), on=("band_key",))
+    def multi_buckets(group: pa.Table) -> pa.Table:
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        k, i, starts, counts = _bucket_segments(keys, ids)
+        keep = np.repeat(counts > 1, counts)
+        return pa.table({"band_key": pa.array(k[keep].view(np.int64)),
+                         id_col: pa.array(i[keep])})
+
+    cand = band.groupby("part").map_groups(multi_buckets,
+                                           batch_format="pyarrow")
+    texts = ds.select_columns([id_col, text_col])
+    cand = cand.join(texts, "inner", num_partitions=_join_partitions(),
+                     on=(id_col,))
 
     def verify(group: pa.Table) -> pa.Table:
         order = np.argsort(group.column(id_col).to_numpy())
         ids = group.column(id_col).to_numpy()[order]
-        texts = np.asarray(group.column("text").to_pylist(), dtype=object)[order]
-        rep = _shingle_hashes(texts[0] or "")
+        texts_ = np.asarray(group.column(text_col).to_pylist(),
+                            dtype=object)[order]
+        rep = _shingle_hashes(texts_[0] or "")
         dup = np.zeros(len(ids), dtype=np.int8)
         for i in range(1, len(ids)):
-            dup[i] = 1 if _jaccard(rep, _shingle_hashes(texts[i] or "")) >= threshold else 0
+            dup[i] = 1 if _jaccard(rep, _shingle_hashes(texts_[i] or "")) >= threshold else 0
         return pa.table({id_col: pa.array(ids), "dup": pa.array(dup)})
 
     marked = cand.groupby("band_key").map_groups(verify, batch_format="pyarrow")
@@ -339,14 +473,108 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
         batch_format="pyarrow").select_columns([id_col])
 
 
+def _sign_buckets(m: np.ndarray, n_planes: int, seed: int = 17) -> np.ndarray:
+    """Sign-LSH bucket signature per row (uint32).  Planes are seeded
+    deterministically from (seed, dim) so every worker generates the
+    identical set — nothing is shipped."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, m.shape[1])
+    return ((m @ planes.T) > 0).astype(np.uint32) @ (
+        1 << np.arange(n_planes, dtype=np.uint32))
+
+
 def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> ray.data.Dataset:
+                           vec_col: str = "embedding",
+                           n_planes: int = 8) -> ray.data.Dataset:
     """Near-dup by cosine similarity: doc is a dup iff some SMALLER id
-    has cosine >= threshold.  Brute-force baseline: the full normalized
-    matrix is ray.put once and each batch does one blockwise matmul
-    against it (at 100 TB scale, swap the broadcast for the IVF/LSH
-    bucketing in similarity.py)."""
+    in a shared LSH bucket has cosine >= threshold.
+
+    Scale path (replaces the round-1 full-matrix broadcast + all-pairs
+    matmul): sign-LSH bucket assignment with 1-bit multiprobe
+    replication (each vector lands in its home bucket + the n_planes
+    1-bit-flip buckets, so any pair within hamming 2 of each other's
+    signatures co-occurs somewhere), then within-bucket cosine verify
+    under the manual-hash-partition scan.  High-threshold near-dups
+    have near-identical projections, so recall loss is confined to
+    pairs straddling >2 plane boundaries.  The shuffle carries each
+    vector n_planes+1 times — bucketed replication, never all-pairs.
+    The exact all-pairs formulation survives as
+    embedding_cosine_dedup_bruteforce (test oracle only)."""
+    from .similarity import _as_matrix, _normalize
+    n_parts = _num_parts()
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        m = _normalize(_as_matrix(batch, vec_col))
+        sigs = _sign_buckets(m, n_planes)
+        ids = batch.column(id_col).to_numpy()
+        reps = n_planes + 1
+        all_sigs = np.empty((n, reps), dtype=np.uint32)
+        all_sigs[:, 0] = sigs
+        for j in range(n_planes):
+            all_sigs[:, j + 1] = sigs ^ np.uint32(1 << j)
+        flat = all_sigs.reshape(-1).astype(np.uint64)
+        rep_ids = np.repeat(ids, reps)
+        rep_m = np.repeat(m, reps, axis=0)
+        return pa.table({
+            "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
+            "bucket": pa.array(flat.view(np.int64)),
+            id_col: pa.array(rep_ids),
+            "vec": pa.array(list(rep_m), type=pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        buckets = group.column("bucket").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, buckets))
+        b, i = buckets[order], ids[order]
+        m = _as_matrix(group, "vec")[order]  # already normalized
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        counts = np.diff(np.r_[starts, len(b)])
+        dup_ids = []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg = m[s:s + c]
+            sims = seg @ seg.T  # within-bucket only, ids asc
+            # dup iff any strictly-smaller id in the bucket is >= th
+            smaller = np.tril(np.ones((c, c), dtype=bool), k=-1)
+            # equal ids (multiprobe can't collide here, but guard anyway)
+            ii = i[s:s + c]
+            smaller &= ii[None, :] < ii[:, None]
+            hit = (sims >= threshold) & smaller
+            dup_ids.append(ii[hit.any(axis=1)])
+        out = (np.unique(np.concatenate(dup_ids)) if dup_ids
+               else np.empty(0, dtype=ids.dtype))
+        return pa.table({id_col: pa.array(out),
+                         "dup": pa.array(np.ones(len(out), np.int8))})
+
+    marked = rows.groupby("part").map_groups(partition_scan,
+                                             batch_format="pyarrow")
+    all_ids = ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "dup": pa.array(np.zeros(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
+        batch_format="pyarrow").select_columns([id_col])
+
+
+def embedding_cosine_dedup_bruteforce(
+        ds: ray.data.Dataset, threshold: float = 0.95,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding") -> ray.data.Dataset:
+    """Exact all-pairs cosine dedup — TEST ORACLE ONLY.  Materializes
+    the full normalized matrix on the driver and broadcasts it; O(N^2)
+    compare.  Never use in a pipeline; embedding_cosine_dedup is the
+    shipped operator."""
     from .similarity import _as_matrix, _normalize
     mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
     tables = [ray.get(r) for r in mat_tbl]
@@ -363,7 +591,6 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
         all_ids, m = ray.get(ref)
         bids = batch.column(id_col).to_numpy()
         sims = _normalize(_as_matrix(batch, vec_col)) @ m.T  # (batch, N)
-        # mask out cols with id >= row id, then one vectorized row-max
         smaller = all_ids[None, :] < bids[:, None]
         best = np.where(smaller, sims, -np.inf).max(axis=1)
         keep = best < threshold

@@ -31,7 +31,8 @@ from ..stages.window import repeat_visit_group
 from ..stages.enrich import Enricher, geo_fields_for_hash
 from ..functions.hashing import md5_lower64
 from ..ops.dedup import (minhash_lsh_dedup, simhash_dedup,
-                         ngram_jaccard_dedup, embedding_cosine_dedup)
+                         simhash_near_dedup, ngram_jaccard_dedup,
+                         embedding_cosine_dedup)
 from ..ops.similarity import brute_force_topk, lsh_topk
 from ..ops.sessions import sessionize
 from ..ops.text import (token_count_batch, quality_batch, lang_id_batch,
@@ -243,9 +244,22 @@ def _docs(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: keep min doc_id per identical text."""
+    """Exact dedup: keep min doc_id per identical text.
+
+    The exchange key is the FIXED 16-byte md5 of the text, never the
+    raw text itself (at corpus scale a groupby on the document body
+    shuffles the corpus).  128-bit md5 makes hash-group == text-group
+    (collision odds ~2^-128 per pair; 64 bits would NOT suffice at
+    10^12 docs), so the `GROUP BY text` oracle still matches."""
+    from ..functions.hashing import md5_bytes_array
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
-    agg = ds.groupby("text").aggregate(Min("doc_id"))
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": md5_bytes_array(batch.column("text"))})
+
+    agg = ds.map_batches(fp, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("fp").min("doc_id")
     return agg.map_batches(
         lambda b: b.select(["min(doc_id)"]).rename_columns(["doc_id"]),
         batch_format="pyarrow")
@@ -316,6 +330,11 @@ def q_dedup_minhash(sf_dir: str):
 
 def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_dedup_simhash_near(sf_dir: str):
+    """Banded near-dup simhash (4x16-bit bands, hamming<=3 verify)."""
+    return simhash_near_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -649,6 +668,7 @@ RAY_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
     "sessionize": q_sessionize,

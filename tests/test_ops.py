@@ -10,8 +10,11 @@ import ray
 import ray.data
 
 from d1_log_aggregation_ray.ops.dedup import (minhash_lsh_dedup, simhash_dedup,
+                                              simhash_near_dedup,
                                               ngram_jaccard_dedup,
-                                              embedding_cosine_dedup, simhash64)
+                                              embedding_cosine_dedup,
+                                              embedding_cosine_dedup_bruteforce,
+                                              simhash64)
 from d1_log_aggregation_ray.ops.similarity import brute_force_topk, lsh_topk
 from d1_log_aggregation_ray.ops.text import (token_count_batch, quality_batch,
                                              lang_id_batch, fingerprint_batch)
@@ -51,6 +54,42 @@ def test_simhash_exact_dup():
     assert 40 not in survivors and 3 in survivors
     v = {}
     assert simhash64("alpha beta gamma", v) == simhash64("alpha beta gamma", {})
+
+
+def test_simhash_near_dedup_catches_bit_flips():
+    """A near-identical doc (one word changed out of 30) lands within a
+    few simhash bits of the original (hamming 5 here); with 8 bands the
+    pigeonhole guarantee covers any pair within hamming 7, so the
+    banded + hamming<=k verify must catch it while the hamming-0 exact
+    path does not."""
+    ds = _docs_with_dups()
+    exact = set(r["doc_id"] for r in simhash_dedup(ds).take_all())
+    near = set(r["doc_id"] for r in
+               simhash_near_dedup(ds, max_hamming=5, n_bands=8).take_all())
+    assert 40 not in near and 3 in near          # exact dup still killed
+    assert 41 not in near and 7 in near          # near dup killed, rep kept
+    assert 41 in exact                           # hamming-0 path misses it
+    assert near <= exact                         # near path only removes more
+
+
+def test_embedding_bucketed_matches_bruteforce():
+    """The LSH-bucketed dedup must agree with the exact all-pairs
+    oracle on a corpus whose near-dups are unambiguous (cos ~1)."""
+    rng = np.random.RandomState(9)
+    mat = rng.randn(80, 16)
+    mat[70] = mat[20] * 3.0
+    mat[71] = mat[5] + rng.randn(16) * 1e-4
+    tbl = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                    "embedding": pa.array(list(mat.astype(np.float64)),
+                                          type=pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    bucketed = set(r["vec_id"] for r in
+                   embedding_cosine_dedup(ds, threshold=0.999).take_all())
+    brute = set(r["vec_id"] for r in
+                embedding_cosine_dedup_bruteforce(ds, threshold=0.999).take_all())
+    assert 70 not in bucketed and 20 in bucketed
+    assert 71 not in bucketed and 5 in bucketed
+    assert bucketed == brute
 
 
 def test_ngram_jaccard_verifies():
