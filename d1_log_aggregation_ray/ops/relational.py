@@ -17,13 +17,20 @@ NOT to asof (order-dependent within key, like the W1 window).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data
 from ray.data.aggregate import Sum
+
+
+def _asof_parts() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus * 2)
 
 
 def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
@@ -35,23 +42,81 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
     STRICTLY prior right_type row with the same key (null when none).
 
     Matches DuckDB `ASOF JOIN ... ON l.key = r.key AND l.ts > r.ts`.
-    """
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group[type_col] == left_type]
-        right = group[group[type_col] == right_type]
-        left = left.sort_values([ts_col, id_col], kind="mergesort")
-        right = right.sort_values([ts_col, id_col], kind="mergesort")
-        if len(left) == 0:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "prior_value": pd.Series([], dtype="float64")})
-        merged = pd.merge_asof(
-            left[[id_col, ts_col]], right[[ts_col, value_col]],
-            on=ts_col, allow_exact_matches=False)  # strictly prior
-        return pd.DataFrame({id_col: merged[id_col],
-                             "prior_value": merged[value_col]})
+    Scale shape: one python call per HASH PARTITION of keys (manual
+    `part = key_hash % P` + groupby(part).map_groups), not one per key
+    — inside a partition every key is resolved by ONE np.searchsorted
+    over a (key_rank, ts_rank) composite (ts rank-encoded so the
+    composite never overflows int64), so many-small-keys cost is O(n
+    log n) per partition with zero per-key python/pandas overhead.
+    Ties on (key, ts) resolve to the max-id right row, matching the
+    previous merge_asof formulation and the DuckDB oracle."""
+    P = _asof_parts()
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        part = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) % np.uint64(P)
+        cols = {c: batch.column(c) for c in
+                (key, ts_col, type_col, value_col, id_col)}
+        cols["part"] = pa.array(part.astype(np.int64))
+        return pa.table(cols)
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        types = group.column(type_col)
+        left = group.filter(pc.equal(types, left_type))
+        right = group.filter(pc.equal(types, right_type))
+        n_l = left.num_rows
+        if n_l == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "prior_value": pa.array([], pa.float64())})
+        l_key = left.column(key).to_numpy(zero_copy_only=False)
+        l_ts = left.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        l_ts_null = ~left.column(ts_col).combine_chunks().is_valid(
+        ).to_numpy(zero_copy_only=False)
+        l_id = left.column(id_col).to_numpy(zero_copy_only=False)
+        # right side: drop null-ts rows (ts > NULL is never true), sort
+        # by (key, ts, id) so "last match" == max id among ts ties
+        rv = right.column(ts_col).combine_chunks().is_valid()
+        right = right.filter(rv)
+        if right.num_rows == 0:
+            return pa.table({id_col: pa.array(l_id),
+                             "prior_value": pa.array([None] * n_l,
+                                                     pa.float64())})
+        r_key = right.column(key).to_numpy(zero_copy_only=False)
+        r_ts = right.column(ts_col).combine_chunks().cast(pa.int64()
+                                                          ).to_numpy(zero_copy_only=False)
+        r_id = right.column(id_col).to_numpy(zero_copy_only=False)
+        r_val = right.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((r_id, r_ts, r_key))
+        r_key, r_ts, r_val = r_key[order], r_ts[order], r_val[order]
+        # rank-encode: composite = key_rank * (n_ts_ranks+1) + ts_rank+1
+        all_keys = np.unique(np.concatenate([r_key, l_key]))
+        all_ts = np.unique(np.concatenate([r_ts, l_ts]))
+        kr_r = np.searchsorted(all_keys, r_key)
+        kr_l = np.searchsorted(all_keys, l_key)
+        tr_r = np.searchsorted(all_ts, r_ts)
+        tr_l = np.searchsorted(all_ts, l_ts)
+        span = np.int64(len(all_ts) + 1)
+        comp_r = kr_r * span + tr_r + 1
+        comp_l = kr_l * span + tr_l + 1
+        # last right row with comp < comp_l (strict: equal ts shares a
+        # rank, so 'left' excludes it)
+        j = np.searchsorted(comp_r, comp_l, side="left") - 1
+        ok = (j >= 0) & ~l_ts_null
+        jj = np.clip(j, 0, None)
+        ok &= (r_key[jj] == l_key)  # composite may have crossed a key
+        vals = np.where(ok, r_val[jj], np.nan)
+        return pa.table({id_col: pa.array(l_id),
+                         "prior_value": pa.array(vals, pa.float64(),
+                                                 from_pandas=True)})
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")
 
 
 def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
@@ -61,6 +126,11 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
     win_us = window_s * 1_000_000
 
     def add_window(batch: pa.Table) -> pa.Table:
+        # null timestamps carry no window: drop them (the SQL oracle
+        # filters WHERE ts IS NOT NULL; without this, int64-with-nulls
+        # -> float64 NaN -> ArrowInvalid on the int64 cast below)
+        batch = batch.filter(
+            batch.column(ts_col).combine_chunks().is_valid())
         ts = batch.column(ts_col).combine_chunks().cast(pa.int64())
         # numpy // FLOORS (matching DuckDB //); pc.divide truncates,
         # which would misbin pre-epoch timestamps

@@ -6,16 +6,44 @@ and a tiny second stage merges them — the shuffle moves kilobytes of
 sketch instead of the raw key column.  Standard HLL (public algorithm,
 Flajolet et al.) with the usual small-range linear-counting correction.
 
+Everything is vectorized: value hashing is md5-per-UNIQUE-value with a
+dictionary scatter (house pattern, functions/hashing.py), and the
+per-key register update is one np.maximum.at scatter into a
+(n_keys, 2^p) register matrix — no per-key pass over the batch.
+
 Exact counterpart for verification: ops/relational.distinct_count.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+
+def _rank_of_rest(h: np.ndarray, p: int) -> np.ndarray:
+    """HLL rank: leading zeros of the (64-p)-bit remainder + 1, with a
+    guard bit so the all-zero remainder gets the max rank.  Vectorized
+    over rows; the bit loop is bounded by 64-p and early-exits."""
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
+    lz = np.zeros(len(h), dtype=np.uint8)
+    v = rest.copy()
+    mask_hi = np.uint64(1) << np.uint64(63)
+    done = np.zeros(len(h), dtype=bool)
+    for r in range(1, 64 - p + 2):
+        is_set = (v & mask_hi) != 0
+        newly = is_set & ~done
+        lz[newly] = r
+        done |= is_set
+        if done.all():
+            break
+        v = v << np.uint64(1)
+    return lz
 
 
 class HLL:
@@ -32,22 +60,7 @@ class HLL:
 
     def add_hashes(self, h: np.ndarray) -> None:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of the remaining bits + 1 (vectorized via
-        # bit_length on the flipped value)
-        lz = np.zeros(len(h), dtype=np.uint8)
-        v = rest.copy()
-        mask_hi = np.uint64(1) << np.uint64(63)
-        done = np.zeros(len(h), dtype=bool)
-        for r in range(1, 64 - self.p + 2):
-            is_set = (v & mask_hi) != 0
-            newly = is_set & ~done
-            lz[newly] = r
-            done |= is_set
-            if done.all():
-                break
-            v = v << np.uint64(1)
-        np.maximum.at(self.registers, idx, lz)
+        np.maximum.at(self.registers, idx, _rank_of_rest(h, self.p))
 
     def merge(self, other: "HLL") -> "HLL":
         assert self.p == other.p
@@ -75,17 +88,24 @@ class HLL:
 def _hash_column(arr: pa.Array) -> np.ndarray:
     """Stable, uniformly distributed 64-bit hashes of arbitrary values.
 
-    md5-based (process-stable unlike python hash()).  NOTE: a crc32
-    pair is NOT suitable here — crc is affine in its init value, so the
-    two words are linearly related and the effective entropy is ~32
-    bits, which visibly biases HLL register ranks."""
-    import hashlib
-    vals = arr.to_pylist()
-    out = np.empty(len(vals), dtype=np.uint64)
+    md5-based (process-stable unlike python hash()), one digest per
+    UNIQUE value + dictionary scatter — O(uniques) python, O(n)
+    vectorized.  NOTE: a crc32 pair is NOT suitable here — crc is
+    affine in its init value, so the two words are linearly related
+    and the effective entropy is ~32 bits, which visibly biases HLL
+    register ranks."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    uniq = pc.unique(arr)
+    vals = uniq.to_pylist()
+    lut = np.empty(max(len(vals), 1), dtype=np.uint64)
     for i, v in enumerate(vals):
         d = hashlib.md5(repr(v).encode("utf-8")).digest()
-        out[i] = int.from_bytes(d[:8], "little")
-    return out
+        lut[i] = int.from_bytes(d[:8], "little")
+    idx = pc.index_in(arr, uniq).to_numpy(zero_copy_only=False)
+    if arr.null_count:
+        idx = np.where(np.isnan(idx), vals.index(None), idx)
+    return lut[idx.astype(np.int64)]
 
 
 def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
@@ -93,21 +113,31 @@ def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
     """Per-key approximate distinct count (~1.04/sqrt(2^p) rel. error).
 
     Stage 1 (combiner): one HLL sketch per key per batch — the exchange
-    carries 4 KiB blobs, never the raw column.  Stage 2: merge per key."""
+    carries 4 KiB blobs, never the raw column.  The whole batch's
+    registers are built with a single scatter-max into a (n_keys, 2^p)
+    matrix (flat index key_code * 2^p + register).  Stage 2: merge per
+    key."""
+    m = 1 << p
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         keys_col = batch.column(key)
-        hashes = _hash_column(batch.column(distinct_col).combine_chunks())
-        uniq_keys = keys_col.unique()
-        rows_k, rows_s = [], []
-        keys_np = np.asarray(keys_col.to_pylist(), dtype=object)
-        for kv in uniq_keys.to_pylist():
-            h = HLL(p)
-            h.add_hashes(hashes[keys_np == kv])
-            rows_k.append(kv)
-            rows_s.append(h.to_bytes())
-        return pa.table({key: pa.array(rows_k),
-                         "sketch": pa.array(rows_s, pa.binary())})
+        if isinstance(keys_col, pa.ChunkedArray):
+            keys_col = keys_col.combine_chunks()
+        hashes = _hash_column(batch.column(distinct_col))
+        uniq = pc.unique(keys_col)
+        code = pc.index_in(keys_col, uniq).to_numpy(zero_copy_only=False)
+        if keys_col.null_count:
+            code = np.where(np.isnan(code), uniq.to_pylist().index(None), code)
+        code = code.astype(np.int64)
+        nk = len(uniq)
+        regs = np.zeros(nk * m, dtype=np.uint8)
+        reg_idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+        np.maximum.at(regs, code * m + reg_idx, _rank_of_rest(hashes, p))
+        regs = regs.reshape(nk, m)
+        return pa.table({key: uniq,
+                         "sketch": pa.array([regs[i].tobytes()
+                                             for i in range(nk)],
+                                            pa.binary())})
 
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow",
                               zero_copy_batch=True)

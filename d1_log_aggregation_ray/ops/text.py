@@ -1,6 +1,7 @@
 """Text analysis over the `documents` table: token counting, quality
 metrics, language ID, document fingerprinting.  All vectorized
-pyarrow.compute / numpy inside map_batches.
+pyarrow.compute / numpy inside map_batches — no per-row (or per-byte)
+Python in any shipped kernel.
 """
 
 from __future__ import annotations
@@ -9,11 +10,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import md5_lower64
+from ..functions.hashing import md5_lower64_array
 
-# letter-frequency profiles for a tiny n-gram-free language-ID
-# heuristic (public frequency tables, rounded): scores by common-word
-# hits, falls back to "und" (undetermined)
+# stopword-hit language-ID heuristic (public frequency tables, rounded):
+# scores by distinct common-word hits among the first 200 whitespace
+# tokens, falls back to "und" (undetermined).  Dict order is the
+# tie-break order (first language with the max hit count wins).
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
     "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
@@ -21,6 +23,15 @@ _LANG_STOPWORDS = {
     "es": {"el", "la", "de", "que", "los", "por", "con", "una", "para", "es"},
     "it": {"il", "di", "che", "per", "con", "una", "del", "sono", "non", "gli"},
 }
+_LANG_LIST = list(_LANG_STOPWORDS)
+_STOP_VOCAB_LIST = sorted(set().union(*_LANG_STOPWORDS.values()))
+_STOP_VOCAB = pa.array(_STOP_VOCAB_LIST, pa.string())
+# (n_stopwords, n_langs) 0/1 membership — one scatter-add turns distinct
+# (doc, stopword) pairs into per-language hit counts
+_LANG_MATRIX = np.array([[int(w in _LANG_STOPWORDS[lang]) for lang in _LANG_LIST]
+                         for w in _STOP_VOCAB_LIST], dtype=np.int64)
+_LANG_ARR = np.array(_LANG_LIST)
+_TOKEN_CAP = 200
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -50,42 +61,86 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-hit language ID (heuristic, not SQL-expressible)."""
-    text = batch.column(text_col).to_pylist()
-    out = []
-    for t in text:
-        if not t:
-            out.append("und")
-            continue
-        words = set(t.lower().split()[:200])
-        best, best_hits = "und", 0
-        for lang, sw in _LANG_STOPWORDS.items():
-            hits = len(words & sw)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        out.append(best)
-    return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
+    """Stopword-hit language ID, fully vectorized: one Arrow
+    lower+regex-split per batch, flatten with parent indices, cap at
+    the first 200 non-empty tokens, distinct (doc, stopword) pairs via
+    np.unique, then a single scatter-add through the language
+    membership matrix.  Semantics identical to the python reference
+    ``set(t.lower().split()[:200])`` + first-max-wins (and to the
+    DuckDB oracle in pipelines/queries)."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("lang_pred", pa.array([], pa.string()))
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = toks.flatten()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    # python str.split() drops empty tokens (leading/trailing runs)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc = parent[keep]
+    words = flat.filter(pa.array(keep))
+    # rank among kept tokens per doc -> cap at the first _TOKEN_CAP
+    starts = np.searchsorted(doc, np.arange(n))
+    pos = np.arange(len(doc)) - starts[doc.astype(np.int64)]
+    capm = pos < _TOKEN_CAP
+    doc = doc[capm].astype(np.int64)
+    words = words.filter(pa.array(capm))
+    code = pc.fill_null(pc.index_in(words, _STOP_VOCAB), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    hitm = code >= 0
+    V = len(_STOP_VOCAB_LIST)
+    pairs = np.unique(doc[hitm] * V + code[hitm])  # DISTINCT words only
+    hits = np.zeros((n, len(_LANG_LIST)), dtype=np.int64)
+    np.add.at(hits, pairs // V, _LANG_MATRIX[pairs % V])
+    best = hits.argmax(axis=1)  # first max wins == dict-order tie-break
+    best_hits = hits[np.arange(n), best]
+    langs = np.where(best_hits > 0, _LANG_ARR[best], "und")
+    return batch.append_column("lang_pred", pa.array(langs.tolist(),
+                                                     pa.string()))
+
+
+_ROLL_MOD = np.uint64((1 << 31) - 1)  # Mersenne: (byte+1)*pow fits uint64
+_ROLL_BASE = np.uint64(1_000_003)
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5-based (portable to DuckDB
-    md5_number_lower) + a 61-bit rolling polynomial hash (rows-only)."""
-    text = batch.column(text_col).to_pylist()
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
-    fps, rolls = [], []
-    for t in text:
-        if t is None:
-            fps.append(0)
-            rolls.append(0)
-            continue
-        fps.append(md5_lower64(t))
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * BASE + b + 1) % MOD
-        rolls.append(h)
-    batch = batch.append_column("fingerprint",
-                                pa.array(np.array(fps, dtype=np.uint64)))
-    batch = batch.append_column("rolling_hash",
-                                pa.array(np.array(rolls, dtype=np.uint64)))
+    md5_number_lower; per-unique-value digests + dictionary scatter)
+    + a 31-bit rolling polynomial hash computed entirely in numpy over
+    the Arrow values buffer (zero-copy byte view; per-byte terms
+    (b+1)*BASE^(L-1-i) mod 2^31-1 summed per doc via cumsum
+    differencing, so empty docs segment correctly)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    fps = md5_lower64_array(text)  # nulls -> 0
+
+    b = pc.fill_null(text.cast(pa.binary()), b"")  # null == empty -> hash 0
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    offsets = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+        b.offset:b.offset + len(b) + 1].astype(np.int64)
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offsets)
+    total = int(offsets[-1] - offsets[0])
+    if total:
+        seg = data[offsets[0]:offsets[-1]].astype(np.uint64)
+        starts = offsets[:-1] - offsets[0]
+        maxlen = int(lens.max())
+        powt = np.empty(maxlen, dtype=np.uint64)
+        if maxlen:
+            powt[0] = 1
+            for j in range(1, maxlen):  # O(max doc len), not O(bytes)
+                powt[j] = (powt[j - 1] * _ROLL_BASE) % _ROLL_MOD
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        terms = ((seg + np.uint64(1)) * powt[exp]) % _ROLL_MOD
+        csum = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(terms, out=csum[1:])  # < 2^31 per term: no overflow
+        rolls = (csum[starts + lens] - csum[starts]) % _ROLL_MOD
+    else:
+        rolls = np.zeros(len(b), dtype=np.uint64)
+
+    batch = batch.append_column("fingerprint", pa.array(fps))
+    batch = batch.append_column("rolling_hash", pa.array(rolls))
     return batch

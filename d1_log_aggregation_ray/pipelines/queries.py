@@ -11,6 +11,7 @@ provided testdata tables (documents / embeddings / events views).
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -317,11 +318,14 @@ def q_ann_cosine_topk(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
+    """LSH-prefiltered top-10 (vec_id only: float scores don't survive
+    a cross-engine value-hash, and ordering is already pinned by the
+    deterministic (-score, id) tie-break)."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ds = ds.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
         batch_format="pyarrow", zero_copy_batch=True)
-    return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id", "score"])
+    return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id"])
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -441,6 +445,88 @@ def q_media_decode(sf_dir: str):
 # --------------------------------------------------------------------------
 # Oracle SQL
 # --------------------------------------------------------------------------
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of ops/text.lang_id_batch, generated from the SAME
+    stopword tables so they cannot drift: distinct stopword hits among
+    the first 200 non-empty whitespace tokens, first language with the
+    max hit count wins, 'und' when zero hits."""
+    from ..ops.text import _LANG_STOPWORDS, _LANG_LIST
+    hit_cols = ", ".join(
+        "len(list_intersect(ws, [{}])) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])), lang)
+        for lang in _LANG_LIST)
+    g = "greatest({})".format(", ".join(f"h_{la}" for la in _LANG_LIST))
+    case = "CASE WHEN {g} = 0 THEN 'und' {whens} ELSE '{last}' END".format(
+        g=g,
+        whens=" ".join(f"WHEN h_{la} = {g} THEN '{la}'"
+                       for la in _LANG_LIST[:-1]),
+        last=_LANG_LIST[-1])
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct((list_filter(
+                     regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> ''))[1:200]) AS ws
+          FROM documents
+        ), hits AS (SELECT doc_id, {hit_cols} FROM toks)
+        SELECT doc_id, {case} AS lang_pred FROM hits"""
+
+
+def _ann_lsh_sql(sf_dir: str) -> str:
+    """DuckDB mirror of ops/similarity.lsh_topk: the same seeded
+    hyperplanes inlined as literals (full repr precision), the same
+    wanted-signature set (query bucket + 1-bit flips), exact cosine +
+    (score DESC, vec_id) ordering on the filtered candidates.  Sign
+    agreement between numpy and DuckDB dot products holds unless a
+    projection is within float rounding of 0 (validated in pytest at
+    two scales)."""
+    n_planes = 8
+    q = _query_vec(sf_dir)
+    rng = np.random.RandomState(11)
+    planes = rng.randn(n_planes, len(q))
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qsig = int((((planes @ qn) > 0).astype(np.uint32)
+                << np.arange(n_planes, dtype=np.uint32)).sum())
+    want = sorted({qsig} | {qsig ^ (1 << i) for i in range(n_planes)})
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, [{}]) > 0 THEN {} ELSE 0 END)"
+        .format(", ".join(repr(float(x)) for x in planes[i]), 1 << i)
+        for i in range(n_planes))
+    return f"""
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 list_cosine_similarity(embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score,
+                 ({sig_terms}) AS sig
+          FROM embeddings WHERE vec_id <> 0)
+        WHERE sig IN ({", ".join(str(s) for s in want)})
+        ORDER BY score DESC, vec_id LIMIT 10"""
+
+
+_GOLDEN_JSON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests", "goldens",
+    "dedup_survivors.json")
+
+
+def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
+    """Pinned-golden oracles for the deterministic-but-not-SQL dedup
+    families (see scripts/make_goldens.py): the committed survivor id
+    set inlined as a VALUES list.  Only emitted for scales the golden
+    file pins — other scales fall back to the rows-only check."""
+    try:
+        with open(_GOLDEN_JSON) as f:
+            pins = json.loads(f.read()).get(os.path.basename(
+                os.path.normpath(sf_dir)), {})
+    except OSError:
+        return {}
+    out = {}
+    for q, ids in pins.items():
+        col = "vec_id" if q == "dedup_embedding" else "doc_id"
+        out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
+            ", ".join(str(i) for i in ids), col))
+    return out
+
 
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
@@ -594,6 +680,10 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
             FROM documents WHERE text IS NOT NULL""",
 
+        "lang_id": _lang_id_sql(),
+
+        "ann_lsh_topk": _ann_lsh_sql(sf_dir),
+
         "ann_cosine_topk": """
             SELECT vec_id FROM (
               SELECT vec_id,
@@ -627,7 +717,7 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,
                    count(*) AS n
-            FROM events GROUP BY 1, 2""",
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
 
         "topk_per_user": """
             SELECT event_id, user_id, value FROM (
@@ -645,6 +735,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type""",
+
+        **_golden_dedup_sql(sf_dir),
     }
 
 

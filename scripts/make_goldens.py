@@ -1,0 +1,55 @@
+"""Regenerate the pinned dedup-survivor goldens.
+
+The dedup families (minhash/simhash/simhash_near/ngram/embedding) are
+deterministic (seeded hash functions, partition-count-independent
+survivor math) but not SQL-expressible, so the driver's DuckDB oracle
+gets a PINNED golden: the survivor id set at each test scale, committed
+as tests/goldens/dedup_survivors.json and inlined into the oracle SQL
+as a VALUES list.  Semantic correctness is guarded separately by the
+planted-duplicate pytests (tests/test_ops.py); the golden guards
+regressions and feeds the driver's hash gate.
+
+Run after any intentional change to dedup semantics:
+    python scripts/make_goldens.py
+then commit the JSON and re-run pytest (test_golden_dedup_pins).
+"""
+
+import json
+import os
+import sys
+
+import ray
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "dedup_survivors.json")
+QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
+           "dedup_ngram", "dedup_embedding"]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def main() -> None:
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
+    out: dict = {"_comment": (
+        "Pinned dedup survivor ids per scale; regenerate with "
+        "scripts/make_goldens.py after intentional semantic changes.")}
+    for sf_dir in SF_DIRS:
+        sf = os.path.basename(sf_dir)
+        out[sf] = {}
+        for q in QUERIES:
+            col = "vec_id" if q == "dedup_embedding" else "doc_id"
+            rows = RAY_QUERIES[q](sf_dir).take_all()
+            out[sf][q] = sorted(int(r[col]) for r in rows)
+            print(f"{sf} {q}: {len(out[sf][q])} survivors")
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", GOLDEN_PATH)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

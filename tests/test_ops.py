@@ -161,6 +161,32 @@ def test_sessionize_semantics():
     assert out[2]["n_sessions"] == 1
 
 
+def test_relational_null_ts_tolerated():
+    """Null timestamps must not crash the windowed/asof ops: tumbling
+    drops them (like the oracle's WHERE ts IS NOT NULL), asof keeps the
+    left row with a null prior (ts > NULL is never true)."""
+    from d1_log_aggregation_ray.ops.relational import (tumbling_counts,
+                                                       asof_join_prior)
+    US = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["view", "click", "click", "view", "click"]),
+        "ts": pa.array([0, 10 * US, None, None, 50 * US], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    ds = ray.data.from_arrow(t)
+    wins = tumbling_counts(ds, key="user_id", ts_col="ts").take_all()
+    assert sum(r["n"] for r in wins) == 3  # the two null-ts rows dropped
+    prior = {r["event_id"]: r["prior_value"]
+             for r in asof_join_prior(ds, key="user_id", ts_col="ts",
+                                      left_type="click",
+                                      right_type="view").take_all()}
+    assert prior[2] == 1.0          # strictly-prior view
+    assert prior[3] is None         # null-ts click -> no prior
+    assert prior[5] is None         # only view for user 2 has null ts
+
+
 def test_media_plumbing():
     tbl = make_fake_media_table(["abc", "defg", "hijkl"],
                                 ["image", "audio", "video"])
