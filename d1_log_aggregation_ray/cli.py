@@ -9,9 +9,13 @@ the checkpoint manifest, so a killed run resumes with
         --sf-dir /root/testdata/sf0.01 --out /tmp/harvest_out
 
 Subcommands:
-  harvest   run/resume the flagship pipeline
-  reenrich  incremental re-enrichment for changed convs (C6)
-  query     run one named query and print row count + head
+  harvest    run/resume the flagship pipeline
+  reenrich   incremental re-enrichment for changed convs (C6)
+  reconcile  diff corpus buckets vs the manifest, dropping stale
+             partitions and reporting new ones (C2)
+  query      run one named query and print row count + head
+
+A running harvest drains cooperatively when `<out>/_KILL` exists (C4).
 """
 
 from __future__ import annotations
@@ -50,6 +54,14 @@ def cmd_reenrich(args) -> int:
     return 0
 
 
+def cmd_reconcile(args) -> int:
+    from .gen.fixtures import generate_fixtures
+    from .pipelines.harvest import reconcile
+    fx = generate_fixtures(args.sf_dir)
+    print(json.dumps(reconcile(fx, args.out)))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.queries import RAY_QUERIES
     _ensure_ray()
@@ -76,6 +88,11 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--conv", nargs="+", required=True)
     r.set_defaults(fn=cmd_reenrich)
+
+    c = sub.add_parser("reconcile")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_reconcile)
 
     q = sub.add_parser("query")
     q.add_argument("name")

@@ -47,6 +47,12 @@ class PipelineConfig:
     # straggler task)
     write_slice_rows: int = 65536
     v1_roles: tuple[str, ...] = field(default=V1_ROLES)
+    # C5 source-side harvest retry: a failed wave (read or transform
+    # error) is retried with backoff before the run aborts with the
+    # manifest/watermark persisted (reference: 60 s x <=5 sleep-retry on
+    # harvest BaseException, LogHarvesterTask.java:311-329)
+    source_retry_attempts: int = 5
+    source_retry_backoff_s: float = 60.0
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -238,11 +238,37 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
     return pa.Table.from_pylist(stats_rows + err_row, schema=_STATS_SCHEMA)
 
 
+def reconcile(fx_dir: str, out_dir: str) -> dict:
+    """C2 schedule-reconciliation analog (reference:
+    LogAggregrationManageScheduleJob.java:24-43 diffs the registered
+    node list against scheduled jobs, adding new nodes and unscheduling
+    removed ones).  Here the "node list" is the corpus's bucket
+    partition set: buckets present in the corpus but not the manifest
+    are ADDED (the next run_harvest picks them up as todo), and
+    manifest records + output dirs of buckets no longer in the corpus
+    are REMOVED so stale partitions never pollute aggregates.  Returns
+    {"added": [...], "removed": [...]}."""
+    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
+    corpus = set(_corpus_buckets(fx_dir))
+    done = manifest.completed_buckets()
+    added = sorted(corpus - done)
+    removed = sorted(b for b in done if b not in corpus)
+    if removed:
+        gone = set(removed)
+        manifest.rewrite([r for r in manifest.records()
+                          if r.get("bucket") not in gone])
+        for b in removed:
+            shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
+                          ignore_errors=True)
+    return {"added": added, "removed": removed}
+
+
 def run_harvest(fx_dir: str, out_dir: str,
                 cfg: PipelineConfig = DEFAULT_CONFIG,
                 run_ts: datetime = DEFAULT_RUN_TS,
                 wave_size: int = 8,
-                resume: bool = True) -> dict:
+                resume: bool = True,
+                should_continue=None) -> dict:
     """Run (or resume) the harvest over all buckets; returns a summary.
 
     Buckets are processed in waves of `wave_size`; after each wave the
@@ -250,6 +276,20 @@ def run_harvest(fx_dir: str, out_dir: str,
     buckets are skipped and partial output dirs of incomplete buckets
     are cleared before reprocessing (partition-atomic overwrite — the
     idempotency analog of Solr upsert-by-id).
+
+    C5 source-side retry: a wave that raises (flaky reads included) is
+    retried up to cfg.source_retry_attempts times with
+    cfg.source_retry_backoff_s sleeps; on exhaustion the error
+    propagates with every COMPLETED wave already persisted in the
+    manifest, so the next invocation resumes from the watermark
+    (reference: 60 s x <=5 on harvest BaseException,
+    LogHarvesterTask.java:311-329).
+
+    C4 kill switch: the run is drained cooperatively between waves when
+    `should_continue()` returns False or the `<out_dir>/_KILL` file
+    exists (reference: LogAggregator.active polled per page,
+    v1/NodeCommunication.java:58-63).  A drained run reports
+    stopped_early=True and resumes cleanly.
     """
     os.makedirs(out_dir, exist_ok=True)
     # "_" prefix: ignored by parquet dataset discovery (ignore_prefixes)
@@ -288,14 +328,11 @@ def run_harvest(fx_dir: str, out_dir: str,
     side_ref = ray.put(load_side_tables(fx_dir))
     t_start = time.time()
     rows_in_total = 0
-    for i in range(0, len(todo), wave_size):
-        wave = todo[i:i + wave_size]
-        t0 = time.time()
-        n_in = sum(
-            pads.dataset(os.path.join(fx_dir, "transcripts",
-                                      f"part-{b:02d}.parquet")).count_rows()
-            for b in wave)
-        rows_in_total += n_in
+    run_unattributed = 0
+    stopped_early = False
+    kill_path = os.path.join(out_dir, "_KILL")
+
+    def _run_wave(wave: list[int]) -> list[dict]:
         ds = read_transcripts(fx_dir, buckets=wave, one_block_per_bucket=True)
 
         def clean_then_scan(batch, cfg=cfg):
@@ -315,7 +352,39 @@ def run_harvest(fx_dir: str, out_dir: str,
             batch_format="pyarrow", zero_copy_batch=True,
             fn_kwargs={"out_dir": out_dir, "side_ref": side_ref,
                        "cfg": cfg, "run_ts": run_ts})
-        slice_rows = ds.take_all()
+        return ds.take_all()
+
+    for i in range(0, len(todo), wave_size):
+        # cooperative kill switch, polled between waves (the resume
+        # unit): completed waves stay committed, nothing is torn
+        if (should_continue is not None and not should_continue()) \
+                or os.path.exists(kill_path):
+            stopped_early = True
+            break
+        wave = todo[i:i + wave_size]
+        t0 = time.time()
+        n_in = sum(
+            pads.dataset(os.path.join(fx_dir, "transcripts",
+                                      f"part-{b:02d}.parquet")).count_rows()
+            for b in wave)
+        rows_in_total += n_in
+        last_err: BaseException | None = None
+        for attempt in range(cfg.source_retry_attempts):
+            try:
+                slice_rows = _run_wave(wave)
+                last_err = None
+                break
+            except Exception as err:  # flaky source/transform: backoff
+                last_err = err
+                # a partially-written wave is cleared before the retry
+                # (same partition-atomic overwrite as resume)
+                for b in wave:
+                    shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
+                                  ignore_errors=True)
+                if attempt + 1 < cfg.source_retry_attempts:
+                    time.sleep(cfg.source_retry_backoff_s)
+        if last_err is not None:
+            raise last_err  # completed waves persisted -> clean resume
         dt = time.time() - t0
         # roll slice-level stats up to bucket-level lineage records;
         # bucket_id=-1 rows are unattributed enrichment errors (M3)
@@ -356,6 +425,7 @@ def run_harvest(fx_dir: str, out_dir: str,
                 **agg[b],
             })
         if unattributed_errors:
+            run_unattributed += int(unattributed_errors)
             manifest.append({"bucket": -1, "complete": False,
                              "wave": wave, "run_ts": run_ts.isoformat(),
                              "error_rows": int(unattributed_errors)})
@@ -363,7 +433,13 @@ def run_harvest(fx_dir: str, out_dir: str,
     all_recs = manifest.records()
     recs = [r for r in all_recs if r.get("complete")]
     total_out = sum(r["rows_out"] for r in recs)
-    total_errors = sum(r.get("error_rows", 0) for r in all_recs)
+    # error lineage: completed buckets' attributed errors (valid across
+    # resumes — those buckets were NOT reprocessed) + THIS run's
+    # unattributed (-1) errors.  Prior killed runs' -1 records are
+    # excluded: their buckets were cleared and reprocessed, so counting
+    # them would double-book the same rows.
+    total_errors = sum(r.get("error_rows", 0) for r in recs) \
+        + run_unattributed
     summary = {
         "buckets": len(recs),
         "resumed_skipped": sorted(done),
@@ -374,6 +450,7 @@ def run_harvest(fx_dir: str, out_dir: str,
         "is_repeat_visit": sum(r["is_repeat_visit"] for r in recs),
         "max_ts": max((r["max_ts"] for r in recs if r["max_ts"]), default=None),
         "error_rows": total_errors,
+        "stopped_early": stopped_early,
         "duration_s": round(time.time() - t_start, 3),
     }
     return summary

@@ -51,3 +51,14 @@ class Manifest:
             os.fsync(fd)
         finally:
             os.close(fd)
+
+    def rewrite(self, records: list[dict]) -> None:
+        """Atomically replace the manifest (reconciliation only; normal
+        progress is append-only)."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in records:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)

@@ -48,3 +48,150 @@ def test_resume_complete_run_is_noop(fx_dir, tmp_path):
     s = run_harvest(fx_dir, out, resume=True)
     assert s["rows_in_this_run"] == 0
     assert s["resumed_skipped"] == list(range(DEFAULT_CONFIG.n_buckets))
+
+
+def test_source_retry_recovers_flaky_wave(fx_dir, tmp_path, monkeypatch):
+    """C5 source-side retry: an in-task read failure on the first wave
+    attempt is retried with backoff and the run completes with correct
+    totals (reference: 60 s x <=5 sleep-retry, LogHarvesterTask.java:
+    311-329)."""
+    import os
+    import dataclasses
+    import pyarrow as pa
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
+    from d1_log_aggregation_ray.pipelines import harvest as hmod
+
+    out = str(tmp_path / "out")
+    ref = run_harvest(fx_dir, str(tmp_path / "ref"), resume=False)
+
+    sentinel = str(tmp_path / "flake_once")
+    open(sentinel, "w").close()
+    real_read = hmod.read_transcripts
+
+    def flaky_read(*args, **kwargs):
+        ds = real_read(*args, **kwargs)
+
+        def maybe_fail(batch: pa.Table) -> pa.Table:
+            if os.path.exists(sentinel):
+                try:
+                    os.remove(sentinel)  # consume: only the 1st attempt fails
+                except OSError:
+                    pass
+                raise OSError("injected flaky source read")
+            return batch
+
+        return ds.map_batches(maybe_fail, batch_format="pyarrow",
+                              batch_size=None, num_cpus=1.01)
+
+    monkeypatch.setattr(hmod, "read_transcripts", flaky_read)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, source_retry_backoff_s=0.05)
+    s = run_harvest(fx_dir, out, cfg=cfg, resume=False)
+    assert not os.path.exists(sentinel)  # the failure really fired
+    for k in ("rows_out_total", "in_partial_list", "in_full_list",
+              "is_repeat_visit", "max_ts"):
+        assert s[k] == ref[k], k
+    assert _read_keys(out) == _read_keys(str(tmp_path / "ref"))
+
+
+def test_source_retry_exhaustion_raises_with_watermark(fx_dir, tmp_path,
+                                                       monkeypatch):
+    """Retry exhaustion propagates the error, but completed waves stay
+    in the manifest so the next run resumes instead of restarting."""
+    import dataclasses
+    import pytest
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
+    from d1_log_aggregation_ray.pipelines import harvest as hmod
+
+    out = str(tmp_path / "out")
+    calls = {"n": 0}
+    real_read = hmod.read_transcripts
+
+    def dying_read(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] > 1:  # first wave fine, second wave always dies
+            raise OSError("source down")
+        return real_read(*args, **kwargs)
+
+    monkeypatch.setattr(hmod, "read_transcripts", dying_read)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, source_retry_attempts=3,
+                              source_retry_backoff_s=0.01)
+    with pytest.raises(OSError):
+        run_harvest(fx_dir, out, cfg=cfg, resume=False, wave_size=8)
+    assert calls["n"] == 1 + 3  # one good wave + three failed attempts
+    monkeypatch.setattr(hmod, "read_transcripts", real_read)
+    s = run_harvest(fx_dir, out, resume=True)
+    assert s["resumed_skipped"] == list(range(8))  # first wave persisted
+    ref = run_harvest(fx_dir, str(tmp_path / "ref"), resume=False)
+    assert s["rows_out_total"] == ref["rows_out_total"]
+
+
+def test_kill_switch_drains_and_resumes(fx_dir, tmp_path):
+    """C4 cooperative kill switch: should_continue=False after the
+    first wave drains the run between waves; the resumed run completes
+    the rest and totals match an uninterrupted run (reference:
+    LogAggregator.active poll, v1/NodeCommunication.java:58-63)."""
+    out = str(tmp_path / "out")
+    waves = {"n": 0}
+
+    def one_wave_only():
+        waves["n"] += 1
+        return waves["n"] <= 1
+
+    s1 = run_harvest(fx_dir, out, resume=False, wave_size=8,
+                     should_continue=one_wave_only)
+    assert s1["stopped_early"] is True
+    assert s1["buckets"] == 8  # exactly one committed wave
+    s2 = run_harvest(fx_dir, out, resume=True)
+    assert s2["stopped_early"] is False
+    assert s2["resumed_skipped"] == list(range(8))
+    ref = run_harvest(fx_dir, str(tmp_path / "ref"), resume=False)
+    for k in ("rows_out_total", "in_partial_list", "in_full_list",
+              "is_repeat_visit", "max_ts"):
+        assert s2[k] == ref[k], k
+    assert _read_keys(out) == _read_keys(str(tmp_path / "ref"))
+
+
+def test_reconcile_added_and_removed_buckets(fx_dir, tmp_path):
+    """C2 analog: a bucket dropped from the corpus is unscheduled
+    (manifest records + output dir removed); a bucket missing from the
+    manifest is reported as added and picked up by the next run."""
+    import os
+    import shutil as sh
+    from d1_log_aggregation_ray.pipelines.harvest import reconcile
+
+    out = str(tmp_path / "out")
+    run_harvest(fx_dir, out, resume=False)
+
+    # corpus copy minus bucket 31 == "node removed from the registry"
+    fx2 = str(tmp_path / "fx2")
+    os.makedirs(os.path.join(fx2, "transcripts"))
+    for p in os.listdir(os.path.join(fx_dir, "transcripts")):
+        if p != "part-31.parquet":
+            os.link(os.path.join(fx_dir, "transcripts", p),
+                    os.path.join(fx2, "transcripts", p))
+    r = reconcile(fx2, out)
+    assert r["removed"] == [31] and r["added"] == []
+    assert not os.path.exists(os.path.join(out, "bucket_id=31"))
+
+    # drop bucket 7 from the manifest == "new node registered"
+    mpath = os.path.join(out, "_manifest.jsonl")
+    recs = [l for l in open(mpath) if '"bucket": 7,' not in l]
+    with open(mpath, "w") as f:
+        f.writelines(recs)
+    sh.rmtree(os.path.join(out, "bucket_id=7"), ignore_errors=True)
+    r2 = reconcile(fx2, out)
+    assert r2["added"] == [7] and r2["removed"] == []
+
+
+def test_kill_file_stops_run(fx_dir, tmp_path):
+    """The `<out>/_KILL` file variant: pre-created -> zero waves run."""
+    import os
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    open(os.path.join(out, "_KILL"), "w").close()
+    s = run_harvest(fx_dir, out, resume=False)
+    assert s["stopped_early"] is True and s["buckets"] == 0
+    os.remove(os.path.join(out, "_KILL"))
+    s2 = run_harvest(fx_dir, out, resume=True)
+    assert s2["stopped_early"] is False
+    assert s2["buckets"] == 32
