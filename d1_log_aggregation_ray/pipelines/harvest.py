@@ -60,10 +60,12 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     ds = read_transcripts(fx_dir, buckets=buckets,
                           one_block_per_bucket=bucketed)
     if bucketed:
-        # clean + whole-bucket sort + window scan in ONE task per bucket
+        # clean + whole-bucket sort + window scan in ONE task per
+        # bucket; turn_id/version tag deferred past the plasma transit
         def clean_then_scan(batch, cfg=cfg):
-            return bucket_window_scan(clean_project(batch, cfg), cfg,
-                                      check_bucket=True)
+            return bucket_window_scan(
+                clean_project(batch, cfg, defer_derived=True), cfg,
+                check_bucket=True)
         ds = ds.map_batches(clean_then_scan, batch_size=None,
                             batch_format="pyarrow", zero_copy_batch=True,
                             num_cpus=1.01)
@@ -336,8 +338,13 @@ def run_harvest(fx_dir: str, out_dir: str,
         ds = read_transcripts(fx_dir, buckets=wave, one_block_per_bucket=True)
 
         def clean_then_scan(batch, cfg=cfg):
-            return bucket_window_scan(clean_project(batch, cfg), cfg,
-                                      check_bucket=True)
+            # defer_derived: turn_id/version_compliance are re-derived
+            # by the Enricher AFTER the scan->slice plasma transit, so
+            # ~30 B/row of derivable strings never cross the object
+            # store (the 8->32 CPU shared-memory ceiling lever)
+            return bucket_window_scan(
+                clean_project(batch, cfg, defer_derived=True), cfg,
+                check_bucket=True)
 
         # num_cpus=1.01 on the per-bucket scan prevents operator fusion
         # with the slice stage: fused, each task would process a WHOLE

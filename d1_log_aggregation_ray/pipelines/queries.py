@@ -119,14 +119,24 @@ def q_geo_enrich(sf_dir: str):
     ds = _clean(sf_dir).groupby("conv_id").aggregate(Count())
 
     def add_geo(batch: pa.Table) -> pa.Table:
-        convs = batch.column("conv_id").to_pylist()
-        rows = [geo_fields_for_hash(md5_lower64(c)) for c in convs]
+        # vectorized geo_fields_for_hash: md5 per unique conv via the
+        # dictionary-scatter helper, then pure numpy arithmetic +
+        # np.char formatting (same C %-format as the f-strings)
+        from ..functions.hashing import md5_lower64_array
+        h = md5_lower64_array(batch.column("conv_id"))
+        lat = (h % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
+        lon = ((h // np.uint64(170000)) % np.uint64(360000)
+               ).astype(np.float64) / 1000.0 - 180.0
         return pa.table({
             "conv_id": batch.column("conv_id"),
-            "country": pa.array([r["country"] for r in rows]),
-            "region": pa.array([r["region"] for r in rows]),
-            "city": pa.array([r["city"] for r in rows]),
-            "location": pa.array([r["location"] for r in rows]),
+            "country": pa.array(np.char.add(
+                "country-", (h % np.uint64(40)).astype(str))),
+            "region": pa.array(np.char.add(
+                "region-", ((h // np.uint64(40)) % np.uint64(60)).astype(str))),
+            "city": pa.array(np.char.add(
+                "city-", ((h // np.uint64(2400)) % np.uint64(97)).astype(str))),
+            "location": pa.array(np.char.add(np.char.add(
+                np.char.mod("%.4f", lat), ", "), np.char.mod("%.4f", lon))),
         })
 
     return ds.map_batches(add_geo, batch_format="pyarrow")

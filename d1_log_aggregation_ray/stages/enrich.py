@@ -178,6 +178,11 @@ class Enricher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         side, cfg = self.side, self.cfg
         n = batch.num_rows
+        if "turn_id" not in batch.column_names:
+            # harvest path defers the derivable M5/M1 columns past the
+            # scan->slice object-store transit (see project.py)
+            from .project import derived_columns
+            batch = derived_columns(batch, cfg)
         conv = batch.column("conv_id").combine_chunks()
 
         # R1-R3: regex banks (vectorized union match)
