@@ -3,9 +3,15 @@
 - brute_force_topk: the exact baseline — per-batch numpy matmul against
   a broadcast query matrix, local top-k per batch, then a single small
   merge.  No global sort: the reduce sees only k rows per batch.
-- lsh_topk: the scale path — random-hyperplane bucket assignment;
+- lsh_topk: scan-time prefilter — random-hyperplane bucket assignment;
   candidates searched only within the query's bucket (and its 1-bit
-  neighbors), brute-force fallback if the bucket is empty.
+  neighbors), brute-force fallback if the bucket is empty.  Cheap, but
+  every query still scans the corpus.
+- build_ivf_index / ivf_topk: the PERSISTED scale path — deterministic
+  k-means coarse quantizer, vectors written once as parquet partitioned
+  by list id; a query reads ONLY its n_probe closest partitions
+  (prune-at-the-read), so query cost is corpus_size * n_probe/n_lists
+  IO instead of a full scan.
 """
 
 from __future__ import annotations
@@ -59,6 +65,74 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
     order = np.lexsort((ids, -scores))[:k]
     return pa.table({id_col: pa.array(ids[order]),
                      "score": pa.array(scores[order])})
+
+
+def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
+                    sample_n: int = 20_000, iters: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Build a persisted IVF index: deterministic k-means coarse
+    quantizer (Lloyd on a driver-held sample — the sample is small and
+    bounded; assignment itself is distributed), then every vector is
+    written ONCE to parquet partitioned by its nearest-centroid list
+    id.  Queries then read only their probed partitions.  Returns the
+    (n_lists, dim) centroid matrix, which is also persisted as
+    `_centroids.npy` ("_" prefix: invisible to dataset discovery).
+
+    Determinism: sample = lowest-id vectors, seeded init, fixed
+    iteration count — identical across runs and cluster sizes."""
+    import os
+    sample_tbl = (ds.select_columns([id_col, vec_col])
+                  .sort(id_col).limit(sample_n).take_all())
+    ids = np.array([r[id_col] for r in sample_tbl])
+    m = _normalize(np.array([r[vec_col] for r in sample_tbl],
+                            dtype=np.float64))
+    n_lists = min(n_lists, len(m))
+    rng = np.random.RandomState(23)
+    cent = m[rng.choice(len(m), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)  # cosine on normalized
+        for c in range(n_lists):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    cref = ray.put(cent)
+
+    def assign_list(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        mb = _normalize(_as_matrix(batch, vec_col))
+        lid = (mb @ cm.T).argmax(axis=1).astype(np.int32) \
+            if batch.num_rows else np.empty(0, np.int32)
+        return batch.append_column("list_id", pa.array(lid))
+
+    ds.map_batches(assign_list, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"])
+    return cent
+
+
+def ivf_topk(index_dir: str, query: np.ndarray, k: int = 10,
+             n_probe: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pa.Table:
+    """Query a persisted IVF index: rank centroids by cosine to the
+    query, read ONLY the n_probe nearest list partitions, exact cosine
+    within them.  IO scales with n_probe/n_lists of the corpus."""
+    import os
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probes = np.argsort(-(cent @ q))[:n_probe]
+    import glob
+    paths = []
+    for p in probes:  # empty lists have no dir; expand dirs to files
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"list_id={int(p)}", "*.parquet"))))
+    sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(sub, query, k, id_col, vec_col)
 
 
 def lsh_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,

@@ -43,6 +43,23 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "n_tokens", pc.cast(pc.list_value_length(parts), pa.int64()))
 
 
+# BPE-style pre-tokenizer classes (GPT-2-ish, simplified to RE2-safe
+# syntax shared by Arrow and DuckDB: no lookarounds): letter runs,
+# single digits, non-alphanumeric punctuation runs.  Counts approximate
+# a subword tokenizer's pre-token count.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_pretokens = count of BPE-ish pre-tokenizer matches — one
+    vectorized RE2 scan per batch (DuckDB mirror:
+    len(regexp_extract_all(text, ...)))."""
+    text = batch.column(text_col)
+    return batch.append_column(
+        "n_pretokens",
+        pc.cast(pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()))
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality metrics (exact-type columns so they are
     value-hash comparable with a SQL oracle): token count, char count,

@@ -37,7 +37,7 @@ from ..ops.dedup import (minhash_lsh_dedup, simhash_dedup,
 from ..ops.similarity import brute_force_topk, lsh_topk
 from ..ops.sessions import sessionize
 from ..ops.text import (token_count_batch, quality_batch, lang_id_batch,
-                        fingerprint_batch)
+                        fingerprint_batch, _BPE_PATTERN)
 from ..ops.multimodal import MediaDecoder, make_fake_media_table
 
 CFG = DEFAULT_CONFIG
@@ -338,6 +338,45 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id"])
 
 
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (single RE2 scan per batch)."""
+    from ..ops.text import token_count_bpe_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(token_count_bpe_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_pretokens"])
+
+
+_IVF_CACHE: dict = {}
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """Persisted-IVF top-10: the index is built once per corpus (a
+    parquet layout partitioned by coarse-centroid list id under /tmp)
+    and each query reads ONLY its n_probe nearest partitions —
+    prune-at-the-read, unlike the scan-time LSH prefilter.  vec_id
+    only, same rationale as q_ann_lsh_topk."""
+    import hashlib as _hl
+    from ..ops.similarity import build_ivf_index, ivf_topk
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/graft_ivf/{tag}"
+    key = (sf_dir, index_dir)
+    if key not in _IVF_CACHE or not os.path.isdir(index_dir):
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        import shutil as _sh
+        _sh.rmtree(index_dir, ignore_errors=True)
+        build_ivf_index(ds, index_dir, n_lists=16)
+        _IVF_CACHE.clear()
+        _IVF_CACHE[key] = True
+    out = ivf_topk(index_dir, _query_vec(sf_dir), k=10, n_probe=4)
+    return out.select(["vec_id"])
+
+
 def q_dedup_minhash(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
@@ -532,7 +571,8 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
         return {}
     out = {}
     for q, ids in pins.items():
-        col = "vec_id" if q == "dedup_embedding" else "doc_id"
+        col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk") \
+            else "doc_id"
         out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
             ", ".join(str(i) for i in ids), col))
     return out
@@ -682,6 +722,12 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                     AS n_pretokens
+            FROM documents WHERE text IS NOT NULL""",
+
         "doc_quality": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -764,6 +810,8 @@ RAY_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine_topk,

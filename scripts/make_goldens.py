@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 
 GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "dedup_survivors.json")
 QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
-           "dedup_ngram", "dedup_embedding"]
+           "dedup_ngram", "dedup_embedding", "ann_ivf_topk"]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
@@ -40,8 +40,11 @@ def main() -> None:
         sf = os.path.basename(sf_dir)
         out[sf] = {}
         for q in QUERIES:
-            col = "vec_id" if q == "dedup_embedding" else "doc_id"
-            rows = RAY_QUERIES[q](sf_dir).take_all()
+            col = ("vec_id" if q in ("dedup_embedding", "ann_ivf_topk")
+                   else "doc_id")
+            res = RAY_QUERIES[q](sf_dir)
+            rows = res.take_all() if hasattr(res, "take_all") \
+                else res.to_pylist()
             out[sf][q] = sorted(int(r[col]) for r in rows)
             print(f"{sf} {q}: {len(out[sf][q])} survivors")
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)

@@ -125,6 +125,48 @@ def test_embedding_dedup_and_topk():
     assert 0 in lsh.column("vec_id").to_pylist()
 
 
+def test_ivf_index_and_query(tmp_path):
+    """Persisted IVF: full-probe query is EXACT (matches brute force);
+    partial probe still finds a planted near-identical neighbor, and
+    reads only the probed partitions."""
+    from d1_log_aggregation_ray.ops.similarity import (build_ivf_index,
+                                                       ivf_topk,
+                                                       brute_force_topk)
+    rng = np.random.RandomState(13)
+    mat = rng.randn(300, 16)
+    q = mat[42] + rng.randn(16) * 1e-3  # near-identical to vec 42
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(list(mat.astype(np.float64)),
+                                          type=pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    idx_dir = str(tmp_path / "ivf")
+    cent = build_ivf_index(ds, idx_dir, n_lists=8, sample_n=300)
+    assert cent.shape == (8, 16)
+    import os
+    parts = [p for p in os.listdir(idx_dir) if p.startswith("list_id=")]
+    assert 1 < len(parts) <= 8
+    exact = brute_force_topk(ds, q, k=5).column("vec_id").to_pylist()
+    full = ivf_topk(idx_dir, q, k=5, n_probe=8).column("vec_id").to_pylist()
+    assert full == exact  # probing every list == exact search
+    part = ivf_topk(idx_dir, q, k=5, n_probe=2).column("vec_id").to_pylist()
+    assert part[0] == 42  # planted neighbor found with 2/8 lists read
+
+
+def test_token_count_bpe_matches_python_re():
+    import re
+    from d1_log_aggregation_ray.ops.text import (token_count_bpe_batch,
+                                                 _BPE_PATTERN)
+    texts = ["Hello, world! It's 2026...", "a-b_c 12 3x", "", "   ", None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = token_count_bpe_batch(t).column("n_pretokens").to_pylist()
+    for i, s in enumerate(texts):
+        if s is None:
+            assert out[i] is None
+        else:
+            assert out[i] == len(re.findall(_BPE_PATTERN, s)), s
+
+
 def test_text_ops_match_python_reference():
     texts = ["Hello, world. This is GREAT!", "the and of to in is that it",
              "der die und das ist nicht mit ein", "", None]
