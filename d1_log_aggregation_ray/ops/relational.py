@@ -162,15 +162,44 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
 
 def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
                  k: int = 2, tiebreak: str = "event_id") -> ray.data.Dataset:
-    """Top-k rows per key by order_col desc (ties by tiebreak asc) —
-    per-group sort + head; keys are whole under the groupby."""
+    """Top-k rows per key by order_col desc (ties by tiebreak asc).
 
-    def per_key(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(order_col, "descending"),
-                                                (tiebreak, "ascending")])
-        return group.take(idx[:k])
+    Partition-scan shape: per-batch local top-k per key (combiner — at
+    most k rows per key per block cross the exchange), then one
+    vectorized sort + segment-head per hash partition of keys; no
+    per-key python calls."""
+    P = _asof_parts()
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    def _local_topk(batch: pa.Table, with_part: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = dict(zip(batch.column_names, batch.columns))
+        else:
+            kv = batch.column(key).to_numpy(zero_copy_only=False)
+            ov = batch.column(order_col).to_numpy(zero_copy_only=False)
+            tv = batch.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tv, -ov, kv))
+            ks = kv[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            rank = np.arange(len(ks)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(ks)]))
+            keep = order[rank < k]
+            batch = batch.take(pa.array(keep))
+            cols = dict(zip(batch.column_names, batch.columns))
+        if with_part:
+            kk = batch.column(key).to_numpy(zero_copy_only=False)
+            part = (kk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    ) % np.uint64(P)
+            cols["part"] = pa.array(part.astype(np.int64))
+        return pa.table(cols)
+
+    local = ds.map_batches(lambda b: _local_topk(b, True),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        return _local_topk(group.drop_columns(["part"]), False)
+
+    return local.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")
 
 
 def distinct_count(ds: ray.data.Dataset, key: str,
@@ -190,9 +219,17 @@ def distinct_count(ds: ray.data.Dataset, key: str,
                                 zero_copy_batch=True)
 
     def count_unique(group: pa.Table) -> pa.Table:
-        n = len(pc.unique(group.column(distinct_col)))
-        return pa.table({key: group.column(key).slice(0, 1),
-                         "n_distinct": pa.array([n], pa.int64())})
+        # one vectorized pass for ALL keys in the partition: arrow
+        # group_by dedups the (key, value) pairs across blocks, then a
+        # count per key — no per-key python
+        uniq = group.select([key, distinct_col]).group_by(
+            [key, distinct_col]).aggregate([])
+        agg = uniq.group_by(key).aggregate([([], "count_all")])
+        name_map = {key: key, "count_all": "n_distinct"}
+        agg = agg.rename_columns([name_map[c] for c in agg.column_names])
+        return agg.set_column(
+            agg.schema.get_field_index("n_distinct"), "n_distinct",
+            agg.column("n_distinct").cast(pa.int64()))
 
     return uniq_pairs.groupby(key).map_groups(count_unique,
                                               batch_format="pyarrow")

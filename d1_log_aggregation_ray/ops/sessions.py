@@ -1,15 +1,32 @@
 """Sessionization over the `events` stream table — the gaps-and-islands
 cousin of the W1 repeat-visit window (same groupby-then-scan shape, but
 expressible with a plain lag/cumsum, so it gets a SQL oracle).
+
+Scale shape: one python call per HASH PARTITION of users (manual
+`part = user_hash % P` + groupby(part).map_groups), not one per user —
+inside a partition every user's session count falls out of ONE
+vectorized lexsort + diff over (user, ts) (a session boundary is a
+row whose gap from the previous row exceeds gap_s OR whose user
+differs), so many-small-users cost is O(n log n) per partition with
+zero per-user python overhead.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+
+def _parts() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus * 2)
 
 
 def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
@@ -19,26 +36,45 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
     the previous event exceeds gap_s.  Ties broken by event_id (total
     order, matching the SQL oracle's ORDER BY ts, event_id)."""
     gap_us = gap_s * 1_000_000
+    P = _parts()
 
-    def per_user(group: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
         # null-ts events carry no ordering information: excluded here
         # AND in the SQL oracle (WHERE ts IS NOT NULL)
-        group = group.filter(group.column(ts_col).combine_chunks().is_valid())
-        group = group.sort_by([(ts_col, "ascending"), ("event_id", "ascending")])
-        ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+        batch = batch.filter(batch.column(ts_col).combine_chunks().is_valid())
+        u = batch.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        n = len(ts)
+        part = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) % np.uint64(P)
+        return pa.table({user_col: batch.column(user_col),
+                         "event_id": batch.column("event_id"),
+                         ts_col: batch.column(ts_col),
+                         "part": pa.array(part.astype(np.int64))})
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        n = group.num_rows
         if n == 0:
             return pa.table({user_col: pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64()),
                              "n_sessions": pa.array([], pa.int64())})
-        new_sess = np.ones(n, dtype=np.int64)
-        if n > 1:
-            new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        return pa.table({
-            user_col: group.column(user_col).slice(0, 1),
-            "n_events": pa.array([n], pa.int64()),
-            "n_sessions": pa.array([int(new_sess.sum())], pa.int64()),
-        })
+        u = group.column(user_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        new_sess = new_user | np.r_[False, tss[1:] - tss[:-1] > gap_us]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.r_[starts, n])
+        sess_cum = np.cumsum(new_sess)
+        sess_per_user = np.diff(np.r_[sess_cum[starts] - 1, sess_cum[-1]])
+        return pa.table({user_col: pa.array(us[starts]),
+                         "n_events": pa.array(counts.astype(np.int64)),
+                         "n_sessions": pa.array(
+                             sess_per_user.astype(np.int64))})
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    parts = ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")
