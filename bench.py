@@ -56,12 +56,25 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b).materialize()
 
+    # the sandbox box has bursty multi-core background interference
+    # (load avg ~4-5 at 98% idle, ~2% steal): single samples swing
+    # +-50-100%, so every measurement is best-of-N with all samples
+    # reported (same policy as --scaling)
+    reps = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
-    t0 = time.time()
-    summary = run_harvest(fx, out_dir, wave_size=64, resume=False)
-    harvest_sec = time.time() - t0
-    rows = summary["rows_out_total"]
-    timings["harvest"] = round(harvest_sec, 3)
+    samples: dict[str, list[float]] = {}
+
+    harvest_samples = []
+    rows = 0
+    for r in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        summary = run_harvest(fx, out_dir, wave_size=64, resume=False)
+        harvest_samples.append(round(time.time() - t0, 3))
+        rows = summary["rows_out_total"]
+    harvest_sec = min(harvest_samples)
+    timings["harvest"] = harvest_sec
+    samples["harvest"] = harvest_samples
 
     if not headline_only:
         from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
@@ -72,18 +85,22 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # new banded near-dup family
                      "doc_fingerprint", "lang_id", "asof_prior",
                      "approx_distinct_users", "dedup_simhash_near"]:
-            t = time.time()
-            res = RAY_QUERIES[name](sf_dir)
-            # consume the stream (count() triggers full execution)
-            if hasattr(res, "count"):
-                res.count()
-            timings[name] = round(time.time() - t, 3)
+            samples[name] = []
+            for r in range(reps):
+                t = time.time()
+                res = RAY_QUERIES[name](sf_dir)
+                # consume the stream (count() triggers full execution)
+                if hasattr(res, "count"):
+                    res.count()
+                samples[name].append(round(time.time() - t, 3))
+            timings[name] = min(samples[name])
 
     result = {
         "metric": "harvest_e2e_sec",
         "value": round(harvest_sec, 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
         "rows": rows,
