@@ -317,11 +317,20 @@ def simhash_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
         batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy<2 has no
+    bitwise_count); memory stays O(x.size), no 64x bit expansion."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+            ).astype(np.int64)
+
+
 def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Per-element hamming distance of two uint64 arrays (vectorized
-    popcount via unpackbits over the byte view)."""
-    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
-    return np.unpackbits(x, axis=1).sum(axis=1)
+    """Per-element hamming distance of two uint64 arrays."""
+    return _popcount64(a ^ b)
 
 
 def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
@@ -381,17 +390,34 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
         counts = np.diff(np.r_[starts, len(k)])
         dup_ids = []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
-            # pairwise within-bucket verify (ids asc): dup iff ANY
-            # strictly-smaller id is within max_hamming — buckets are
-            # tiny, so the (c,c) popcount matrix is cheap
+            # within-bucket verify (ids asc): dup iff ANY strictly-
+            # smaller id is within max_hamming.  HOT-BUCKET GUARD
+            # (e.g. millions of empty docs all share simhash 0 and
+            # bucket together at corpus scale): first collapse
+            # IDENTICAL hashes — everything after the first occurrence
+            # of a hash value is a dup by definition — then run the
+            # pairwise popcount only over the <=c unique hashes, in
+            # fixed-size chunks so memory stays O(chunk * uniq), never
+            # O(c^2)
             hh = h[s:s + c]
             ii = i[s:s + c]
-            x = (hh[:, None] ^ hh[None, :]).view(np.uint8).reshape(c, c, 8)
-            ham = np.unpackbits(x, axis=2).sum(axis=2)
-            smaller = (ii[None, :] < ii[:, None])
-            near = ((ham <= max_hamming) & smaller).any(axis=1)
-            if near.any():
-                dup_ids.append(ii[near])
+            horder = np.lexsort((ii, hh))
+            hs, is_ = hh[horder], ii[horder]
+            first = np.r_[True, hs[1:] != hs[:-1]]
+            if not first.all():
+                dup_ids.append(is_[~first])  # identical-hash dups
+            uh, ui = hs[first], is_[first]
+            uorder = np.argsort(ui)
+            uh, ui = uh[uorder], ui[uorder]  # unique hashes, ids asc
+            u = len(uh)
+            CH = max(16, 8_000_000 // max(u, 1))  # ~64MB of uint64 tmp
+            for a in range(1, u, CH):
+                b = min(a + CH, u)
+                ham = _popcount64(uh[a:b, None] ^ uh[None, :b])
+                smaller = ui[None, :b] < ui[a:b, None]
+                near = ((ham <= max_hamming) & smaller).any(axis=1)
+                if near.any():
+                    dup_ids.append(ui[a:b][near])
         out = (np.unique(np.concatenate(dup_ids)) if dup_ids
                else np.empty(0, dtype=ids.dtype))
         return pa.table({id_col: pa.array(out),
@@ -541,15 +567,20 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
         counts = np.diff(np.r_[starts, len(b)])
         dup_ids = []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            # within-bucket verify, ids asc: dup iff any strictly-
+            # smaller id is >= threshold.  Chunked matmul bounds the
+            # sims temporary at O(chunk * c) for hot buckets (a
+            # degenerate corpus can pile many vectors into one bucket)
             seg = m[s:s + c]
-            sims = seg @ seg.T  # within-bucket only, ids asc
-            # dup iff any strictly-smaller id in the bucket is >= th
-            smaller = np.tril(np.ones((c, c), dtype=bool), k=-1)
-            # equal ids (multiprobe can't collide here, but guard anyway)
             ii = i[s:s + c]
-            smaller &= ii[None, :] < ii[:, None]
-            hit = (sims >= threshold) & smaller
-            dup_ids.append(ii[hit.any(axis=1)])
+            CH = max(16, 4_000_000 // max(c, 1))
+            for a in range(1, c, CH):
+                b = min(a + CH, c)
+                sims = seg[a:b] @ seg[:b].T  # only smaller-index cols
+                smaller = ii[None, :b] < ii[a:b, None]
+                hit = ((sims >= threshold) & smaller).any(axis=1)
+                if hit.any():
+                    dup_ids.append(ii[a:b][hit])
         out = (np.unique(np.concatenate(dup_ids)) if dup_ids
                else np.empty(0, dtype=ids.dtype))
         return pa.table({id_col: pa.array(out),
