@@ -41,7 +41,10 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
     """For each left_type row, attach the value of the most recent
     STRICTLY prior right_type row with the same key (null when none).
 
-    Matches DuckDB `ASOF JOIN ... ON l.key = r.key AND l.ts > r.ts`.
+    Matches DuckDB `ASOF JOIN ... ON l.key = r.key AND l.ts > r.ts`
+    including its null handling (property-tested): null-ts RIGHT rows
+    never match; a null-ts LEFT row ranks after every real ts
+    (nulls-last) and joins the key's last right row.
 
     Scale shape: one python call per HASH PARTITION of keys (manual
     `part = key_hash % P` + groupby(part).map_groups), not one per key
@@ -72,10 +75,12 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
             return pa.table({id_col: pa.array([], pa.int64()),
                              "prior_value": pa.array([], pa.float64())})
         l_key = left.column(key).to_numpy(zero_copy_only=False)
+        # null left ts -> NaN -> ranks after every real ts (numpy sorts
+        # NaN last), matching DuckDB ASOF's nulls-last behavior: a
+        # null-ts left row joins the key's LAST right row.  int64 us
+        # timestamps are exact in float64 (< 2^53).
         l_ts = left.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        l_ts_null = ~left.column(ts_col).combine_chunks().is_valid(
-        ).to_numpy(zero_copy_only=False)
         l_id = left.column(id_col).to_numpy(zero_copy_only=False)
         # right side: drop null-ts rows (ts > NULL is never true), sort
         # by (key, ts, id) so "last match" == max id among ts ties
@@ -105,7 +110,7 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
         # last right row with comp < comp_l (strict: equal ts shares a
         # rank, so 'left' excludes it)
         j = np.searchsorted(comp_r, comp_l, side="left") - 1
-        ok = (j >= 0) & ~l_ts_null
+        ok = j >= 0
         jj = np.clip(j, 0, None)
         ok &= (r_key[jj] == l_key)  # composite may have crossed a key
         vals = np.where(ok, r_val[jj], np.nan)

@@ -205,8 +205,10 @@ def test_sessionize_semantics():
 
 def test_relational_null_ts_tolerated():
     """Null timestamps must not crash the windowed/asof ops: tumbling
-    drops them (like the oracle's WHERE ts IS NOT NULL), asof keeps the
-    left row with a null prior (ts > NULL is never true)."""
+    drops them (like the oracle's WHERE ts IS NOT NULL); asof matches
+    DuckDB ASOF null semantics — null-ts RIGHT rows never match, a
+    null-ts LEFT row ranks nulls-last and joins the key's last right
+    row."""
     from d1_log_aggregation_ray.ops.relational import (tumbling_counts,
                                                        asof_join_prior)
     US = 1_000_000
@@ -225,7 +227,7 @@ def test_relational_null_ts_tolerated():
                                       left_type="click",
                                       right_type="view").take_all()}
     assert prior[2] == 1.0          # strictly-prior view
-    assert prior[3] is None         # null-ts click -> no prior
+    assert prior[3] == 1.0          # null-ts click ranks last -> last view
     assert prior[5] is None         # only view for user 2 has null ts
 
 
