@@ -42,6 +42,8 @@ import ray
 import ray.data
 
 from ..functions.hashing import md5_lower64
+from ..functions.parts import hash_parts as _num_parts
+from ..functions.parts import join_parts as _join_partitions
 
 _MERSENNE31 = (1 << 31) - 1  # 31-bit modulus: (a*x + b) fits in uint64
 
@@ -62,28 +64,6 @@ def _signatures(ds: ray.data.Dataset, num_perm: int, text_col: str,
                 num_perm=num_perm, text_col=text_col, id_col=id_col)
         return h(batch)
     return ds.map_batches(sig_fn, batch_format="pyarrow")
-
-
-def _join_partitions() -> int:
-    """Size hash-join aggregator count to the cluster: each partition
-    is an actor, and requesting more actors than free CPUs stalls the
-    join on a small (e.g. 4-cpu test) session."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(16, cpus // 2))
-
-
-def _num_parts() -> int:
-    """Manual hash-partition count for the partition-scan pattern:
-    enough for full CPU parallelism, few enough that per-partition
-    python-call overhead is negligible."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(8, cpus * 2)
 
 
 _WCOMB = np.uint64(1_000_003)

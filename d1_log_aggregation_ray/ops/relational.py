@@ -25,12 +25,8 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
-def _asof_parts() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(8, cpus * 2)
+from ..functions.parts import hash_parts as _asof_parts
+from ..functions.parts import key_parts as _key_parts
 
 
 def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
@@ -59,11 +55,10 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column(key).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        part = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                ) % np.uint64(P)
+        part = _key_parts(k, P)
         cols = {c: batch.column(c) for c in
                 (key, ts_col, type_col, value_col, id_col)}
-        cols["part"] = pa.array(part.astype(np.int64))
+        cols["part"] = pa.array(part)
         return pa.table(cols)
 
     def partition_scan(group: pa.Table) -> pa.Table:
@@ -192,9 +187,7 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
             cols = dict(zip(batch.column_names, batch.columns))
         if with_part:
             kk = batch.column(key).to_numpy(zero_copy_only=False)
-            part = (kk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                    ) % np.uint64(P)
-            cols["part"] = pa.array(part.astype(np.int64))
+            cols["part"] = pa.array(_key_parts(kk, P))
         return pa.table(cols)
 
     local = ds.map_batches(lambda b: _local_topk(b, True),

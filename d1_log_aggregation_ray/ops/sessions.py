@@ -21,12 +21,8 @@ import ray
 import ray.data
 
 
-def _parts() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(8, cpus * 2)
+from ..functions.parts import hash_parts as _parts
+from ..functions.parts import key_parts as _key_parts
 
 
 def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
@@ -44,12 +40,10 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
         batch = batch.filter(batch.column(ts_col).combine_chunks().is_valid())
         u = batch.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        part = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                ) % np.uint64(P)
         return pa.table({user_col: batch.column(user_col),
                          "event_id": batch.column("event_id"),
                          ts_col: batch.column(ts_col),
-                         "part": pa.array(part.astype(np.int64))})
+                         "part": pa.array(_key_parts(u, P))})
 
     def partition_scan(group: pa.Table) -> pa.Table:
         n = group.num_rows
