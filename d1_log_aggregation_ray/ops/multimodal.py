@@ -55,10 +55,14 @@ class MediaDecoder:
                           batch_size=64, concurrency=(2, 8), num_cpus=1)
     """
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, keep_payload: bool = False):
         # real implementation would load codecs / models HERE, once per
         # actor (PIL/ffmpeg/torchaudio are not in this container)
         self.fake = fake
+        # keep_payload=True threads the raw bytes through for chained
+        # stages (resize/featurize); drop them at the earliest stage
+        # that no longer needs them — payload bytes dominate the blocks
+        self.keep_payload = keep_payload
 
     def _decode_real(self, payload: bytes, kind: str):
         raise NotImplementedError(
@@ -91,6 +95,8 @@ class MediaDecoder:
             "n_frames": pa.array([m["n_frames"] for m in metas], pa.int64()),
             "duration_ms": pa.array([m["duration_ms"] for m in metas], pa.int64()),
         })
+        if self.keep_payload:
+            out = out.append_column("payload", batch.column("payload"))
         return out
 
 
@@ -99,3 +105,79 @@ def frame_sample_indices(n_frames: int, every_n: int = 30) -> np.ndarray:
     if n_frames <= 0:
         return np.empty(0, dtype=np.int64)
     return np.arange(0, n_frames, every_n, dtype=np.int64)
+
+
+def frame_sample_batch(batch: pa.Table, every_n: int = 30) -> pa.Table:
+    """Vectorized frame-sample plan column: for each row, the sampled
+    frame indices as list<int64> (empty for non-video rows).  Stateless
+    map_batches stage between decode and a real frame extractor."""
+    nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
+    counts = np.where(nf > 0, (nf + every_n - 1) // every_n, 0).astype(np.int64)
+    offsets = np.zeros(len(nf) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = (np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(offsets[:-1], counts)) * every_n
+    return batch.append_column(
+        "sample_frames",
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                 pa.array(flat)))
+
+
+class MediaResizer:
+    """Actor-pool resize stage (decode -> RESIZE -> featurize).
+
+    Real resampling kernels would be loaded in __init__ (PIL/ffmpeg not
+    in this container — `fake=False` raises); the fake path computes
+    the deterministic aspect-preserving target geometry (fit into
+    max_w x max_h, never upscale), so schema, batch sizing and actor
+    shape are real and tested."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512,
+                 fake: bool = False):
+        self.max_w, self.max_h, self.fake = max_w, max_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real resize requires imaging libraries not present in "
+                "this environment; construct MediaResizer(fake=True)")
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        scale = np.minimum(1.0, np.minimum(
+            self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)))
+        return (batch
+                .append_column("resized_w", pa.array(
+                    np.maximum(1, np.floor(w * scale)).astype(np.int64)))
+                .append_column("resized_h", pa.array(
+                    np.maximum(1, np.floor(h * scale)).astype(np.int64))))
+
+
+class MediaFeaturizer:
+    """Actor-pool batched-inference stage: payload -> embedding
+    (list<float32>).  A real model would be loaded once per actor in
+    __init__ and run BATCHED in __call__; the fake path derives a
+    deterministic unit vector from the payload bytes so downstream
+    similarity/dedup plumbing can be exercised end-to-end."""
+
+    def __init__(self, dim: int = 16, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "feature extraction requires model libraries not present "
+                "in this environment; construct MediaFeaturizer(fake=True)")
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        out = np.empty((n, self.dim), dtype=np.float32)
+        for i, p in enumerate(payloads):  # per-payload: bytes are opaque
+            seed = zlib.crc32(p or b"")
+            out[i] = np.random.RandomState(seed).randn(self.dim)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.maximum(norms, 1e-9)
+        return batch.append_column(
+            "embedding",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(-1)), self.dim))

@@ -478,17 +478,35 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payload column -> actor-pool decode
-    (deterministic fake kernel; real codecs stubbed per environment)."""
+    """Multimodal plumbing, full chain: binary payload -> actor-pool
+    DECODE -> frame-sample plan -> actor-pool RESIZE -> actor-pool
+    FEATURIZE (batched fake model -> unit embedding) -> payload
+    dropped.  Deterministic fake kernels; real codecs stubbed per
+    environment, every Ray-side shape (schema, small batch, init-once
+    actors) real."""
+    from ..ops.multimodal import (MediaResizer, MediaFeaturizer,
+                                  frame_sample_batch)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["text"])
     texts = [t or "" for t in docs.column("text").to_pylist()[:500]]
     kinds = ["image", "audio", "video"] * (len(texts) // 3 + 1)
     tbl = make_fake_media_table(texts, kinds[:len(texts)])
     ds = ray.data.from_arrow(tbl)
-    return ds.map_batches(MediaDecoder, fn_constructor_kwargs={"fake": True},
-                          batch_size=64, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    ds = ds.map_batches(MediaDecoder,
+                        fn_constructor_kwargs={"fake": True,
+                                               "keep_payload": True},
+                        batch_size=64, batch_format="pyarrow",
+                        concurrency=(1, 4))
+    ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(MediaResizer, fn_constructor_kwargs={"fake": True},
+                        batch_size=64, batch_format="pyarrow",
+                        concurrency=(1, 4))
+    ds = ds.map_batches(MediaFeaturizer,
+                        fn_constructor_kwargs={"fake": True},
+                        batch_size=64, batch_format="pyarrow",
+                        concurrency=(1, 4))
+    return ds.drop_columns(["payload"])
 
 
 # --------------------------------------------------------------------------

@@ -248,6 +248,60 @@ def test_media_plumbing():
         MediaDecoder(fake=False)._decode_real(b"x", "image")
 
 
+def test_media_chain_resize_featurize_framesample():
+    """Full multimodal chain: decode (payload kept) -> frame-sample
+    plan -> resize geometry -> batched fake featurize; payload dropped
+    at the end; embeddings unit-norm and deterministic."""
+    from d1_log_aggregation_ray.ops.multimodal import (MediaResizer,
+                                                       MediaFeaturizer,
+                                                       frame_sample_batch)
+    tbl = make_fake_media_table(["abc", "defg", "hijkl", ""],
+                                ["image", "video", "audio", "image"])
+    ds = ray.data.from_arrow(tbl)
+    ds = ds.map_batches(MediaDecoder,
+                        fn_constructor_kwargs={"fake": True,
+                                               "keep_payload": True},
+                        batch_size=2, batch_format="pyarrow",
+                        concurrency=(1, 2))
+    ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow")
+    ds = ds.map_batches(MediaResizer, fn_constructor_kwargs={"fake": True},
+                        batch_size=2, batch_format="pyarrow",
+                        concurrency=(1, 2))
+    ds = ds.map_batches(MediaFeaturizer,
+                        fn_constructor_kwargs={"fake": True},
+                        batch_size=2, batch_format="pyarrow",
+                        concurrency=(1, 2))
+    rows = {r["media_id"]: r for r in
+            ds.drop_columns(["payload"]).take_all()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["resized_w"] <= 512 and r["resized_h"] <= 512
+        # aspect preserved within rounding, never upscaled
+        assert r["resized_w"] <= max(r["width"], 1)
+        emb = np.asarray(r["embedding"])
+        assert emb.shape == (16,) and abs(np.linalg.norm(emb) - 1) < 1e-5
+        if r["kind"] == "video":
+            assert len(r["sample_frames"]) == (r["n_frames"] + 29) // 30
+            assert list(r["sample_frames"])[:2] == [0, 30][:len(r["sample_frames"])][:2]
+        else:
+            assert r["n_frames"] <= 1
+    # determinism: same payload -> same embedding
+    e1 = np.asarray(rows[0]["embedding"])
+    tbl2 = make_fake_media_table(["abc"], ["image"])
+    ds2 = ray.data.from_arrow(tbl2).map_batches(
+        MediaDecoder, fn_constructor_kwargs={"fake": True,
+                                             "keep_payload": True},
+        batch_format="pyarrow", concurrency=1).map_batches(
+        MediaFeaturizer, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=1)
+    e2 = np.asarray(ds2.take_all()[0]["embedding"])
+    assert np.allclose(e1, e2)
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(fake=False)
+    with pytest.raises(NotImplementedError):
+        MediaResizer(fake=False)(tbl)
+
+
 def test_enrich_tolerant_row_fallback():
     """M3: a poison batch falls back to row-level processing and only
     the failing rows are dropped."""
