@@ -237,10 +237,15 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
 
     per_part = band.groupby("part").map_groups(partition_scan,
                                                batch_format="pyarrow")
-    per_doc = per_part.groupby(id_col).min("bmin")
+    # final per-doc min over bucket mins via the hash-partition
+    # aggregate (doc_id is corpus-cardinality; Ray's native aggregate
+    # reduce pays ~90us/group — measured 45 s for 500k docs)
+    from ..stages.aggregate import hash_partition_aggregate
+    per_doc = hash_partition_aggregate(per_part, [id_col],
+                                       [("bmin", "min")])
 
     def survivors(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("min(bmin)"), batch.column(id_col))
+        keep = pc.equal(batch.column("bmin_min"), batch.column(id_col))
         return pa.table({id_col: batch.column(id_col).filter(
             pc.fill_null(keep, False))})
 
@@ -285,15 +290,39 @@ def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
                      "simhash": pa.array(hs.astype(np.int64))})
 
 
+def _survivors_unmarked(all_ids: ray.data.Dataset,
+                        marked: ray.data.Dataset,
+                        id_col: str) -> ray.data.Dataset:
+    """Shared dedup tail: ids never marked dup — union the (id, dup=0)
+    corpus rows with the (id, dup=1) marks, max per id via the
+    hash-partition aggregate (corpus-cardinality key), keep dup==0."""
+    from ..stages.aggregate import hash_partition_aggregate
+    per_doc = hash_partition_aggregate(all_ids.union(marked), [id_col],
+                                       [("dup", "max")])
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.equal(t.column("dup_max"), 0)),
+        batch_format="pyarrow").select_columns([id_col])
+
+
+def _zero_marks(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+
 def simhash_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                   text_col: str = "text") -> ray.data.Dataset:
     """Exact-simhash-bucket dedup (hamming-0); the near-dup variant is
-    simhash_near_dedup below."""
+    simhash_near_dedup below.  Min id per simhash via the
+    hash-partition aggregate (simhash cardinality ~ corpus size)."""
+    from ..stages.aggregate import hash_partition_aggregate
     with_h = ds.map_batches(_add_simhash, batch_format="pyarrow",
                             fn_kwargs={"id_col": id_col,
                                        "text_col": text_col})
-    return with_h.groupby("simhash").min(id_col).map_batches(
-        lambda b: b.select(["min(" + id_col + ")"]).rename_columns([id_col]),
+    agg = hash_partition_aggregate(with_h, ["simhash"], [(id_col, "min")])
+    return agg.map_batches(
+        lambda b: b.select([id_col + "_min"]).rename_columns([id_col]),
         batch_format="pyarrow")
 
 
@@ -405,14 +434,7 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
 
     marked = band.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
-    all_ids = ds.map_batches(
-        lambda b: pa.table({id_col: b.column(id_col),
-                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
-        batch_format="pyarrow")
-    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
-    return per_doc.map_batches(
-        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
-        batch_format="pyarrow").select_columns([id_col])
+    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -457,26 +479,40 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     cand = cand.join(texts, "inner", num_partitions=_join_partitions(),
                      on=(id_col,))
 
-    def verify(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column(id_col).to_numpy())
-        ids = group.column(id_col).to_numpy()[order]
+    def verify_partition(group: pa.Table) -> pa.Table:
+        """All candidate buckets of one band_key hash partition in one
+        call (one ray group per PARTITION, not per bucket — candidate
+        buckets are corpus-cardinality); the per-bucket jaccard loop
+        is python but runs only over multi-doc buckets' rows."""
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, keys))
+        k, i = keys[order], ids[order]
         texts_ = np.asarray(group.column(text_col).to_pylist(),
                             dtype=object)[order]
-        rep = _shingle_hashes(texts_[0] or "")
-        dup = np.zeros(len(ids), dtype=np.int8)
-        for i in range(1, len(ids)):
-            dup[i] = 1 if _jaccard(rep, _shingle_hashes(texts_[i] or "")) >= threshold else 0
-        return pa.table({id_col: pa.array(ids), "dup": pa.array(dup)})
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[starts, len(k)])
+        dup_ids = []
+        vocab: dict = {}
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            rep = _shingle_hashes(texts_[s] or "", vocab=vocab)
+            for j in range(1, c):
+                if _jaccard(rep, _shingle_hashes(
+                        texts_[s + j] or "", vocab=vocab)) >= threshold:
+                    dup_ids.append(i[s + j])
+        out = (np.unique(np.array(dup_ids, dtype=i.dtype)) if dup_ids
+               else np.empty(0, dtype=i.dtype))
+        return pa.table({id_col: pa.array(out),
+                         "dup": pa.array(np.ones(len(out), np.int8))})
 
-    marked = cand.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    all_ids = ds.map_batches(
-        lambda b: pa.table({id_col: b.column(id_col),
-                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
-        batch_format="pyarrow")
-    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
-    return per_doc.map_batches(
-        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
-        batch_format="pyarrow").select_columns([id_col])
+    from ..stages.aggregate import add_part_column
+    cand = cand.map_batches(add_part_column, batch_format="pyarrow",
+                            fn_kwargs={"key": "band_key",
+                                       "n_parts": n_parts,
+                                       "part_col": "_part"})
+    marked = cand.groupby("_part").map_groups(verify_partition,
+                                              batch_format="pyarrow")
+    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
 
 
 def _sign_buckets(m: np.ndarray, n_planes: int, seed: int = 17) -> np.ndarray:
@@ -568,14 +604,7 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
 
     marked = rows.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
-    all_ids = ds.map_batches(
-        lambda t: pa.table({id_col: t.column(id_col),
-                            "dup": pa.array(np.zeros(t.num_rows, np.int8))}),
-        batch_format="pyarrow")
-    per_doc = all_ids.union(marked).groupby(id_col).max("dup")
-    return per_doc.map_batches(
-        lambda t: t.filter(pc.equal(t.column("max(dup)"), 0)),
-        batch_format="pyarrow").select_columns([id_col])
+    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
 
 
 def embedding_cosine_dedup_bruteforce(

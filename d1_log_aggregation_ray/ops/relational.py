@@ -22,7 +22,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 from ..functions.parts import hash_parts as _asof_parts
@@ -147,14 +146,18 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
 
     partials = ds.map_batches(add_window, batch_format="pyarrow",
                               zero_copy_batch=True)
-    agg = partials.groupby([key, "window_start"]).aggregate(Sum("n"))
+    # (key, window) cardinality grows with users x time: merge partials
+    # through the hash-partition aggregate, not Ray's per-group reduce
+    from ..stages.aggregate import hash_partition_aggregate
+    agg = hash_partition_aggregate(partials, [key, "window_start"],
+                                   [("n", "sum")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             key: batch.column(key),
             "window_start": batch.column("window_start").cast(
                 pa.timestamp("us")),
-            "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "n": pc.cast(batch.column("n_sum"), pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -229,5 +232,13 @@ def distinct_count(ds: ray.data.Dataset, key: str,
             agg.schema.get_field_index("n_distinct"), "n_distinct",
             agg.column("n_distinct").cast(pa.int64()))
 
-    return uniq_pairs.groupby(key).map_groups(count_unique,
-                                              batch_format="pyarrow")
+    # hash-partition by key (keys can be corpus-cardinality; one ray
+    # group per PARTITION, count_unique handles all its keys at once)
+    from ..stages.aggregate import add_part_column
+    from ..functions.parts import hash_parts
+    parts = uniq_pairs.map_batches(
+        add_part_column, batch_format="pyarrow",
+        fn_kwargs={"key": key, "n_parts": hash_parts()})
+    return parts.groupby("_part").map_groups(
+        lambda g: count_unique(g.drop_columns(["_part"])),
+        batch_format="pyarrow")

@@ -173,5 +173,13 @@ def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
                          "n_distinct_approx": pa.array(
                              np.rint(est).astype(np.int64))})
 
-    return sketches.groupby(key).map_groups(merge_group,
-                                            batch_format="pyarrow")
+    # hash-partition by key (corpus-cardinality keys; merge_group
+    # handles every key of a partition in one vectorized pass)
+    from ..stages.aggregate import add_part_column
+    from ..functions.parts import hash_parts
+    parts = sketches.map_batches(
+        add_part_column, batch_format="pyarrow",
+        fn_kwargs={"key": key, "n_parts": hash_parts()})
+    return parts.groupby("_part").map_groups(
+        lambda g: merge_group(g.drop_columns(["_part"])),
+        batch_format="pyarrow")

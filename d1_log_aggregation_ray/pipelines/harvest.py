@@ -38,7 +38,7 @@ import ray.data
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..sources.readers import read_transcripts, load_side_tables
 from ..stages.project import clean_project
-from ..stages.window import repeat_visit_group, bucket_window_scan
+from ..stages.window import bucket_window_scan
 from ..stages.enrich import Enricher, DEFAULT_RUN_TS
 from ..state.manifest import Manifest
 
@@ -70,10 +70,22 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                             batch_format="pyarrow", zero_copy_batch=True,
                             num_cpus=1.01)
     else:
+        # general path for non-partitioned inputs: ONE hash-partition
+        # exchange on the narrow columns, then the same multi-conv
+        # vectorized scan as the bucket path runs per partition
+        # (conv_id is corpus-cardinality — one ray group per conv
+        # would pay ~90us each; see stages/aggregate.py)
+        from ..stages.aggregate import add_part_column
+        from ..functions.parts import hash_parts
         ds = ds.map_batches(clean_project, batch_format="pyarrow",
                             zero_copy_batch=True, fn_kwargs={"cfg": cfg})
-        ds = ds.groupby("conv_id").map_groups(
-            repeat_visit_group, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+        ds = ds.map_batches(add_part_column, batch_format="pyarrow",
+                            fn_kwargs={"key": "conv_id",
+                                       "n_parts": hash_parts()})
+        ds = ds.groupby("_part").map_groups(
+            lambda g: bucket_window_scan(g.drop_columns(["_part"]), cfg,
+                                         check_bucket=False),
+            batch_format="pyarrow")
     ds = ds.map_batches(
         Enricher, fn_constructor_args=(side_ref, cfg, run_ts),
         batch_format="pyarrow", zero_copy_batch=True,

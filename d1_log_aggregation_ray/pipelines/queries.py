@@ -115,8 +115,11 @@ def q_enrich_meta(sf_dir: str):
 
 
 def q_geo_enrich(sf_dir: str):
-    """J4: per-conv synthetic geo (the SQL-expressible columns)."""
-    ds = _clean(sf_dir).groupby("conv_id").aggregate(Count())
+    """J4: per-conv synthetic geo (the SQL-expressible columns).
+    DISTINCT conv via the hash-partition aggregate (conv cardinality)."""
+    from ..stages.aggregate import hash_partition_aggregate
+    ds = hash_partition_aggregate(
+        _clean(sf_dir).select_columns(["conv_id"]), ["conv_id"], [])
 
     def add_geo(batch: pa.Table) -> pa.Table:
         # vectorized geo_fields_for_hash: md5 per unique conv via the
@@ -261,18 +264,23 @@ def q_dedup_exact(sf_dir: str):
     raw text itself (at corpus scale a groupby on the document body
     shuffles the corpus).  128-bit md5 makes hash-group == text-group
     (collision odds ~2^-128 per pair; 64 bits would NOT suffice at
-    10^12 docs), so the `GROUP BY text` oracle still matches."""
+    10^12 docs), so the `GROUP BY text` oracle still matches.  The min
+    per fingerprint runs through the hash-partition aggregate —
+    fingerprints are corpus-cardinality and Ray's native per-group
+    reduce would crawl (stages/aggregate.py)."""
     from ..functions.hashing import md5_bytes_array
+    from ..stages.aggregate import hash_partition_aggregate
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": md5_bytes_array(batch.column("text"))})
 
-    agg = ds.map_batches(fp, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("fp").min("doc_id")
+    agg = hash_partition_aggregate(
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], [("doc_id", "min")])
     return agg.map_batches(
-        lambda b: b.select(["min(doc_id)"]).rename_columns(["doc_id"]),
+        lambda b: b.select(["doc_id_min"]).rename_columns(["doc_id"]),
         batch_format="pyarrow")
 
 

@@ -20,7 +20,63 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+
+from ..functions.hashing import md5_lower64_array
+from ..functions.parts import hash_parts, key_parts
+
+
+def add_part_column(batch: pa.Table, key: str, n_parts: int,
+                    part_col: str = "_part") -> pa.Table:
+    """Append a hash-partition column derived from `key` (int keys via
+    golden-ratio mix, fixed-width binary via the embedded low-64 bits,
+    strings via md5)."""
+    col = batch.column(key)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        part = key_parts(col.to_numpy(zero_copy_only=False
+                                      ).astype(np.int64), n_parts)
+    elif pa.types.is_fixed_size_binary(col.type):
+        w = col.type.byte_width
+        raw = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        raw = raw[col.offset * w:(col.offset + len(col)) * w].reshape(-1, w)
+        low = raw[:, max(0, w - 8):].copy().view(np.uint64).reshape(-1)
+        part = (low % np.uint64(n_parts)).astype(np.int64)
+    else:
+        part = (md5_lower64_array(col) % np.uint64(n_parts)).astype(np.int64)
+    return batch.append_column(part_col, pa.array(part))
+
+
+def hash_partition_aggregate(ds: ray.data.Dataset, keys: list[str],
+                             aggs: list[tuple], rename: dict | None = None,
+                             n_parts: int | None = None) -> ray.data.Dataset:
+    """groupby(keys).aggregate(...) for HIGH-CARDINALITY keys.
+
+    Ray's native groupby().aggregate() pays ~90 us of python per group
+    in its reduce (measured on this box: 73 s vs 2.5 s for 2M rows /
+    500k keys), which is unusable when the key is a conv/doc/user id.
+    This runs the same single sort-shuffle — but keyed on a small
+    `_part = hash(key) % P` column — and then aggregates each whole
+    partition in ONE arrow C++ hash-aggregate call (Table.group_by).
+
+    `aggs` are pyarrow aggregate specs, e.g. [("v", "min")] or
+    [([], "count_all")]; output names follow arrow ("v_min",
+    "count_all"), remapped via `rename`.  Callers needing map-side
+    combining still pre-aggregate per batch before calling (count
+    partials must then be summed here, not re-counted)."""
+    P = n_parts or hash_parts()
+    k0 = keys[0]
+
+    def agg_part(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"]).group_by(keys).aggregate(aggs)
+        if rename:
+            g = g.rename_columns([rename.get(c, c) for c in g.column_names])
+        return g
+
+    return (ds.map_batches(add_part_column, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"key": k0, "n_parts": P})
+            .groupby("_part").map_groups(agg_part, batch_format="pyarrow"))
 
 
 def salted_count_max(ds: ray.data.Dataset, key: str, ts_col: str,
@@ -52,13 +108,17 @@ def salted_count_max(ds: ray.data.Dataset, key: str, ts_col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    merged = partials.groupby(key).aggregate(Sum(out_count), Max(out_max))
+    # final merge via the high-cardinality hash-partition aggregate
+    # (conv-count keys would crawl through Ray's per-group reduce)
+    merged = hash_partition_aggregate(
+        partials.drop_columns(["_salt"]), [key],
+        [(out_count, "sum"), (out_max, "max")],
+        rename={f"{out_count}_sum": out_count, f"{out_max}_max": out_max})
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def finish(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key),
-                out_count: pc.cast(batch.column(f"sum({out_count})"),
-                                   pa.int64()),
-                out_max: batch.column(f"max({out_max})")}
+                out_count: pc.cast(batch.column(out_count), pa.int64()),
+                out_max: batch.column(out_max)}
         return pa.table(cols)
 
-    return merged.map_batches(rename, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow")
