@@ -41,7 +41,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import md5_lower64
 from ..functions.parts import hash_parts as _num_parts
 from ..functions.parts import join_parts as _join_partitions
 

@@ -24,13 +24,11 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG
-from ..gen.fixtures import generate_fixtures, fixture_dir
+from ..gen.fixtures import generate_fixtures
 from ..sources.readers import read_transcripts, load_side_tables
 from ..stages.project import clean_project
 from ..stages.parse import regex_flags
 from ..stages.window import repeat_visit_group
-from ..stages.enrich import Enricher, geo_fields_for_hash
-from ..functions.hashing import md5_lower64
 from ..ops.dedup import (minhash_lsh_dedup, simhash_dedup,
                          simhash_near_dedup, ngram_jaccard_dedup,
                          embedding_cosine_dedup)

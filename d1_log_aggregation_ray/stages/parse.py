@@ -16,7 +16,6 @@ Null/blank text -> False (reference treats null/blank UA as no-match).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
