@@ -222,33 +222,22 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
                             batch_format="pyarrow")
 
     def partition_scan(group: pa.Table) -> pa.Table:
+        """Emit DUP MARKS only: a doc is a dup iff some bucket's min id
+        is smaller than its own — so only (doc_id, dup=1) rows for docs
+        beaten within this partition leave the scan.  The final
+        exchange then carries corpus ids + (usually few) marks instead
+        of a (doc, bucket-min) pair per partition a doc touches."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         _, i, starts, counts = _bucket_segments(keys, ids)
         bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
-        # partition-local combiner: min bucket-min per doc (first value
-        # after a stable (id, bmin) lexsort)
-        o2 = np.lexsort((bmin_per_row, i))
-        i2, b2 = i[o2], bmin_per_row[o2]
-        s2 = np.flatnonzero(np.r_[True, i2[1:] != i2[:-1]])
-        return pa.table({id_col: pa.array(i2[s2]),
-                         "bmin": pa.array(b2[s2])})
+        beaten = np.unique(i[bmin_per_row < i])
+        return pa.table({id_col: pa.array(beaten),
+                         "dup": pa.array(np.ones(len(beaten), np.int8))})
 
-    per_part = band.groupby("part").map_groups(partition_scan,
-                                               batch_format="pyarrow")
-    # final per-doc min over bucket mins via the hash-partition
-    # aggregate (doc_id is corpus-cardinality; Ray's native aggregate
-    # reduce pays ~90us/group — measured 45 s for 500k docs)
-    from ..stages.aggregate import hash_partition_aggregate
-    per_doc = hash_partition_aggregate(per_part, [id_col],
-                                       [("bmin", "min")])
-
-    def survivors(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("bmin_min"), batch.column(id_col))
-        return pa.table({id_col: batch.column(id_col).filter(
-            pc.fill_null(keep, False))})
-
-    return per_doc.map_batches(survivors, batch_format="pyarrow")
+    marked = band.groupby("part").map_groups(partition_scan,
+                                             batch_format="pyarrow")
+    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
 
 
 def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
@@ -294,7 +283,13 @@ def _survivors_unmarked(all_ids: ray.data.Dataset,
                         id_col: str) -> ray.data.Dataset:
     """Shared dedup tail: ids never marked dup — union the (id, dup=0)
     corpus rows with the (id, dup=1) marks, max per id via the
-    hash-partition aggregate (corpus-cardinality key), keep dup==0."""
+    hash-partition aggregate (corpus-cardinality key), keep dup==0.
+
+    NOTE: `all_ids` re-executes the input lineage (the corpus is
+    consumed twice: once into the banded/marked branch, once for the
+    id universe).  Fine when the input is a parquet read of (id, text);
+    for an expensive derived input, materialize the narrow id column
+    first or pass a cheaper id source."""
     from ..stages.aggregate import hash_partition_aggregate
     per_doc = hash_partition_aggregate(all_ids.union(marked), [id_col],
                                        [("dup", "max")])
