@@ -344,6 +344,46 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(ds, _query_vec(sf_dir), k=10).select(["vec_id"])
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash-Bernoulli sample (10%): keep doc iff
+    md5(doc_id) % 100 < 10.  The reproducible sampling primitive a
+    training-data pipeline needs (ds.random_sample is seed-and-
+    partitioning dependent; a content hash is stable across runs,
+    cluster sizes and engines — same rows in the DuckDB oracle)."""
+    from ..functions.hashing import md5_lower64_array
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        h = md5_lower64_array(pc.cast(ids, pa.string()))
+        return batch.filter(pa.array(h % np.uint64(100) < np.uint64(10)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality-gate pipeline: docs passing length / punctuation-ratio /
+    mean-token-length thresholds (the scoring kernels of quality_batch
+    composed into a filter — the shape of a pretraining quality cut)."""
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = quality_batch(batch)
+        n_tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_chr = batch.column("n_chars_m").to_numpy(zero_copy_only=False)
+        n_pun = batch.column("n_punct").to_numpy(zero_copy_only=False)
+        ok = ((n_tok >= 5)
+              & (n_chr >= 30)
+              & (n_pun * 5 <= n_tok)          # punct ratio <= 0.2/token
+              & (n_chr <= 40 * n_tok))        # mean token len <= 40
+        return pa.table({"doc_id": batch.column("doc_id").filter(
+            pa.array(ok))})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def q_token_count_bpe(sf_dir: str):
     """BPE-ish pre-tokenizer counts (single RE2 scan per batch)."""
     from ..ops.text import token_count_bpe_batch
@@ -746,6 +786,20 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10""",
+
+        "quality_filter": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     length(text) AS n_chr,
+                     length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_pun
+              FROM documents WHERE text IS NOT NULL)
+            WHERE n_tok >= 5 AND n_chr >= 30
+              AND n_pun * 5 <= n_tok AND n_chr <= 40 * n_tok""",
+
         "token_count_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_BPE_PATTERN}'))
@@ -835,6 +889,8 @@ RAY_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
+    "sample_docs": q_sample_docs,
+    "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
