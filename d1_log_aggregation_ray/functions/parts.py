@@ -39,7 +39,33 @@ def join_parts() -> int:
     return max(2, min(16, _cpus() // 2))
 
 
+#: sentinel standing in for NULL integer keys so null rows co-locate in
+#: one partition / one segment (a real key colliding with this value
+#: would merely share a partition — harmless — and a segment only in
+#: ops that also treat the sentinel as the null group, where the
+#: 1-in-2^63 collision is documented and accepted)
+NULL_KEY_SENTINEL = -(1 << 62) - 7
+
+
 def key_parts(keys: np.ndarray, n_parts: int) -> np.ndarray:
-    """int64 partition column for integer keys (golden-ratio mix)."""
+    """int64 partition column for integer keys (golden-ratio mix).
+    `keys` MUST be int64 (use int_key_array on a possibly-null Arrow
+    column first — int64-with-nulls silently becomes float64+NaN in
+    to_numpy, and hashing float BITS would send the same key to
+    different partitions depending on whether its batch contained
+    nulls)."""
+    assert keys.dtype == np.int64, keys.dtype
     return ((keys.view(np.uint64) * HASH_MIX) % np.uint64(n_parts)
             ).astype(np.int64)
+
+
+def int_key_array(col) -> np.ndarray:
+    """Arrow integer column -> int64 ndarray with nulls replaced by
+    NULL_KEY_SENTINEL (stable representation regardless of whether the
+    batch happens to contain nulls)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col.cast(pa.int64()), NULL_KEY_SENTINEL)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -558,11 +558,16 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
         flat = all_sigs.reshape(-1).astype(np.uint64)
         rep_ids = np.repeat(ids, reps)
         rep_m = np.repeat(m, reps, axis=0)
+        dim = m.shape[1]
+        offs = (np.arange(len(rep_ids) + 1, dtype=np.int32) * dim)
         return pa.table({
             "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
             "bucket": pa.array(flat.view(np.int64)),
             id_col: pa.array(rep_ids),
-            "vec": pa.array(list(rep_m), type=pa.list_(pa.float64())),
+            # one vectorized list build, no per-row python (variable-
+            # size list type to match the empty-batch schema)
+            "vec": pa.ListArray.from_arrays(pa.array(offs),
+                                            pa.array(rep_m.reshape(-1))),
         })
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")

@@ -26,6 +26,7 @@ import ray.data
 
 from ..functions.parts import hash_parts as _asof_parts
 from ..functions.parts import key_parts as _key_parts
+from ..functions.parts import int_key_array as _int_keys
 
 
 def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
@@ -52,9 +53,10 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
     P = _asof_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        part = _key_parts(k, P)
+        # int_key_array: nulls -> sentinel so the key column's numpy
+        # representation (and hence the partition of every OTHER key)
+        # never depends on whether this batch contains nulls
+        part = _key_parts(_int_keys(batch.column(key)), P)
         cols = {c: batch.column(c) for c in
                 (key, ts_col, type_col, value_col, id_col)}
         cols["part"] = pa.array(part)
@@ -68,7 +70,9 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
         if n_l == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "prior_value": pa.array([], pa.float64())})
-        l_key = left.column(key).to_numpy(zero_copy_only=False)
+        l_key = _int_keys(left.column(key))
+        l_key_null = ~left.column(key).combine_chunks().is_valid(
+        ).to_numpy(zero_copy_only=False)
         # null left ts -> NaN -> ranks after every real ts (numpy sorts
         # NaN last), matching DuckDB ASOF's nulls-last behavior: a
         # null-ts left row joins the key's LAST right row.  int64 us
@@ -76,15 +80,18 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
         l_ts = left.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         l_id = left.column(id_col).to_numpy(zero_copy_only=False)
-        # right side: drop null-ts rows (ts > NULL is never true), sort
-        # by (key, ts, id) so "last match" == max id among ts ties
-        rv = right.column(ts_col).combine_chunks().is_valid()
+        # right side: drop null-ts rows (ts > NULL is never true) AND
+        # null-key rows (NULL = NULL is not true — a null-key left row
+        # must never match a null-key right row); sort by (key, ts, id)
+        # so "last match" == max id among ts ties
+        rv = pc.and_(right.column(ts_col).combine_chunks().is_valid(),
+                     right.column(key).combine_chunks().is_valid())
         right = right.filter(rv)
         if right.num_rows == 0:
             return pa.table({id_col: pa.array(l_id),
                              "prior_value": pa.array([None] * n_l,
                                                      pa.float64())})
-        r_key = right.column(key).to_numpy(zero_copy_only=False)
+        r_key = _int_keys(right.column(key))
         r_ts = right.column(ts_col).combine_chunks().cast(pa.int64()
                                                           ).to_numpy(zero_copy_only=False)
         r_id = right.column(id_col).to_numpy(zero_copy_only=False)
@@ -104,7 +111,7 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
         # last right row with comp < comp_l (strict: equal ts shares a
         # rank, so 'left' excludes it)
         j = np.searchsorted(comp_r, comp_l, side="left") - 1
-        ok = j >= 0
+        ok = (j >= 0) & ~l_key_null  # null-key left rows never match
         jj = np.clip(j, 0, None)
         ok &= (r_key[jj] == l_key)  # composite may have crossed a key
         vals = np.where(ok, r_val[jj], np.nan)
@@ -177,7 +184,10 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
         if batch.num_rows == 0:
             cols = dict(zip(batch.column_names, batch.columns))
         else:
-            kv = batch.column(key).to_numpy(zero_copy_only=False)
+            # sentinel-filled int keys: null keys form one segment (==
+            # the SQL window's NULL partition) and non-null keys keep a
+            # null-independent representation
+            kv = _int_keys(batch.column(key))
             ov = batch.column(order_col).to_numpy(zero_copy_only=False)
             tv = batch.column(tiebreak).to_numpy(zero_copy_only=False)
             order = np.lexsort((tv, -ov, kv))
@@ -189,8 +199,8 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
             batch = batch.take(pa.array(keep))
             cols = dict(zip(batch.column_names, batch.columns))
         if with_part:
-            kk = batch.column(key).to_numpy(zero_copy_only=False)
-            cols["part"] = pa.array(_key_parts(kk, P))
+            cols["part"] = pa.array(_key_parts(_int_keys(batch.column(key)),
+                                               P))
         return pa.table(cols)
 
     local = ds.map_batches(lambda b: _local_topk(b, True),

@@ -22,6 +22,8 @@ import ray.data
 
 from ..functions.parts import hash_parts as _parts
 from ..functions.parts import key_parts as _key_parts
+from ..functions.parts import int_key_array as _int_keys
+from ..functions.parts import NULL_KEY_SENTINEL
 
 
 def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
@@ -35,10 +37,12 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
 
     def add_part(batch: pa.Table) -> pa.Table:
         # null-ts events carry no ordering information: excluded here
-        # AND in the SQL oracle (WHERE ts IS NOT NULL)
+        # AND in the SQL oracle (WHERE ts IS NOT NULL).  Null USERS are
+        # kept as one sentinel-keyed group (SQL GROUP BY emits a NULL
+        # group) — int_key_array also keeps non-null keys' partition
+        # independent of whether the batch contains nulls.
         batch = batch.filter(batch.column(ts_col).combine_chunks().is_valid())
-        u = batch.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
+        u = _int_keys(batch.column(user_col))
         return pa.table({user_col: batch.column(user_col),
                          "event_id": batch.column("event_id"),
                          ts_col: batch.column(ts_col),
@@ -50,7 +54,7 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
             return pa.table({user_col: pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64()),
                              "n_sessions": pa.array([], pa.int64())})
-        u = group.column(user_col).to_numpy(zero_copy_only=False)
+        u = _int_keys(group.column(user_col))
         ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
@@ -62,7 +66,9 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
         counts = np.diff(np.r_[starts, n])
         sess_cum = np.cumsum(new_sess)
         sess_per_user = np.diff(np.r_[sess_cum[starts] - 1, sess_cum[-1]])
-        return pa.table({user_col: pa.array(us[starts]),
+        out_users = pa.array(us[starts],
+                             mask=(us[starts] == NULL_KEY_SENTINEL))
+        return pa.table({user_col: out_users,
                          "n_events": pa.array(counts.astype(np.int64)),
                          "n_sessions": pa.array(
                              sess_per_user.astype(np.int64))})

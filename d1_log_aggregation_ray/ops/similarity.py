@@ -5,8 +5,9 @@
   merge.  No global sort: the reduce sees only k rows per batch.
 - lsh_topk: scan-time prefilter — random-hyperplane bucket assignment;
   candidates searched only within the query's bucket (and its 1-bit
-  neighbors), brute-force fallback if the bucket is empty.  Cheap, but
-  every query still scans the corpus.
+  neighbors); empty probed buckets return an empty result (the
+  approximate contract, mirrored exactly by its SQL oracle).  Cheap,
+  but every query still scans the corpus.
 - build_ivf_index / ivf_topk: the PERSISTED scale path — deterministic
   k-means coarse quantizer, vectors written once as parquet partitioned
   by list id; a query reads ONLY its n_probe closest partitions
@@ -165,7 +166,14 @@ def lsh_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
     local = ds.map_batches(candidates, batch_format="pyarrow",
                            batch_size=4096).take_all()
     if not local:
-        return brute_force_topk(ds, query, k, id_col, vec_col)
+        # empty candidate set (no vector in the query's bucket or its
+        # 1-bit neighbors): return EMPTY rather than silently falling
+        # back to a full brute-force scan — the approximate contract
+        # (and the generated SQL oracle, which filters sig IN (...))
+        # is "search the probed buckets only"; callers wanting exact
+        # results use brute_force_topk or the IVF index
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     ids = np.array([r[id_col] for r in local])
     scores = np.array([r["score"] for r in local])
     order = np.lexsort((ids, -scores))[:k]

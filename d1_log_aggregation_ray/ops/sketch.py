@@ -154,7 +154,13 @@ def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
         blobs = group.column("sketch").to_pylist()
         regs = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(n, m)
         enc = kcol.dictionary_encode()
-        code = np.asarray(enc.indices)
+        # null keys: a null index would surface as float64 NaN in
+        # np.asarray (NaN != NaN splits the null group) and
+        # dictionary.take on float codes raises — group nulls under a
+        # one-past-the-dictionary code and emit them back as null
+        null_code = len(enc.dictionary)
+        code = pc.fill_null(enc.indices, null_code).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         order = np.argsort(code, kind="stable")
         starts = np.flatnonzero(np.r_[True, code[order][1:]
                                       != code[order][:-1]])
@@ -168,8 +174,10 @@ def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
         with np.errstate(divide="ignore"):
             lin = m * np.log(m / np.maximum(zeros, 1))
         est = np.where(small, lin, est)
-        return pa.table({key: enc.dictionary.take(
-                             pa.array(code[order][starts])),
+        sel = code[order][starts]
+        idx = pa.array(np.where(sel == null_code, 0, sel),
+                       mask=(sel == null_code))  # null index -> null key
+        return pa.table({key: enc.dictionary.take(idx),
                          "n_distinct_approx": pa.array(
                              np.rint(est).astype(np.int64))})
 

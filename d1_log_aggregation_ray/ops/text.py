@@ -117,16 +117,38 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 _ROLL_MOD = np.uint64((1 << 31) - 1)  # Mersenne: (byte+1)*pow fits uint64
-_ROLL_BASE = np.uint64(1_000_003)
+_ROLL_BASES = (np.uint64(1_000_003), np.uint64(998_244_353))
+
+
+def _rolling31(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+               total: int, base: np.uint64) -> np.ndarray:
+    """One 31-bit polynomial rolling hash over the concatenated byte
+    buffer: per-byte terms (b+1)*base^(L-1-i) mod 2^31-1 summed per doc
+    via cumsum differencing (so empty docs segment correctly; each term
+    < 2^31 keeps the uint64 cumsum exact)."""
+    seg = data.astype(np.uint64)
+    maxlen = int(lens.max())
+    powt = np.empty(max(maxlen, 1), dtype=np.uint64)
+    powt[0] = 1
+    for j in range(1, maxlen):  # O(max doc len), not O(bytes)
+        powt[j] = (powt[j - 1] * base) % _ROLL_MOD
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    exp = np.repeat(lens, lens) - 1 - pos
+    terms = ((seg + np.uint64(1)) * powt[exp]) % _ROLL_MOD
+    csum = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(terms, out=csum[1:])
+    return (csum[starts + lens] - csum[starts]) % _ROLL_MOD
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5-based (portable to DuckDB
     md5_number_lower; per-unique-value digests + dictionary scatter)
-    + a 31-bit rolling polynomial hash computed entirely in numpy over
-    the Arrow values buffer (zero-copy byte view; per-byte terms
-    (b+1)*BASE^(L-1-i) mod 2^31-1 summed per doc via cumsum
-    differencing, so empty docs segment correctly)."""
+    + a 62-bit rolling polynomial hash — two independent 31-bit
+    Mersenne polynomials over different bases packed as hi<<31 | lo —
+    computed entirely in numpy over the Arrow values buffer (zero-copy
+    byte view).  Two 31-bit lanes keep every product inside uint64
+    while preserving fingerprint-grade collision resistance (a single
+    31-bit lane birthday-collides at ~50k docs)."""
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -141,20 +163,11 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lens = np.diff(offsets)
     total = int(offsets[-1] - offsets[0])
     if total:
-        seg = data[offsets[0]:offsets[-1]].astype(np.uint64)
+        seg = data[offsets[0]:offsets[-1]]
         starts = offsets[:-1] - offsets[0]
-        maxlen = int(lens.max())
-        powt = np.empty(maxlen, dtype=np.uint64)
-        if maxlen:
-            powt[0] = 1
-            for j in range(1, maxlen):  # O(max doc len), not O(bytes)
-                powt[j] = (powt[j - 1] * _ROLL_BASE) % _ROLL_MOD
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-        exp = np.repeat(lens, lens) - 1 - pos
-        terms = ((seg + np.uint64(1)) * powt[exp]) % _ROLL_MOD
-        csum = np.zeros(total + 1, dtype=np.uint64)
-        np.cumsum(terms, out=csum[1:])  # < 2^31 per term: no overflow
-        rolls = (csum[starts + lens] - csum[starts]) % _ROLL_MOD
+        h1 = _rolling31(seg, starts, lens, total, _ROLL_BASES[0])
+        h2 = _rolling31(seg, starts, lens, total, _ROLL_BASES[1])
+        rolls = (h1 << np.uint64(31)) | h2
     else:
         rolls = np.zeros(len(b), dtype=np.uint64)
 

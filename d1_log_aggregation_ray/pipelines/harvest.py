@@ -387,7 +387,10 @@ def run_harvest(fx_dir: str, out_dir: str,
             for b in wave)
         rows_in_total += n_in
         last_err: BaseException | None = None
-        for attempt in range(cfg.source_retry_attempts):
+        # 1 initial attempt + source_retry_attempts sleep-retries,
+        # matching the reference's "sleep 60 s, retry <=5" semantics
+        # (LogHarvesterTask.java:311-329)
+        for attempt in range(1 + cfg.source_retry_attempts):
             try:
                 slice_rows = _run_wave(wave)
                 last_err = None
@@ -399,7 +402,7 @@ def run_harvest(fx_dir: str, out_dir: str,
                 for b in wave:
                     shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
                                   ignore_errors=True)
-                if attempt + 1 < cfg.source_retry_attempts:
+                if attempt < cfg.source_retry_attempts:
                     time.sleep(cfg.source_retry_backoff_s)
         if last_err is not None:
             raise last_err  # completed waves persisted -> clean resume
@@ -451,13 +454,15 @@ def run_harvest(fx_dir: str, out_dir: str,
     all_recs = manifest.records()
     recs = [r for r in all_recs if r.get("complete")]
     total_out = sum(r["rows_out"] for r in recs)
-    # error lineage: completed buckets' attributed errors (valid across
-    # resumes — those buckets were NOT reprocessed) + THIS run's
-    # unattributed (-1) errors.  Prior killed runs' -1 records are
-    # excluded: their buckets were cleared and reprocessed, so counting
-    # them would double-book the same rows.
-    total_errors = sum(r.get("error_rows", 0) for r in recs) \
-        + run_unattributed
+    # error lineage: unattributed (-1) records are written ONLY after
+    # their wave committed (take_all succeeded, complete records
+    # appended in the same iteration), so those waves are never
+    # reprocessed and every -1 record — this run's AND prior runs' —
+    # represents permanently dropped rows that must stay visible in the
+    # summary (M3: never silently lose them).  Completed bucket records
+    # carry error_rows=0 by construction; summing them is a no-op kept
+    # for shape-stability.
+    total_errors = sum(r.get("error_rows", 0) for r in all_recs)
     summary = {
         "buckets": len(recs),
         "resumed_skipped": sorted(done),
@@ -468,6 +473,7 @@ def run_harvest(fx_dir: str, out_dir: str,
         "is_repeat_visit": sum(r["is_repeat_visit"] for r in recs),
         "max_ts": max((r["max_ts"] for r in recs if r["max_ts"]), default=None),
         "error_rows": total_errors,
+        "error_rows_this_run": run_unattributed,
         "stopped_early": stopped_early,
         "duration_s": round(time.time() - t_start, 3),
     }

@@ -34,8 +34,8 @@ def add_part_column(batch: pa.Table, key: str, n_parts: int,
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        part = key_parts(col.to_numpy(zero_copy_only=False
-                                      ).astype(np.int64), n_parts)
+        from ..functions.parts import int_key_array
+        part = key_parts(int_key_array(col), n_parts)
     elif pa.types.is_fixed_size_binary(col.type):
         w = col.type.byte_width
         raw = np.frombuffer(col.buffers()[1], dtype=np.uint8)

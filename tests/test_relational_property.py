@@ -16,7 +16,7 @@ US = 1_000_000
 
 events = st.lists(
     st.tuples(
-        st.integers(0, 4),                          # user index
+        st.one_of(st.none(), st.integers(0, 4)),    # user index or NULL
         st.sampled_from(["view", "click", "other"]),
         st.one_of(st.none(), st.integers(0, 50)),   # ts seconds or null
         st.integers(0, 9),                          # value
@@ -89,15 +89,18 @@ def test_sessionize_matches_duckdb(data):
 def test_topk_matches_duckdb(data):
     from d1_log_aggregation_ray.ops.relational import topk_per_key
     t = _table(data)
-    got = sorted((r["user_id"], r["event_id"]) for r in
-                 topk_per_key(ray.data.from_arrow(t), key="user_id",
-                              order_col="value", k=2).take_all())
+    def _k(pair):  # None user sorts separately (python can't < None)
+        u, e = pair
+        return (u is None, -1 if u is None else u, e)
+    got = sorted(((r["user_id"], r["event_id"]) for r in
+                  topk_per_key(ray.data.from_arrow(t), key="user_id",
+                               order_col="value", k=2).take_all()), key=_k)
     con = duckdb.connect()
     con.register("events", t)
-    want = sorted((u, e) for u, e in con.execute("""
+    want = sorted(((u, e) for u, e in con.execute("""
         SELECT user_id, event_id FROM (
           SELECT user_id, event_id,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY value DESC, event_id) AS rn
-          FROM events) WHERE rn <= 2""").fetchall())
+          FROM events) WHERE rn <= 2""").fetchall()), key=_k)
     assert got == want

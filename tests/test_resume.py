@@ -117,7 +117,8 @@ def test_source_retry_exhaustion_raises_with_watermark(fx_dir, tmp_path,
                               source_retry_backoff_s=0.01)
     with pytest.raises(OSError):
         run_harvest(fx_dir, out, cfg=cfg, resume=False, wave_size=8)
-    assert calls["n"] == 1 + 3  # one good wave + three failed attempts
+    # one good wave + (1 initial + 3 sleep-retries) on the dead wave
+    assert calls["n"] == 1 + 1 + 3
     monkeypatch.setattr(hmod, "read_transcripts", real_read)
     s = run_harvest(fx_dir, out, resume=True)
     assert s["resumed_skipped"] == list(range(8))  # first wave persisted

@@ -52,3 +52,19 @@ def test_approx_distinct_matches_exact_within_error():
 def test_hash_column_stable():
     a = _hash_column(pa.array(["x", "y", "x"]))
     assert a[0] == a[2] != a[1]
+
+
+def test_approx_distinct_null_keys():
+    """Null keys form their own group (SQL GROUP BY semantics) and
+    must survive the vectorized merge (dictionary indices of nulls are
+    null — regression: NaN codes split the group / crashed take)."""
+    t = pa.table({"k": pa.array(["a", None, "a", "b", None, None]),
+                  "v": pa.array([1, 2, 3, 4, 5, 5])})
+    out = {r["k"]: r["n_distinct_approx"] for r in
+           approx_distinct(ray.data.from_arrow(t), "k", "v").take_all()}
+    assert out == {"a": 2, "b": 1, None: 2}
+    t2 = pa.table({"k": pa.array([None, None], pa.string()),
+                   "v": pa.array([1, 2])})
+    out2 = {r["k"]: r["n_distinct_approx"] for r in
+            approx_distinct(ray.data.from_arrow(t2), "k", "v").take_all()}
+    assert out2 == {None: 2}
