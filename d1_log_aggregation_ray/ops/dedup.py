@@ -191,13 +191,14 @@ def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
 
 
 def _bucket_segments(keys: np.ndarray, ids: np.ndarray):
-    """Sort (key, id) rows and return (keys_s, ids_s, starts, counts):
-    contiguous segments per key, ids ascending within a segment."""
+    """Sort (key, id) rows and return (keys_s, ids_s, starts, counts,
+    order): contiguous segments per key, ids ascending within a
+    segment; `order` reorders any carried column the same way."""
     order = np.lexsort((ids, keys))
     k, i = keys[order], ids[order]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     counts = np.diff(np.r_[starts, len(k)])
-    return k, i, starts, counts
+    return k, i, starts, counts, order
 
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
@@ -229,7 +230,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
         of a (doc, bucket-min) pair per partition a doc touches."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
-        _, i, starts, counts = _bucket_segments(keys, ids)
+        _, i, starts, counts, _ = _bucket_segments(keys, ids)
         bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
         beaten = np.unique(i[bmin_per_row < i])
         return pa.table({id_col: pa.array(beaten),
@@ -387,10 +388,8 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         sh = group.column("simhash").to_numpy().view(np.uint64)
-        order = np.lexsort((ids, keys))
-        k, i, h = keys[order], ids[order], sh[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        counts = np.diff(np.r_[starts, len(k)])
+        _, i, starts, counts, order = _bucket_segments(keys, ids)
+        h = sh[order]
         dup_ids = []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             # within-bucket verify (ids asc): dup iff ANY strictly-
@@ -462,7 +461,7 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     def multi_buckets(group: pa.Table) -> pa.Table:
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
-        k, i, starts, counts = _bucket_segments(keys, ids)
+        k, i, starts, counts, _ = _bucket_segments(keys, ids)
         keep = np.repeat(counts > 1, counts)
         return pa.table({"band_key": pa.array(k[keep].view(np.int64)),
                          id_col: pa.array(i[keep])})
@@ -480,12 +479,9 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
         is python but runs only over multi-doc buckets' rows."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
-        order = np.lexsort((ids, keys))
-        k, i = keys[order], ids[order]
+        _, i, starts, counts, order = _bucket_segments(keys, ids)
         texts_ = np.asarray(group.column(text_col).to_pylist(),
                             dtype=object)[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        counts = np.diff(np.r_[starts, len(k)])
         dup_ids = []
         vocab: dict = {}
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
@@ -575,11 +571,8 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
     def partition_scan(group: pa.Table) -> pa.Table:
         buckets = group.column("bucket").to_numpy()
         ids = group.column(id_col).to_numpy()
-        order = np.lexsort((ids, buckets))
-        b, i = buckets[order], ids[order]
+        _, i, starts, counts, order = _bucket_segments(buckets, ids)
         m = _as_matrix(group, "vec")[order]  # already normalized
-        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
-        counts = np.diff(np.r_[starts, len(b)])
         dup_ids = []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             # within-bucket verify, ids asc: dup iff any strictly-
