@@ -85,6 +85,45 @@ def test_sessionize_matches_duckdb(data):
 
 
 @given(events)
+@settings(max_examples=30, deadline=None)
+def test_tumbling_counts_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import tumbling_counts
+    t = _table(data)
+    def _k(row):  # None user sorts separately (python can't < None)
+        u, w, n_ = row
+        return (u is None, -1 if u is None else u, w, n_)
+    got = sorted(((r["user_id"], r["window_start"], r["n"]) for r in
+                  tumbling_counts(ray.data.from_arrow(t), key="user_id",
+                                  ts_col="ts", window_s=20).take_all()),
+                 key=_k)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = sorted((tuple(r) for r in con.execute("""
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 20000000) * 20000000),
+               count(*)
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2""").fetchall()), key=_k)
+    assert got == want
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_distinct_count_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import distinct_count
+    t = _table(data)
+    got = {r["event_type"]: r["n_distinct"] for r in
+           distinct_count(ray.data.from_arrow(t), key="event_type",
+                          distinct_col="value").take_all()}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = dict(con.execute("""
+        SELECT event_type, count(DISTINCT value)
+        FROM events GROUP BY event_type""").fetchall())
+    assert got == want
+
+
+@given(events)
 @settings(max_examples=40, deadline=None)
 def test_topk_matches_duckdb(data):
     from d1_log_aggregation_ray.ops.relational import topk_per_key
