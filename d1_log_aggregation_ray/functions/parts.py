@@ -62,10 +62,17 @@ def key_parts(keys: np.ndarray, n_parts: int) -> np.ndarray:
 def int_key_array(col) -> np.ndarray:
     """Arrow integer column -> int64 ndarray with nulls replaced by
     NULL_KEY_SENTINEL (stable representation regardless of whether the
-    batch happens to contain nulls)."""
+    batch happens to contain nulls).  uint64 columns (the house 64-bit
+    hash type) are bit-reinterpreted, never value-cast — values >=
+    2^63 must not raise."""
     import pyarrow as pa
     import pyarrow.compute as pc
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_unsigned_integer(col.type):
+        sent_u = NULL_KEY_SENTINEL & 0xFFFFFFFFFFFFFFFF
+        arr = pc.fill_null(col.cast(pa.uint64()), sent_u).to_numpy(
+            zero_copy_only=False)
+        return arr.astype(np.uint64).view(np.int64)
     col = pc.fill_null(col.cast(pa.int64()), NULL_KEY_SENTINEL)
     return col.to_numpy(zero_copy_only=False).astype(np.int64)

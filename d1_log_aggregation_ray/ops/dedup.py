@@ -207,13 +207,15 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
     """Docs surviving minhash-LSH dedup (doc is a dup iff any band
     bucket contains a smaller doc id whose full band-slice matches).
 
-    Fully distributed, one narrow all-to-all exchange on (8-byte key,
-    id) rows: hash-partition the band rows by band_key, then ONE
-    vectorized numpy scan per partition computes every bucket's min id
-    AND the partition-local per-doc min of those bucket mins (combiner).
-    A doc survives iff the global min over its buckets' mins equals its
-    own id — so the final tiny groupby(id).min() emits the verdict
-    directly; no join, no broadcast, no driver-side dup set."""
+    Fully distributed: hash-partition the narrow (8-byte key, id) band
+    rows by band_key, then ONE vectorized numpy scan per partition
+    finds every doc beaten by a smaller id inside some bucket and emits
+    only those as (id, dup=1) marks; survivors = ids never marked,
+    resolved by the shared hash-partition-aggregate tail.  No join, no
+    broadcast, no driver-side dup set.  NOTE: the tail consumes the
+    INPUT a second time for the id universe (see _survivors_unmarked)
+    — pass a cheap source (a parquet read), not an expensive derived
+    dataset, or materialize its id column first."""
     n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,

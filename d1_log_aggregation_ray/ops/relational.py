@@ -198,7 +198,10 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
             keep = order[rank < k]
             batch = batch.take(pa.array(keep))
             cols = dict(zip(batch.column_names, batch.columns))
-        if with_part:
+            if with_part:  # kv[keep] IS the kept rows' sentinel-filled keys
+                cols["part"] = pa.array(_key_parts(kv[keep], P))
+            return pa.table(cols)
+        if with_part:  # empty batch: derive (trivially) from the column
             cols["part"] = pa.array(_key_parts(_int_keys(batch.column(key)),
                                                P))
         return pa.table(cols)

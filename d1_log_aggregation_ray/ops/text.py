@@ -120,20 +120,19 @@ _ROLL_MOD = np.uint64((1 << 31) - 1)  # Mersenne: (byte+1)*pow fits uint64
 _ROLL_BASES = (np.uint64(1_000_003), np.uint64(998_244_353))
 
 
-def _rolling31(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
-               total: int, base: np.uint64) -> np.ndarray:
+def _rolling31(seg: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+               exp: np.ndarray, total: int, base: np.uint64) -> np.ndarray:
     """One 31-bit polynomial rolling hash over the concatenated byte
     buffer: per-byte terms (b+1)*base^(L-1-i) mod 2^31-1 summed per doc
     via cumsum differencing (so empty docs segment correctly; each term
-    < 2^31 keeps the uint64 cumsum exact)."""
-    seg = data.astype(np.uint64)
+    < 2^31 keeps the uint64 cumsum exact).  `seg` (uint64 bytes) and
+    `exp` are base-independent — computed once by the caller and shared
+    across lanes."""
     maxlen = int(lens.max())
     powt = np.empty(max(maxlen, 1), dtype=np.uint64)
     powt[0] = 1
     for j in range(1, maxlen):  # O(max doc len), not O(bytes)
         powt[j] = (powt[j - 1] * base) % _ROLL_MOD
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-    exp = np.repeat(lens, lens) - 1 - pos
     terms = ((seg + np.uint64(1)) * powt[exp]) % _ROLL_MOD
     csum = np.zeros(total + 1, dtype=np.uint64)
     np.cumsum(terms, out=csum[1:])
@@ -163,10 +162,12 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lens = np.diff(offsets)
     total = int(offsets[-1] - offsets[0])
     if total:
-        seg = data[offsets[0]:offsets[-1]]
+        seg = data[offsets[0]:offsets[-1]].astype(np.uint64)
         starts = offsets[:-1] - offsets[0]
-        h1 = _rolling31(seg, starts, lens, total, _ROLL_BASES[0])
-        h2 = _rolling31(seg, starts, lens, total, _ROLL_BASES[1])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        h1 = _rolling31(seg, starts, lens, exp, total, _ROLL_BASES[0])
+        h2 = _rolling31(seg, starts, lens, exp, total, _ROLL_BASES[1])
         rolls = (h1 << np.uint64(31)) | h2
     else:
         rolls = np.zeros(len(b), dtype=np.uint64)

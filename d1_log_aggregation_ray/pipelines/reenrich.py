@@ -154,8 +154,9 @@ def reenrich_convs(out_dir: str, fx_dir: str, conv_ids: list[str],
     from ..functions.hashing import epoch_us
     sentinel_us = epoch_us(update_ts)
     side_ref = ray.put(side)
+    changed_ref = ray.put(changed)  # ship the change set once, not per task
     futs = [_reenrich_bucket_task.remote(
-        os.path.join(out_dir, f"bucket_id={b}"), changed, side_ref,
+        os.path.join(out_dir, f"bucket_id={b}"), changed_ref, side_ref,
         sentinel_us, cfg.n_sinks) for b in buckets]
     rows_updated = sum(ray.get(futs))
 

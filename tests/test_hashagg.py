@@ -56,6 +56,21 @@ def test_hash_partition_aggregate_matches_pandas():
     assert (g["count_all"].values == w["count_all"].values).all()
 
 
+def test_uint64_hash_keys_above_2_63():
+    """uint64 key columns (the house 64-bit hash type) with values >=
+    2^63 must partition via bit-reinterpretation, not a value cast
+    that raises ArrowInvalid."""
+    vals = np.array([1, 2**63 + 5, 2**64 - 1, 2**63 + 5], dtype=np.uint64)
+    t = pa.table({"h": pa.array(vals), "v": pa.array([1, 2, 3, 4])})
+    got = hash_partition_aggregate(_ds(t), ["h"], [("v", "min")],
+                                   n_parts=4).to_pandas()
+    assert len(got) == 3
+    assert got.set_index("h")["v_min"].to_dict()[2**63 + 5] == 2
+    out = add_part_column(t, "h", 4)
+    df = out.to_pandas()
+    assert df.groupby("h")["_part"].nunique().max() == 1
+
+
 def test_add_part_column_key_locality():
     """Every distinct key value maps to exactly one partition id."""
     t = pa.table({"k": pa.array([f"c{i % 97}" for i in range(5000)])})
