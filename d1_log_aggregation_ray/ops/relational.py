@@ -29,6 +29,20 @@ from ..functions.parts import key_parts as _key_parts
 from ..functions.parts import int_key_array as _int_keys
 
 
+def _seg_keys(col) -> np.ndarray:
+    """int64 segmentation/partition keys for any key column: integers
+    via the null-stable sentinel fill, strings (and everything else)
+    via md5 low-64 bits (cross-batch consistent; nulls hash to 0 — a
+    real value colliding with that 64-bit hash is ~2^-64 and would
+    merely merge two groups)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return _int_keys(col)
+    from ..functions.hashing import md5_lower64_array
+    return md5_lower64_array(col).view(np.int64)
+
+
 def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
                     left_type: str, right_type: str,
                     type_col: str = "event_type",
@@ -170,9 +184,67 @@ def tumbling_counts(ds: ray.data.Dataset, key: str, ts_col: str,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def sliding_counts(ds: ray.data.Dataset, key: str, ts_col: str,
+                   window_s: int = 3600,
+                   slide_s: int = 900) -> ray.data.Dataset:
+    """Per (key, SLIDING window) event counts: each event lands in
+    every window [w, w+window_s) whose start w is a multiple of
+    slide_s — vectorized window-id expansion (np.repeat + intra-range
+    offsets), per-batch arrow combiner, hash-partition merge.  Null ts
+    dropped (like tumbling / the SQL oracle)."""
+    win_us = window_s * 1_000_000
+    slide_us = slide_s * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(ts_col).combine_chunks().is_valid())
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({key: batch.column(key),
+                             "window_start": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ts = batch.column(ts_col).combine_chunks().cast(pa.int64()
+                                                        ).to_numpy(zero_copy_only=False)
+        lo = (ts - win_us) // slide_us + 1     # first window index
+        hi = ts // slide_us                    # last window index (incl)
+        counts = (hi - lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1],
+                                                             counts)
+        w = (np.repeat(lo, counts) + intra) * slide_us
+        t = pa.table({key: batch.column(key).take(
+                          pa.array(np.repeat(np.arange(n), counts))),
+                      "window_start": pa.array(w)})
+        agg = t.group_by([key, "window_start"]).aggregate(
+            [([], "count_all")])
+        name_map = {key: key, "window_start": "window_start",
+                    "count_all": "n"}
+        return agg.rename_columns([name_map[c] for c in agg.column_names])
+
+    partials = ds.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    from ..stages.aggregate import hash_partition_aggregate
+    agg = hash_partition_aggregate(partials, [key, "window_start"],
+                                   [("n", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "window_start": batch.column("window_start").cast(
+                pa.timestamp("us")),
+            "n": pc.cast(batch.column("n_sum"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
-                 k: int = 2, tiebreak: str = "event_id") -> ray.data.Dataset:
-    """Top-k rows per key by order_col desc (ties by tiebreak asc).
+                 k: int = 2, tiebreak: str = "event_id",
+                 ascending: bool = False) -> ray.data.Dataset:
+    """Top-k rows per key by order_col desc (asc when ascending=True,
+    e.g. "first k by content hash" deterministic per-key sampling).
 
     Partition-scan shape: per-batch local top-k per key (combiner — at
     most k rows per key per block cross the exchange), then one
@@ -187,10 +259,16 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
             # sentinel-filled int keys: null keys form one segment (==
             # the SQL window's NULL partition) and non-null keys keep a
             # null-independent representation
-            kv = _int_keys(batch.column(key))
+            kv = _seg_keys(batch.column(key))
             ov = batch.column(order_col).to_numpy(zero_copy_only=False)
             tv = batch.column(tiebreak).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tv, -ov, kv))
+            # descending: lexsort on an order-reversed key.  argsort of
+            # -ov is wrong for uint64 (wraparound), so rank-encode via
+            # a stable double negation only for signed/float inputs
+            o2 = ov if ascending else (
+                np.iinfo(ov.dtype).max - ov if ov.dtype.kind == "u"
+                else -ov)
+            order = np.lexsort((tv, o2, kv))
             ks = kv[order]
             starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
             rank = np.arange(len(ks)) - np.repeat(
@@ -202,7 +280,7 @@ def topk_per_key(ds: ray.data.Dataset, key: str, order_col: str,
                 cols["part"] = pa.array(_key_parts(kv[keep], P))
             return pa.table(cols)
         if with_part:  # empty batch: derive (trivially) from the column
-            cols["part"] = pa.array(_key_parts(_int_keys(batch.column(key)),
+            cols["part"] = pa.array(_key_parts(_seg_keys(batch.column(key)),
                                                P))
         return pa.table(cols)
 

@@ -499,6 +499,34 @@ def q_tumbling_counts(sf_dir: str):
     return tumbling_counts(ds, key="user_id", ts_col="ts", window_s=3600)
 
 
+def q_sliding_counts(sf_dir: str):
+    """Sliding 1-hour windows every 15 min per user (each event in 4
+    windows; vectorized expansion + combiner + hash-partition merge)."""
+    from ..ops.relational import sliding_counts
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return sliding_counts(ds, key="user_id", ts_col="ts",
+                          window_s=3600, slide_s=900)
+
+
+def q_sample_per_source(sf_dir: str):
+    """Deterministic per-key sampling: the 3 docs per source with the
+    smallest md5(doc_id) — 'take k examples per group' reproducibly
+    across runs/engines (ascending top-k on a content hash)."""
+    from ..ops.relational import topk_per_key
+    from ..functions.hashing import md5_lower64_array
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = md5_lower64_array(pc.cast(batch.column("doc_id"), pa.string()))
+        return batch.append_column("h", pa.array(h))
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = topk_per_key(ds, key="source", order_col="h", k=3,
+                       tiebreak="doc_id", ascending=True)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_topk_per_user(sf_dir: str):
     """Top-2 events by value per user (per-group top-k)."""
     from ..ops.relational import topk_per_key
@@ -853,6 +881,25 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n
             FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
 
+        "sliding_counts": """
+            SELECT user_id,
+                   make_timestamp(w * 900000000) AS window_start,
+                   count(*) AS n
+            FROM (SELECT user_id,
+                         UNNEST(range((epoch_us(ts) - 3600000000) // 900000000 + 1,
+                                      epoch_us(ts) // 900000000 + 1)) AS w
+                  FROM events WHERE ts IS NOT NULL)
+            GROUP BY 1, 2""",
+
+        "sample_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 3""",
+
         "topk_per_user": """
             SELECT event_id, user_id, value FROM (
               SELECT event_id, user_id, value,
@@ -906,6 +953,8 @@ RAY_QUERIES = {
     "props_extract": q_props_extract,
     "asof_prior": q_asof_prior,
     "tumbling_counts": q_tumbling_counts,
+    "sliding_counts": q_sliding_counts,
+    "sample_per_source": q_sample_per_source,
     "topk_per_user": q_topk_per_user,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
