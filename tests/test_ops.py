@@ -203,6 +203,27 @@ def test_sessionize_semantics():
     assert out[2]["n_sessions"] == 1
 
 
+def test_topk_uint64_order_col_both_directions():
+    """uint64 order columns (content hashes) must sort correctly in
+    BOTH directions — naive negation would wrap around."""
+    from d1_log_aggregation_ray.ops.relational import topk_per_key
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "h": pa.array(np.array([5, 2**63 + 9, 7, 2**64 - 1],
+                               dtype=np.uint64)),
+    })
+    ds = ray.data.from_arrow(t)
+    asc = [r["event_id"] for r in
+           topk_per_key(ds, key="user_id", order_col="h", k=2,
+                        ascending=True).take_all()]
+    dsc = [r["event_id"] for r in
+           topk_per_key(ds, key="user_id", order_col="h", k=2,
+                        ascending=False).take_all()]
+    assert sorted(asc) == [1, 3]     # smallest hashes: 5, 7
+    assert sorted(dsc) == [2, 4]     # largest: 2^63+9, 2^64-1
+
+
 def test_relational_null_ts_tolerated():
     """Null timestamps must not crash the windowed/asof ops: tumbling
     drops them (like the oracle's WHERE ts IS NOT NULL); asof matches
