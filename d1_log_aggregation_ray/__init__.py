@@ -22,3 +22,33 @@ with a resumable checkpoint manifest.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_empty_schema_warning_filter() -> None:
+    """Suppress Ray's "RefBundle with a different schema" WARNING only
+    when one side of the transition is an EMPTY schema.
+
+    Sort-based groupby emits schemaless zero-row blocks whenever the
+    shuffle has more output ranges than distinct keys (every manual
+    hash-partition scan here groups on a `part` column of cardinality
+    ~2x CPUs, while the sort produces one range per input block) — the
+    group UDFs are never invoked for those blocks, so they cannot be
+    typed from user code.  A transition between two NON-empty schemas
+    is a real bug signal and still warns.
+    """
+    import logging
+
+    class _EmptySchemaTransition(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "RefBundle with a different schema" not in msg:
+                return True
+            return not ("new schema: ." in msg
+                        or "Previous schema: ," in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaTransition())
+
+
+_install_empty_schema_warning_filter()

@@ -16,8 +16,13 @@ Scale notes:
   - Every groupby key is a fixed-width hash (never raw text) — the
     shuffles move 8-16 byte keys + doc ids.
   - NOTHING is materialized on the driver: per-bucket mins, dup sets
-    and survivors are all computed inside the distributed plan (round-1
-    had a driver-side band-min broadcast + dup-id set here; replaced).
+    and survivors are all computed inside the distributed plan.
+  - The INPUT IS CONSUMED EXACTLY ONCE (minhash / simhash_near /
+    embedding; ngram twice — see its docstring): each doc's band-0 /
+    replica-0 row carries a `home=1` flag, and the partition scan
+    emits that doc's (id, dup=0) universe row alongside the (id,
+    dup=1) marks, so the survivor tail is a single hash-partition
+    max-aggregate with no second pass over the input lineage.
   - The house pattern for "vectorized work per key bucket" is a manual
     hash partition: a `part = bucket_key % P` column + groupby(part)
     .map_groups — P python calls TOTAL (each a whole-partition numpy
@@ -28,6 +33,11 @@ Scale notes:
     in a worker's heap; P scales with the cluster.
   - Hash functions are crc32-based (deterministic across processes,
     unlike Python's salted hash()).
+  - Tokenization/hashing is Arrow-vectorized: ONE utf8_split_whitespace
+    + dictionary_encode per batch, crc only per UNIQUE word (memoized
+    across batches per worker), and the shingle roll / simhash bit
+    count run over the whole batch's flat word-code array at once —
+    no per-doc Python in the signature stages.
 """
 
 from __future__ import annotations
@@ -49,27 +59,62 @@ _MERSENNE31 = (1 << 31) - 1  # 31-bit modulus: (a*x + b) fits in uint64
 
 _WORKER_HASHERS: dict = {}
 
-
-def _signatures(ds: ray.data.Dataset, num_perm: int, text_col: str,
-                id_col: str) -> ray.data.Dataset:
-    """Signature stage as TASKS with a worker-global MinHasher (init is
-    just seeded coefficient generation, so tasks schedule better than
-    an actor pool here — no spin-up, perfect balance)."""
-    def sig_fn(batch: pa.Table) -> pa.Table:
-        key = (num_perm, text_col, id_col)
-        h = _WORKER_HASHERS.get(key)
-        if h is None:
-            h = _WORKER_HASHERS[key] = MinHasher(
-                num_perm=num_perm, text_col=text_col, id_col=id_col)
-        return h(batch)
-    return ds.map_batches(sig_fn, batch_format="pyarrow")
-
-
 _WCOMB = np.uint64(1_000_003)
 
 
+# ---------------------------------------------------------------------------
+# vectorized tokenization + word hashing (shared by minhash & simhash)
+# ---------------------------------------------------------------------------
+
+def _tokenize(col) -> tuple[pa.Array, np.ndarray]:
+    """Split a string column into words with EXACT str.split() parity
+    (whitespace runs, no empty tokens, null -> no tokens), in one Arrow
+    kernel pass.  Returns (flat word array over all docs, per-doc word
+    counts)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lists = pc.utf8_split_whitespace(col)
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(lists)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # Arrow emits empty tokens at leading/trailing whitespace (and one
+    # for the empty string); str.split() does not — drop them.
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not mask.all():
+        flat = flat.filter(pa.array(mask))
+        doc_idx = doc_idx[mask]
+    counts = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+    return flat, counts
+
+
+def _flat_word_codes(flat: pa.Array, vocab: dict,
+                     width64: bool = False) -> np.ndarray:
+    """crc code per word over the whole flat array: dictionary-encode
+    once, hash only the UNIQUE words (memoized in `vocab` across
+    batches), gather by index."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    de = pc.dictionary_encode(flat)
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = de.dictionary.to_pylist()
+    uniq = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        c = vocab.get(w)
+        if c is None:
+            b = w.encode("utf-8")
+            if width64:
+                c = zlib.crc32(b) | (zlib.crc32(b, 0xA5A5) << 32)
+            else:
+                c = zlib.crc32(b) & _MERSENNE31
+            vocab[w] = c
+        uniq[i] = c
+    return uniq[idx]
+
+
 def _word_codes(words: list[str], vocab: dict) -> np.ndarray:
-    """word -> 31-bit crc code, memoized in `vocab` (per-batch/actor)."""
+    """word -> 31-bit crc code, memoized in `vocab` (scalar path, used
+    by the per-candidate ngram verify)."""
     out = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         c = vocab.get(w)
@@ -81,8 +126,10 @@ def _word_codes(words: list[str], vocab: dict) -> np.ndarray:
 
 
 def _shingle_hashes(text: str, k: int = 3, vocab: dict | None = None) -> np.ndarray:
-    """k-word shingles -> 31-bit hashes, fully vectorized: per-word crc
-    codes combined with a polynomial roll (no string joins)."""
+    """k-word shingles -> 31-bit hashes for ONE doc (scalar path; the
+    signature stage uses _batch_shingles over the whole batch).  Kept
+    bit-identical to the batch path — the ngram verify compares these
+    against LSH candidates produced from batch-path signatures."""
     if vocab is None:
         vocab = {}
     codes = _word_codes(text.split(), vocab)
@@ -100,12 +147,69 @@ def _shingle_hashes(text: str, k: int = 3, vocab: dict | None = None) -> np.ndar
     return h
 
 
+def _batch_shingles(codes: np.ndarray, counts: np.ndarray,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' k-shingle hashes in one pass: the polynomial roll runs
+    over the whole flat code array (boundary-crossing positions are
+    simply never gathered), short docs (0<n<k) get their single
+    all-words hash, empty docs the 0 placeholder.  Returns (flat
+    shingle hashes, per-doc start offsets) — bit-identical to
+    _shingle_hashes per doc."""
+    n = len(counts)
+    T = len(codes)
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        starts[1:] = np.cumsum(counts)[:-1]
+    out_counts = np.where(counts >= k, counts - k + 1, 1).astype(np.int64)
+    out_off = np.zeros(n, dtype=np.int64)
+    if n:
+        out_off[1:] = np.cumsum(out_counts)[:-1]
+    out = np.zeros(int(out_counts.sum()), dtype=np.uint64)
+    M = np.uint64(_MERSENNE31)
+    if T >= k:
+        H = codes[:T - k + 1].copy()
+        for j in range(1, k):
+            H = (H * _WCOMB + codes[j:T - k + 1 + j]) % M
+        idx_in = np.arange(len(out), dtype=np.int64) - np.repeat(out_off,
+                                                                 out_counts)
+        src = np.repeat(starts, out_counts) + idx_in
+        long_rows = np.repeat(counts >= k, out_counts)
+        out[long_rows] = H[src[long_rows]]
+    sd = np.flatnonzero((counts > 0) & (counts < k))
+    if len(sd):
+        h = np.zeros(len(sd), dtype=np.uint64)
+        for j in range(k - 1):
+            act = counts[sd] > j
+            if not act.any():
+                break
+            h[act] = (h[act] * _WCOMB + codes[starts[sd[act]] + j]) % M
+        out[out_off[sd]] = h
+    return out, out_off
+
+
+def _signatures(ds: ray.data.Dataset, num_perm: int, text_col: str,
+                id_col: str) -> ray.data.Dataset:
+    """Signature stage as TASKS with a worker-global MinHasher (init is
+    just seeded coefficient generation, so tasks schedule better than
+    an actor pool here — no spin-up, perfect balance)."""
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        key = (num_perm, text_col, id_col)
+        h = _WORKER_HASHERS.get(key)
+        if h is None:
+            h = _WORKER_HASHERS[key] = MinHasher(
+                num_perm=num_perm, text_col=text_col, id_col=id_col)
+        return h(batch)
+    return ds.map_batches(sig_fn, batch_format="pyarrow")
+
+
 class MinHasher:
-    """Signature stage: per-batch vectorized minhash.  All docs' shingle
-    hashes are concatenated and the (a*x+b) mod p sketch is computed
-    with segment-min (np.minimum.reduceat) over perm chunks — no
-    per-doc Python math.  Coefficients are seeded once per actor in
-    __init__ and identical across actors."""
+    """Signature stage: fully batch-vectorized minhash.  Tokenization
+    is one Arrow split + dictionary-encode (crc per UNIQUE word only),
+    the shingle roll runs over the batch's flat code array, and the
+    (a*x+b) mod p sketch is computed with segment-min
+    (np.minimum.reduceat) over perm chunks — no per-doc Python at all.
+    Coefficients are seeded once per actor in __init__ and identical
+    across actors."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -119,8 +223,7 @@ class MinHasher:
         self._vocab: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
+        n = batch.num_rows
         if n == 0:
             return pa.table({
                 self.id_col: batch.column(self.id_col),
@@ -130,12 +233,9 @@ class MinHasher:
             })
         if len(self._vocab) > 4_000_000:
             self._vocab.clear()
-        chunks = [_shingle_hashes(t, self.k, self._vocab) if t
-                  else np.zeros(1, dtype=np.uint64) for t in texts]
-        lens = np.array([len(c) for c in chunks])
-        offsets = np.zeros(n, dtype=np.int64)
-        offsets[1:] = np.cumsum(lens)[:-1]
-        allh = np.concatenate(chunks)  # (total_shingles,)
+        flat, counts = _tokenize(batch.column(self.text_col))
+        codes = _flat_word_codes(flat, self._vocab)
+        allh, offsets = _batch_shingles(codes, counts, self.k)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         M = np.uint64(_MERSENNE31)
         for p0 in range(0, self.num_perm, 16):  # chunk perms: bounded memory
@@ -153,16 +253,19 @@ class MinHasher:
 
 def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
                id_col: str = "doc_id") -> pa.Table:
-    """Expand each doc into one row per band: (part, band_key, id) —
-    fully vectorized (band key = polynomial combine of the band's sig
-    slice plus a band-salt, so identical slices in different bands
-    never collide into one bucket).  `part` is the manual hash
-    partition the downstream partition scan groups on."""
+    """Expand each doc into one row per band: (part, band_key, id,
+    home) — fully vectorized (band key = polynomial combine of the
+    band's sig slice plus a band-salt, so identical slices in different
+    bands never collide into one bucket).  `part` is the manual hash
+    partition the downstream partition scan groups on; `home=1` marks
+    each doc's band-0 row, whose partition owns emitting the doc's
+    survivor-universe (id, dup=0) row — the input is never re-read."""
     nrows = batch.num_rows
     if nrows == 0:
         return pa.table({"part": pa.array([], pa.int64()),
                          "band_key": pa.array([], pa.int64()),
-                         id_col: pa.array([], pa.int64())})
+                         id_col: pa.array([], pa.int64()),
+                         "home": pa.array([], pa.int8())})
     sig = np.asarray(batch.column("signature").combine_chunks().flatten()
                      ).reshape(nrows, -1)
     if sig.shape[1] % n_bands != 0 or sig.shape[1] < n_bands:
@@ -183,10 +286,13 @@ def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
             k = k * P + chunk[:, j]  # uint64 wraparound is the hash
         keys[:, b] = k
     flat = keys.reshape(-1)
+    home = np.zeros(nrows * n_bands, dtype=np.int8)
+    home[::n_bands] = 1  # row-major: index i*n_bands is doc i's band 0
     return pa.table({
         "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
         "band_key": pa.array(flat.view(np.int64)),
         id_col: pa.array(np.repeat(ids, n_bands)),
+        "home": pa.array(home),
     })
 
 
@@ -201,21 +307,43 @@ def _bucket_segments(keys: np.ndarray, ids: np.ndarray):
     return k, i, starts, counts, order
 
 
+def _marks_table(id_col: str, home_ids: np.ndarray,
+                 dup_ids: np.ndarray) -> pa.Table:
+    """(id, dup) verdict rows for one partition: the partition's home
+    docs as dup=0 universe rows + its beaten docs as dup=1 marks (the
+    max-aggregate tail resolves overlaps)."""
+    out_ids = np.concatenate([home_ids, dup_ids]) if len(dup_ids) \
+        else home_ids
+    dup = np.zeros(len(out_ids), dtype=np.int8)
+    dup[len(home_ids):] = 1
+    return pa.table({id_col: pa.array(out_ids), "dup": pa.array(dup)})
+
+
+def _survivors(marked: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """Shared dedup tail: ids whose max dup verdict is 0.  `marked`
+    already contains every doc's home (id, dup=0) row plus the (id,
+    dup=1) marks, so this is ONE hash-partition max-aggregate — the
+    input lineage is never consumed a second time."""
+    from ..stages.aggregate import hash_partition_aggregate
+    per_doc = hash_partition_aggregate(marked, [id_col], [("dup", "max")])
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.equal(t.column("dup_max"), 0)),
+        batch_format="pyarrow").select_columns([id_col])
+
+
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
                       n_bands: int = 16, id_col: str = "doc_id",
                       text_col: str = "text") -> ray.data.Dataset:
     """Docs surviving minhash-LSH dedup (doc is a dup iff any band
     bucket contains a smaller doc id whose full band-slice matches).
 
-    Fully distributed: hash-partition the narrow (8-byte key, id) band
-    rows by band_key, then ONE vectorized numpy scan per partition
-    finds every doc beaten by a smaller id inside some bucket and emits
-    only those as (id, dup=1) marks; survivors = ids never marked,
-    resolved by the shared hash-partition-aggregate tail.  No join, no
-    broadcast, no driver-side dup set.  NOTE: the tail consumes the
-    INPUT a second time for the id universe (see _survivors_unmarked)
-    — pass a cheap source (a parquet read), not an expensive derived
-    dataset, or materialize its id column first."""
+    Fully distributed, input consumed ONCE: hash-partition the narrow
+    (8-byte key, id, home) band rows by band_key, then ONE vectorized
+    numpy scan per partition emits the partition's home docs as (id,
+    dup=0) universe rows plus every doc beaten by a smaller id inside
+    some bucket as (id, dup=1) marks; survivors resolve in a single
+    hash-partition max-aggregate.  No join, no broadcast, no driver
+    state, no second pass over the input lineage."""
     n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,
@@ -225,22 +353,21 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
                             batch_format="pyarrow")
 
     def partition_scan(group: pa.Table) -> pa.Table:
-        """Emit DUP MARKS only: a doc is a dup iff some bucket's min id
-        is smaller than its own — so only (doc_id, dup=1) rows for docs
-        beaten within this partition leave the scan.  The final
-        exchange then carries corpus ids + (usually few) marks instead
-        of a (doc, bucket-min) pair per partition a doc touches."""
+        """Emit home (id, dup=0) rows + dup marks: a doc is a dup iff
+        some bucket's min id is smaller than its own.  The final
+        exchange carries exactly one universe row per doc (its band-0
+        partition) plus the (usually few) marks."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
+        home = group.column("home").to_numpy()
         _, i, starts, counts, _ = _bucket_segments(keys, ids)
         bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
         beaten = np.unique(i[bmin_per_row < i])
-        return pa.table({id_col: pa.array(beaten),
-                         "dup": pa.array(np.ones(len(beaten), np.int8))})
+        return _marks_table(id_col, ids[home == 1], beaten)
 
     marked = band.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
-    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
+    return _survivors(marked, id_col)
 
 
 def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
@@ -256,8 +383,8 @@ def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
 
 
 def simhash64(text: str, vocab: dict | None = None) -> int:
-    """64-bit simhash over word tokens — vectorized bit counting
-    (unpackbits over the token-hash byte view + column sums)."""
+    """64-bit simhash over word tokens — scalar reference path (the
+    batch stage is _add_simhash); bit-identical to it."""
     if vocab is None:
         vocab = {}
     words = text.split()
@@ -273,39 +400,34 @@ def simhash64(text: str, vocab: dict | None = None) -> int:
 
 
 def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    vocab: dict = {}
-    texts = batch.column(text_col).to_pylist()
-    hs = np.array([simhash64(t, vocab) if t else 0 for t in texts],
-                  dtype=np.uint64)
+    """Batch-vectorized simhash: one tokenize + dictionary-encode, one
+    unpackbits over the flat word-hash array, one segment-sum
+    (np.add.reduceat) per batch — no per-doc Python."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array([], pa.int64())})
+    vocab = _WORKER_HASHERS.setdefault("_simhash_vocab", {})
+    if len(vocab) > 4_000_000:
+        vocab.clear()
+    flat, counts = _tokenize(batch.column(text_col))
+    codes = _flat_word_codes(flat, vocab, width64=True)
+    hs_out = np.zeros(n, dtype=np.uint64)
+    nz = np.flatnonzero(counts > 0)
+    if len(nz):
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        bits = np.unpackbits(codes.view(np.uint8).reshape(len(codes), 8),
+                             axis=1, bitorder="little").astype(np.int32)
+        # starts[nz] is strictly increasing (every gap doc has 0 words),
+        # so each reduceat segment is exactly one nonempty doc's words
+        acc = np.add.reduceat(bits, starts[nz], axis=0)
+        acc = acc * 2 - counts[nz, None]
+        packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
+                             bitorder="little")
+        hs_out[nz] = np.ascontiguousarray(packed).view(np.uint64).reshape(-1)
     return pa.table({id_col: batch.column(id_col),
-                     "simhash": pa.array(hs.astype(np.int64))})
-
-
-def _survivors_unmarked(all_ids: ray.data.Dataset,
-                        marked: ray.data.Dataset,
-                        id_col: str) -> ray.data.Dataset:
-    """Shared dedup tail: ids never marked dup — union the (id, dup=0)
-    corpus rows with the (id, dup=1) marks, max per id via the
-    hash-partition aggregate (corpus-cardinality key), keep dup==0.
-
-    NOTE: `all_ids` re-executes the input lineage (the corpus is
-    consumed twice: once into the banded/marked branch, once for the
-    id universe).  Fine when the input is a parquet read of (id, text);
-    for an expensive derived input, materialize the narrow id column
-    first or pass a cheaper id source."""
-    from ..stages.aggregate import hash_partition_aggregate
-    per_doc = hash_partition_aggregate(all_ids.union(marked), [id_col],
-                                       [("dup", "max")])
-    return per_doc.map_batches(
-        lambda t: t.filter(pc.equal(t.column("dup_max"), 0)),
-        batch_format="pyarrow").select_columns([id_col])
-
-
-def _zero_marks(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
-    return ds.map_batches(
-        lambda b: pa.table({id_col: b.column(id_col),
-                            "dup": pa.array(np.zeros(b.num_rows, np.int8))}),
-        batch_format="pyarrow")
+                     "simhash": pa.array(hs_out.view(np.int64))})
 
 
 def simhash_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
@@ -350,9 +472,10 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
     caught with 4 bands.
 
     Same distributed shape as minhash_lsh_dedup: (8-byte band key, id,
-    8-byte simhash) rows, manual hash partition + one vectorized scan
-    per partition, final groupby(id) verdict.  The verify python loop
-    runs only over multi-doc buckets (rare)."""
+    8-byte simhash, home) rows, manual hash partition + one vectorized
+    scan per partition emitting home (dup=0) + beaten (dup=1) rows,
+    single max-aggregate tail — input consumed once.  The verify
+    python loop runs only over multi-doc buckets (rare)."""
     assert 64 % n_bands == 0
     bits_per = 64 // n_bands
     mask = np.uint64((1 << bits_per) - 1)
@@ -367,7 +490,8 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
             return pa.table({"part": pa.array([], pa.int64()),
                              "band_key": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
-                             "simhash": pa.array([], pa.int64())})
+                             "simhash": pa.array([], pa.int64()),
+                             "home": pa.array([], pa.int8())})
         sh = batch.column("simhash").to_numpy().view(np.uint64)
         ids = batch.column(id_col).to_numpy()
         SALT = np.uint64(0x9E3779B97F4A7C15)
@@ -377,11 +501,14 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
             salt = np.uint64(((b + 1) * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
             keys[:, b] = chunk + salt
         flat = keys.reshape(-1)
+        home = np.zeros(n * n_bands, dtype=np.int8)
+        home[::n_bands] = 1
         return pa.table({
             "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
             "band_key": pa.array(flat.view(np.int64)),
             id_col: pa.array(np.repeat(ids, n_bands)),
             "simhash": pa.array(np.repeat(sh, n_bands).view(np.int64)),
+            "home": pa.array(home),
         })
 
     band = with_h.map_batches(band_rows, batch_format="pyarrow")
@@ -390,6 +517,7 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         sh = group.column("simhash").to_numpy().view(np.uint64)
+        home = group.column("home").to_numpy()
         _, i, starts, counts, order = _bucket_segments(keys, ids)
         h = sh[order]
         dup_ids = []
@@ -422,14 +550,13 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
                 near = ((ham <= max_hamming) & smaller).any(axis=1)
                 if near.any():
                     dup_ids.append(ui[a:b][near])
-        out = (np.unique(np.concatenate(dup_ids)) if dup_ids
-               else np.empty(0, dtype=ids.dtype))
-        return pa.table({id_col: pa.array(out),
-                         "dup": pa.array(np.ones(len(out), np.int8))})
+        beaten = (np.unique(np.concatenate(dup_ids)) if dup_ids
+                  else np.empty(0, dtype=ids.dtype))
+        return _marks_table(id_col, ids[home == 1], beaten)
 
     marked = band.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
-    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
+    return _survivors(marked, id_col)
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -447,11 +574,17 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     against the bucket's min-id representative.
 
     Text never rides the band shuffle: phase 1 is the same narrow
-    (band_key, id) partition scan as minhash, emitting only MULTI-doc
-    buckets (band buckets are mostly singletons and a singleton can't
-    produce a dup); phase 2 joins the (small) candidate set back to the
-    corpus to attach texts; phase 3 verifies per candidate bucket.  The
-    per-group python verify runs only on multi-doc buckets."""
+    (band_key, id, home) partition scan as minhash, emitting MULTI-doc
+    bucket rows (candidates) plus one narrow home row per doc; phase 2
+    joins the stream back to the corpus to attach texts (candidates
+    need them for the verify; home rows have their text nulled before
+    the next exchange); phase 3 verifies per candidate bucket and
+    emits the (id, dup) verdicts the max-aggregate tail resolves.
+
+    The input is consumed exactly TWICE — once into the signature/band
+    branch and once as the (id, text) join side — which is inherent to
+    keeping text off the band exchange; there is no third pass for the
+    id universe (home rows carry it)."""
     n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,
@@ -461,12 +594,23 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
                             batch_format="pyarrow")
 
     def multi_buckets(group: pa.Table) -> pa.Table:
+        """Candidate rows (multi-doc buckets, home=0) + this
+        partition's home rows (home=1, band_key replaced by the id so
+        the next exchange spreads them — verify ignores their key)."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
+        home = group.column("home").to_numpy()
         k, i, starts, counts, _ = _bucket_segments(keys, ids)
         keep = np.repeat(counts > 1, counts)
-        return pa.table({"band_key": pa.array(k[keep].view(np.int64)),
-                         id_col: pa.array(i[keep])})
+        home_ids = ids[home == 1]
+        return pa.table({
+            "band_key": pa.array(np.concatenate(
+                [k[keep].view(np.int64), home_ids.astype(np.int64)])),
+            id_col: pa.array(np.concatenate([i[keep], home_ids])),
+            "home": pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int8),
+                 np.ones(len(home_ids), np.int8)])),
+        })
 
     cand = band.groupby("part").map_groups(multi_buckets,
                                            batch_format="pyarrow")
@@ -474,16 +618,34 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     cand = cand.join(texts, "inner", num_partitions=_join_partitions(),
                      on=(id_col,))
 
+    def prep(batch: pa.Table) -> pa.Table:
+        """Partition column for the verify exchange + null out the text
+        the join attached to home rows (they only carry the id)."""
+        from ..stages.aggregate import add_part_column
+        batch = add_part_column(batch, "band_key", n_parts, "_part")
+        is_home = pc.equal(batch.column("home"), 1)
+        txt = pc.if_else(is_home, pa.scalar(None, pa.string()),
+                         batch.column(text_col))
+        return batch.set_column(batch.schema.get_field_index(text_col),
+                                text_col, txt)
+
+    cand = cand.map_batches(prep, batch_format="pyarrow")
+
     def verify_partition(group: pa.Table) -> pa.Table:
         """All candidate buckets of one band_key hash partition in one
         call (one ray group per PARTITION, not per bucket — candidate
         buckets are corpus-cardinality); the per-bucket jaccard loop
-        is python but runs only over multi-doc buckets' rows."""
-        keys = group.column("band_key").to_numpy()
-        ids = group.column(id_col).to_numpy()
+        is python but runs only over multi-doc buckets' rows.  Home
+        rows pass straight through as (id, dup=0) universe rows."""
+        home = group.column("home").to_numpy()
+        cand_rows = home == 0
+        home_ids = group.column(id_col).to_numpy()[~cand_rows]
+        keys = group.column("band_key").to_numpy()[cand_rows]
+        ids = group.column(id_col).to_numpy()[cand_rows]
         _, i, starts, counts, order = _bucket_segments(keys, ids)
-        texts_ = np.asarray(group.column(text_col).to_pylist(),
-                            dtype=object)[order]
+        texts_ = np.asarray(
+            group.column(text_col).filter(pa.array(cand_rows)).to_pylist(),
+            dtype=object)[order]
         dup_ids = []
         vocab: dict = {}
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
@@ -492,19 +654,13 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
                 if _jaccard(rep, _shingle_hashes(
                         texts_[s + j] or "", vocab=vocab)) >= threshold:
                     dup_ids.append(i[s + j])
-        out = (np.unique(np.array(dup_ids, dtype=i.dtype)) if dup_ids
-               else np.empty(0, dtype=i.dtype))
-        return pa.table({id_col: pa.array(out),
-                         "dup": pa.array(np.ones(len(out), np.int8))})
+        beaten = (np.unique(np.array(dup_ids, dtype=i.dtype)) if dup_ids
+                  else np.empty(0, dtype=i.dtype))
+        return _marks_table(id_col, home_ids, beaten)
 
-    from ..stages.aggregate import add_part_column
-    cand = cand.map_batches(add_part_column, batch_format="pyarrow",
-                            fn_kwargs={"key": "band_key",
-                                       "n_parts": n_parts,
-                                       "part_col": "_part"})
     marked = cand.groupby("_part").map_groups(verify_partition,
                                               batch_format="pyarrow")
-    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
+    return _survivors(marked, id_col)
 
 
 def _sign_buckets(m: np.ndarray, n_planes: int, seed: int = 17) -> np.ndarray:
@@ -532,8 +688,9 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
     under the manual-hash-partition scan.  High-threshold near-dups
     have near-identical projections, so recall loss is confined to
     pairs straddling >2 plane boundaries.  The shuffle carries each
-    vector n_planes+1 times — bucketed replication, never all-pairs.
-    The exact all-pairs formulation survives as
+    vector n_planes+1 times — bucketed replication, never all-pairs —
+    and each vector's replica-0 row carries home=1, so the input is
+    consumed once.  The exact all-pairs formulation survives as
     embedding_cosine_dedup_bruteforce (test oracle only)."""
     from .similarity import _as_matrix, _normalize
     n_parts = _num_parts()
@@ -544,7 +701,8 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
             return pa.table({"part": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float64()))})
+                             "vec": pa.array([], pa.list_(pa.float64())),
+                             "home": pa.array([], pa.int8())})
         m = _normalize(_as_matrix(batch, vec_col))
         sigs = _sign_buckets(m, n_planes)
         ids = batch.column(id_col).to_numpy()
@@ -558,6 +716,8 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
         rep_m = np.repeat(m, reps, axis=0)
         dim = m.shape[1]
         offs = (np.arange(len(rep_ids) + 1, dtype=np.int32) * dim)
+        home = np.zeros(n * reps, dtype=np.int8)
+        home[::reps] = 1
         return pa.table({
             "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
             "bucket": pa.array(flat.view(np.int64)),
@@ -566,6 +726,7 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
             # size list type to match the empty-batch schema)
             "vec": pa.ListArray.from_arrays(pa.array(offs),
                                             pa.array(rep_m.reshape(-1))),
+            "home": pa.array(home),
         })
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
@@ -573,6 +734,7 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
     def partition_scan(group: pa.Table) -> pa.Table:
         buckets = group.column("bucket").to_numpy()
         ids = group.column(id_col).to_numpy()
+        home = group.column("home").to_numpy()
         _, i, starts, counts, order = _bucket_segments(buckets, ids)
         m = _as_matrix(group, "vec")[order]  # already normalized
         dup_ids = []
@@ -591,14 +753,13 @@ def embedding_cosine_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
                 hit = ((sims >= threshold) & smaller).any(axis=1)
                 if hit.any():
                     dup_ids.append(ii[a:b][hit])
-        out = (np.unique(np.concatenate(dup_ids)) if dup_ids
-               else np.empty(0, dtype=ids.dtype))
-        return pa.table({id_col: pa.array(out),
-                         "dup": pa.array(np.ones(len(out), np.int8))})
+        beaten = (np.unique(np.concatenate(dup_ids)) if dup_ids
+                  else np.empty(0, dtype=ids.dtype))
+        return _marks_table(id_col, ids[home == 1], beaten)
 
     marked = rows.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
-    return _survivors_unmarked(_zero_marks(ds, id_col), marked, id_col)
+    return _survivors(marked, id_col)
 
 
 def embedding_cosine_dedup_bruteforce(

@@ -1,0 +1,94 @@
+"""Input-lineage execution counts for the dedup families.
+
+Round-2 review flagged that the shared dedup tail re-executed the
+input dataset a second time for the survivor-id universe.  Round 3
+moved the universe onto the band exchange (each doc's band-0 row
+carries home=1 and its partition emits the (id, dup=0) row), so:
+
+  - minhash / simhash_near / embedding consume the input ONCE
+  - ngram consumes it TWICE (signature branch + the (id, text) join
+    side that attaches texts to candidates — inherent to keeping raw
+    text off the band exchange)
+
+The counter is a Ray actor bumped by a map_batches stage fused onto
+the input, so every re-execution of the lineage re-counts.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from d1_log_aggregation_ray.ops.dedup import (minhash_lsh_dedup,
+                                              simhash_near_dedup,
+                                              ngram_jaccard_dedup,
+                                              embedding_cosine_dedup)
+
+
+@ray.remote
+class _Counter:
+    def __init__(self):
+        self.n = 0
+
+    def bump(self, k: int = 1) -> None:
+        self.n += k
+
+    def value(self) -> int:
+        return self.n
+
+
+def _counted_docs(counter):
+    rng = np.random.RandomState(11)
+    words = "red green blue cyan teal plum gold gray pink mint".split()
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(30)]
+    texts.append(texts[2])  # one exact dup so the scan has work
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        ray.get(counter.bump.remote(1))
+        return b
+
+    # one input block -> one count per lineage execution
+    return ray.data.from_arrow(tbl).map_batches(
+        count_batch, batch_format="pyarrow", batch_size=None)
+
+
+def _counted_vecs(counter):
+    rng = np.random.RandomState(12)
+    mat = rng.randn(40, 8)
+    mat[30] = mat[4] * 2.0
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(list(mat.astype(np.float64)),
+                                          type=pa.list_(pa.float64()))})
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        ray.get(counter.bump.remote(1))
+        return b
+
+    return ray.data.from_arrow(tbl).map_batches(
+        count_batch, batch_format="pyarrow", batch_size=None)
+
+
+@pytest.mark.parametrize("op,expected", [
+    (minhash_lsh_dedup, 1),
+    (simhash_near_dedup, 1),
+    (ngram_jaccard_dedup, 2),
+])
+def test_text_dedup_consumes_input_expected_times(op, expected):
+    counter = _Counter.remote()
+    ds = _counted_docs(counter)
+    survivors = set(r["doc_id"] for r in op(ds).take_all())
+    assert 31 not in survivors and 2 in survivors  # dedup actually ran
+    assert ray.get(counter.value.remote()) == expected
+
+
+def test_embedding_dedup_consumes_input_once():
+    counter = _Counter.remote()
+    ds = _counted_vecs(counter)
+    survivors = set(r["vec_id"] for r in
+                    embedding_cosine_dedup(ds, threshold=0.999).take_all())
+    assert 30 not in survivors and 4 in survivors
+    assert ray.get(counter.value.remote()) == 1
