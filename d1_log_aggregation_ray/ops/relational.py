@@ -67,10 +67,11 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
     P = _asof_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        # int_key_array: nulls -> sentinel so the key column's numpy
-        # representation (and hence the partition of every OTHER key)
-        # never depends on whether this batch contains nulls
-        part = _key_parts(_int_keys(batch.column(key)), P)
+        # _seg_keys: type-generic 64-bit key hash (int identity with a
+        # null sentinel, md5-low64 for strings) so the partition of
+        # every OTHER key never depends on whether this batch contains
+        # nulls, and string/binary key columns work unchanged
+        part = _key_parts(_seg_keys(batch.column(key)), P)
         cols = {c: batch.column(c) for c in
                 (key, ts_col, type_col, value_col, id_col)}
         cols["part"] = pa.array(part)
@@ -84,7 +85,7 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
         if n_l == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "prior_value": pa.array([], pa.float64())})
-        l_key = _int_keys(left.column(key))
+        l_key = _seg_keys(left.column(key))
         l_key_null = ~left.column(key).combine_chunks().is_valid(
         ).to_numpy(zero_copy_only=False)
         # null left ts -> NaN -> ranks after every real ts (numpy sorts
@@ -105,7 +106,7 @@ def asof_join_prior(ds: ray.data.Dataset, key: str, ts_col: str,
             return pa.table({id_col: pa.array(l_id),
                              "prior_value": pa.array([None] * n_l,
                                                      pa.float64())})
-        r_key = _int_keys(right.column(key))
+        r_key = _seg_keys(right.column(key))
         r_ts = right.column(ts_col).combine_chunks().cast(pa.int64()
                                                           ).to_numpy(zero_copy_only=False)
         r_id = right.column(id_col).to_numpy(zero_copy_only=False)

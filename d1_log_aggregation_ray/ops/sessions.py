@@ -22,8 +22,6 @@ import ray.data
 
 from ..functions.parts import hash_parts as _parts
 from ..functions.parts import key_parts as _key_parts
-from ..functions.parts import int_key_array as _int_keys
-from ..functions.parts import NULL_KEY_SENTINEL
 
 
 def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
@@ -31,7 +29,13 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
                ts_col: str = "ts") -> ray.data.Dataset:
     """Per-user session stats: a new session starts when the gap from
     the previous event exceeds gap_s.  Ties broken by event_id (total
-    order, matching the SQL oracle's ORDER BY ts, event_id)."""
+    order, matching the SQL oracle's ORDER BY ts, event_id).
+
+    Key-type generic: users are partitioned/segmented via the 64-bit
+    _seg_keys hash (int identity, md5-low64 for strings — the same
+    documented 2^-64 merge risk as topk_per_key), and the OUTPUT key
+    column carries the original values (first row of each segment),
+    never the hash encoding."""
     gap_us = gap_s * 1_000_000
     P = _parts()
 
@@ -39,22 +43,25 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
         # null-ts events carry no ordering information: excluded here
         # AND in the SQL oracle (WHERE ts IS NOT NULL).  Null USERS are
         # kept as one sentinel-keyed group (SQL GROUP BY emits a NULL
-        # group) — int_key_array also keeps non-null keys' partition
+        # group) — the seg-key hash also keeps non-null keys' partition
         # independent of whether the batch contains nulls.
+        from .relational import _seg_keys
         batch = batch.filter(batch.column(ts_col).combine_chunks().is_valid())
-        u = _int_keys(batch.column(user_col))
+        u = _seg_keys(batch.column(user_col))
         return pa.table({user_col: batch.column(user_col),
                          "event_id": batch.column("event_id"),
                          ts_col: batch.column(ts_col),
                          "part": pa.array(_key_parts(u, P))})
 
     def partition_scan(group: pa.Table) -> pa.Table:
+        from .relational import _seg_keys
         n = group.num_rows
+        users = group.column(user_col).combine_chunks()
         if n == 0:
-            return pa.table({user_col: pa.array([], pa.int64()),
+            return pa.table({user_col: users,
                              "n_events": pa.array([], pa.int64()),
                              "n_sessions": pa.array([], pa.int64())})
-        u = _int_keys(group.column(user_col))
+        u = _seg_keys(users)
         ts = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
@@ -66,8 +73,8 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800,
         counts = np.diff(np.r_[starts, n])
         sess_cum = np.cumsum(new_sess)
         sess_per_user = np.diff(np.r_[sess_cum[starts] - 1, sess_cum[-1]])
-        out_users = pa.array(us[starts],
-                             mask=(us[starts] == NULL_KEY_SENTINEL))
+        # original key values, first row per segment — NOT the hash
+        out_users = users.take(pa.array(order[starts]))
         return pa.table({user_col: out_users,
                          "n_events": pa.array(counts.astype(np.int64)),
                          "n_sessions": pa.array(

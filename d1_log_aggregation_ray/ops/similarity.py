@@ -83,11 +83,30 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
     Determinism: sample = lowest-id vectors, seeded init, fixed
     iteration count — identical across runs and cluster sizes."""
     import os
-    sample_tbl = (ds.select_columns([id_col, vec_col])
-                  .sort(id_col).limit(sample_n).take_all())
+
+    def local_smallest(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column(id_col).to_numpy()
+        order = np.argsort(ids_)[:sample_n]
+        return batch.take(pa.array(order))
+
+    # lowest-`sample_n` ids WITHOUT a global sort (round-2 review: the
+    # old sort(id).limit(n) exchanged the full id+vector corpus to keep
+    # 20k rows): per-batch smallest-n partials, two coalescing
+    # tree-reduce levels (Ray concatenates the small partial blocks
+    # into ~8n-row batches), then a driver merge of the tiny remainder.
+    # Each level keeps every row that could be in the global smallest
+    # n, so the result is bit-identical to the sorted formulation.
+    sample = ds.select_columns([id_col, vec_col]).map_batches(
+        local_smallest, batch_format="pyarrow")
+    for _ in range(2):
+        sample = sample.map_batches(local_smallest, batch_format="pyarrow",
+                                    batch_size=8 * sample_n)
+    sample_tbl = sample.take_all()
     ids = np.array([r[id_col] for r in sample_tbl])
+    order = np.argsort(ids)[:sample_n]
+    ids = ids[order]
     m = _normalize(np.array([r[vec_col] for r in sample_tbl],
-                            dtype=np.float64))
+                            dtype=np.float64)[order])
     n_lists = min(n_lists, len(m))
     rng = np.random.RandomState(23)
     cent = m[rng.choice(len(m), size=n_lists, replace=False)]
@@ -132,6 +151,12 @@ def ivf_topk(index_dir: str, query: np.ndarray, k: int = 10,
     for p in probes:  # empty lists have no dir; expand dirs to files
         paths.extend(sorted(glob.glob(
             os.path.join(index_dir, f"list_id={int(p)}", "*.parquet"))))
+    if not paths:
+        # every probed list is empty (tiny corpus + aggressive n_probe,
+        # or a stale/partial index dir): honor the approximate contract
+        # with a typed empty result instead of read_parquet([]) raising
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(sub, query, k, id_col, vec_col)
 

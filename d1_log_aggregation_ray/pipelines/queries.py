@@ -662,11 +662,30 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     except OSError:
         return {}
     out = {}
-    for q, ids in pins.items():
-        col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk") \
-            else "doc_id"
-        out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
-            ", ".join(str(i) for i in ids), col))
+    for q, pin in pins.items():
+        if isinstance(pin, dict):
+            # generic multi-column pin: {"columns": [...], "rows": [...]}
+            def lit(v):
+                if v is None:
+                    return "NULL"
+                if isinstance(v, str):
+                    return "'{}'".format(v.replace("'", "''"))
+                if isinstance(v, bool):
+                    return "TRUE" if v else "FALSE"
+                if isinstance(v, int):
+                    return f"CAST({v} AS BIGINT)"
+                return repr(float(v))
+            vals = ", ".join(
+                "({})".format(", ".join(lit(v) for v in row))
+                for row in pin["rows"])
+            cols = ", ".join(pin["columns"])
+            out[q] = (f"SELECT {cols} FROM (VALUES {vals}) "
+                      f"AS t({cols})")
+        else:
+            col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk") \
+                else "doc_id"
+            out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
+                ", ".join(str(i) for i in pin), col))
     return out
 
 

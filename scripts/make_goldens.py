@@ -26,6 +26,10 @@ sys.path.insert(0, REPO)
 GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "dedup_survivors.json")
 QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
            "dedup_ngram", "dedup_embedding", "ann_ivf_topk"]
+# multi-column pins: whole deterministic result rows (the HLL estimate
+# is md5-hashed + fixed-p -> batch/partition-count independent)
+ROW_QUERIES = {"approx_distinct_users": ["event_type",
+                                         "n_distinct_approx"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
@@ -47,6 +51,14 @@ def main() -> None:
                 else res.to_pylist()
             out[sf][q] = sorted(int(r[col]) for r in rows)
             print(f"{sf} {q}: {len(out[sf][q])} survivors")
+        for q, cols in ROW_QUERIES.items():
+            res = RAY_QUERIES[q](sf_dir)
+            rows = res.take_all() if hasattr(res, "take_all") \
+                else res.to_pylist()
+            out[sf][q] = {"columns": cols,
+                          "rows": sorted([r[c] for c in cols]
+                                         for r in rows)}
+            print(f"{sf} {q}: {len(rows)} pinned rows")
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(out, f, indent=1)

@@ -84,6 +84,65 @@ def test_sessionize_matches_duckdb(data):
     assert got == want
 
 
+def _table_str_keys(data):
+    """Same events but with STRING user keys (round-2 review: the
+    int64-only key encoding returned hashes / raised for strings)."""
+    t = _table(data)
+    users = pa.array([None if u is None else f"user-{u}"
+                      for u, _, _, _ in data], pa.string())
+    return t.set_column(t.schema.get_field_index("user_id"),
+                        "user_id", users)
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_asof_prior_string_keys_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import asof_join_prior
+    t = _table_str_keys(data)
+    got = {r["event_id"]: r["prior_value"] for r in
+           asof_join_prior(ray.data.from_arrow(t), key="user_id",
+                           ts_col="ts", left_type="click",
+                           right_type="view").take_all()}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = {eid: val for eid, val in con.execute("""
+        SELECT a.event_id, b.value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+          ON a.user_id = b.user_id AND a.ts > b.ts""").fetchall()}
+    assert set(got) == set(want)
+    for eid in want:
+        g, w = got[eid], want[eid]
+        if w is None or g is None:
+            assert (g is None) == (w is None), eid
+        else:
+            assert g == w, eid
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_sessionize_string_keys_matches_duckdb(data):
+    """Output user_id must be the ORIGINAL string values (not the
+    internal 64-bit hash) and the session math must hold."""
+    from d1_log_aggregation_ray.ops.sessions import sessionize
+    t = _table_str_keys(data)
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in
+           sessionize(ray.data.from_arrow(t), gap_s=10).take_all()}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = {u: (ne, ns) for u, ne, ns in con.execute("""
+        SELECT user_id, count(*),
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 10 SECOND
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events WHERE ts IS NOT NULL)
+        GROUP BY user_id""").fetchall()}
+    assert got == want
+
+
 @given(events)
 @settings(max_examples=30, deadline=None)
 def test_tumbling_counts_matches_duckdb(data):
