@@ -22,6 +22,7 @@ Design notes (scale):
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
@@ -40,6 +41,8 @@ from ..stages.project import clean_project
 from ..stages.window import bucket_window_scan
 from ..stages.enrich import Enricher, DEFAULT_RUN_TS
 from ..state.manifest import Manifest
+
+_LOG = logging.getLogger(__name__)
 
 
 def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -251,6 +254,34 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
     return pa.Table.from_pylist(stats_rows + err_row, schema=_STATS_SCHEMA)
 
 
+def _fragment_rows(fx_dir: str, b: int) -> int:
+    """Current row count of a bucket's input fragment — a parquet
+    FOOTER read (no data IO), so growth detection over every completed
+    bucket costs metadata only."""
+    return pads.dataset(os.path.join(
+        fx_dir, "transcripts", f"part-{b:02d}.parquet")).count_rows()
+
+
+def _grown_buckets(fx_dir: str, latest: dict[int, dict]) -> dict[int, dict]:
+    """Completed buckets whose input fragment has GROWN since their
+    manifest record (the reference's incremental-harvest trigger:
+    logLastAggregated < newest record, LogHarvesterTask.java:189-204).
+    Records that predate rows_in tracking are never delta-eligible
+    (full reprocessing would double-write; the operator can drop the
+    manifest line to force one)."""
+    out = {}
+    for b, rec in latest.items():
+        old = rec.get("rows_in")
+        if old is None or b < 0:
+            continue
+        try:
+            if _fragment_rows(fx_dir, b) > old:
+                out[b] = rec
+        except FileNotFoundError:
+            continue  # removed bucket: reconcile's job, not delta's
+    return out
+
+
 def reconcile(fx_dir: str, out_dir: str) -> dict:
     """C2 schedule-reconciliation analog (reference:
     LogAggregrationManageScheduleJob.java:24-43 diffs the registered
@@ -259,13 +290,16 @@ def reconcile(fx_dir: str, out_dir: str) -> dict:
     partition set: buckets present in the corpus but not the manifest
     are ADDED (the next run_harvest picks them up as todo), and
     manifest records + output dirs of buckets no longer in the corpus
-    are REMOVED so stale partitions never pollute aggregates.  Returns
-    {"added": [...], "removed": [...]}."""
+    are REMOVED so stale partitions never pollute aggregates; buckets
+    whose fragment has GROWN since their record are reported so the
+    next run_harvest delta-harvests them.  Returns
+    {"added": [...], "removed": [...], "grown": [...]}."""
     manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
     corpus = set(_corpus_buckets(fx_dir))
     done = manifest.completed_buckets()
     added = sorted(corpus - done)
     removed = sorted(b for b in done if b not in corpus)
+    grown = sorted(_grown_buckets(fx_dir, manifest.latest_complete()))
     if removed:
         gone = set(removed)
         manifest.rewrite([r for r in manifest.records()
@@ -273,7 +307,7 @@ def reconcile(fx_dir: str, out_dir: str) -> dict:
         for b in removed:
             shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
                           ignore_errors=True)
-    return {"added": added, "removed": removed}
+    return {"added": added, "removed": removed, "grown": grown}
 
 
 def run_harvest(fx_dir: str, out_dir: str,
@@ -324,6 +358,13 @@ def run_harvest(fx_dir: str, out_dir: str,
             f"({fx_dir}); bucket-derived columns would disagree with the "
             "input partitioning")
     todo = [b for b in corpus_buckets if b not in done]
+    # incremental delta harvest (the reference's core watermark
+    # semantic): completed buckets whose fragment GREW since their
+    # record are re-harvested for rows past their recorded max_ts only
+    # — never cleared, never double-written (C3/A1 analog of
+    # logLastAggregated, LogHarvesterTask.java:189-204,492-496)
+    delta: dict[int, dict] = _grown_buckets(
+        fx_dir, manifest.latest_complete()) if resume else {}
     if not resume:
         for b in corpus_buckets:
             shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
@@ -332,7 +373,10 @@ def run_harvest(fx_dir: str, out_dir: str,
             os.remove(manifest.path)
         done = set()
         todo = list(corpus_buckets)
-    # clear partials from a previous killed run
+    # clear partials from a previous killed run (full buckets only —
+    # a delta bucket's dir holds committed prior output; idempotency
+    # for a killed DELTA re-run comes from deterministic content-
+    # derived part names, the same upsert-by-id guarantee as slices)
     for b in todo:
         shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}.inprogress"),
@@ -345,7 +389,8 @@ def run_harvest(fx_dir: str, out_dir: str,
     stopped_early = False
     kill_path = os.path.join(out_dir, "_KILL")
 
-    def _run_wave(wave: list[int]) -> list[dict]:
+    def _run_wave(wave: list[int],
+                  ts_floors: dict[int, str] | None = None) -> list[dict]:
         ds = read_transcripts(fx_dir, buckets=wave, one_block_per_bucket=True)
 
         def clean_then_scan(batch, cfg=cfg):
@@ -365,6 +410,37 @@ def run_harvest(fx_dir: str, out_dir: str,
         ds = ds.map_batches(clean_then_scan, batch_size=None,
                             batch_format="pyarrow", zero_copy_batch=True,
                             num_cpus=1.01)
+        if ts_floors:
+            # incremental delta harvest: the window scan ran over the
+            # FULL bucket (repeat-visit flags of a new turn depend on
+            # its conv's prior turns), but only rows past the bucket's
+            # recorded watermark are enriched + written.  Appended rows
+            # at ts <= watermark (late data) are not re-harvested —
+            # exactly the reference's dateLogged-window semantics
+            # (LogHarvesterTask.java:189-204: harvest
+            # (logLastAggregated + 1ms, end]).
+            import numpy as np
+            from ..functions.hashing import md5_lower64_array
+            floors_us = np.full(cfg.n_buckets, np.iinfo(np.int64).min,
+                                dtype=np.int64)
+            for b, iso in ts_floors.items():
+                if iso is not None:
+                    floors_us[b] = int(pa.scalar(
+                        datetime.fromisoformat(iso),
+                        type=pa.timestamp("us")).value)
+
+            def past_watermark(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return batch
+                h64 = md5_lower64_array(batch.column("conv_id"))
+                bkt = (h64 % np.uint64(cfg.n_buckets)).astype(np.int64)
+                ts = pc.fill_null(
+                    batch.column("ts").combine_chunks().cast(pa.int64()),
+                    np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ts > floors_us[bkt]))
+
+            ds = ds.map_batches(past_watermark, batch_format="pyarrow",
+                                zero_copy_batch=True, num_cpus=1.01)
         ds = ds.map_batches(
             _enrich_and_write_slice, batch_size=cfg.write_slice_rows,
             batch_format="pyarrow", zero_copy_batch=True,
@@ -372,19 +448,25 @@ def run_harvest(fx_dir: str, out_dir: str,
                        "cfg": cfg, "run_ts": run_ts})
         return ds.take_all()
 
-    for i in range(0, len(todo), wave_size):
+    waves: list[tuple[list[int], dict[int, str] | None]] = [
+        (todo[i:i + wave_size], None)
+        for i in range(0, len(todo), wave_size)]
+    delta_order = sorted(delta)
+    waves += [
+        (w, {b: delta[b].get("max_ts") for b in w})
+        for w in (delta_order[i:i + wave_size]
+                  for i in range(0, len(delta_order), wave_size))]
+    delta_rows_out = 0
+    for wave, floors in waves:
         # cooperative kill switch, polled between waves (the resume
         # unit): completed waves stay committed, nothing is torn
         if (should_continue is not None and not should_continue()) \
                 or os.path.exists(kill_path):
             stopped_early = True
             break
-        wave = todo[i:i + wave_size]
         t0 = time.time()
-        n_in = sum(
-            pads.dataset(os.path.join(fx_dir, "transcripts",
-                                      f"part-{b:02d}.parquet")).count_rows()
-            for b in wave)
+        frag_rows = {b: _fragment_rows(fx_dir, b) for b in wave}
+        n_in = sum(frag_rows.values())
         rows_in_total += n_in
         last_err: BaseException | None = None
         # 1 initial attempt + source_retry_attempts sleep-retries,
@@ -392,16 +474,26 @@ def run_harvest(fx_dir: str, out_dir: str,
         # (LogHarvesterTask.java:311-329)
         for attempt in range(1 + cfg.source_retry_attempts):
             try:
-                slice_rows = _run_wave(wave)
+                slice_rows = _run_wave(wave, floors)
                 last_err = None
                 break
             except Exception as err:  # flaky source/transform: backoff
                 last_err = err
-                # a partially-written wave is cleared before the retry
-                # (same partition-atomic overwrite as resume)
-                for b in wave:
-                    shutil.rmtree(os.path.join(out_dir, f"bucket_id={b}"),
-                                  ignore_errors=True)
+                _LOG.warning(
+                    "harvest wave %s attempt %d/%d failed: %r%s", wave,
+                    attempt + 1, 1 + cfg.source_retry_attempts, err,
+                    "" if attempt >= cfg.source_retry_attempts else
+                    f" — retrying in {cfg.source_retry_backoff_s}s")
+                # a partially-written FULL wave is cleared before the
+                # retry (partition-atomic overwrite, same as resume); a
+                # delta wave's dirs hold committed prior output, so
+                # they are never cleared — its retried writes overwrite
+                # their own content-derived file names idempotently
+                if floors is None:
+                    for b in wave:
+                        shutil.rmtree(
+                            os.path.join(out_dir, f"bucket_id={b}"),
+                            ignore_errors=True)
                 if attempt < cfg.source_retry_attempts:
                     time.sleep(cfg.source_retry_backoff_s)
         if last_err is not None:
@@ -437,13 +529,41 @@ def run_harvest(fx_dir: str, out_dir: str,
                 "in_full_list": 0, "is_repeat_visit": 0, "max_ts": None,
                 "error_rows": 0})
         for b in sorted(agg):
+            rec = agg[b]
+            if floors is not None:
+                # delta re-harvest: append the updated CUMULATIVE
+                # record (rollups read last-wins via latest_complete);
+                # rows_in advances to the grown fragment size so the
+                # bucket is not re-detected until it grows again
+                old = delta[b]
+                delta_rows_out += rec["rows_out"]
+                ps = dict(old.get("per_sink_rows", {}))
+                for k, v in rec["per_sink_rows"].items():
+                    ps[k] = ps.get(k, 0) + v
+                rec = {
+                    "rows_out": old["rows_out"] + rec["rows_out"],
+                    "per_sink_rows": ps,
+                    "in_partial_list": old.get("in_partial_list", 0)
+                    + rec["in_partial_list"],
+                    "in_full_list": old.get("in_full_list", 0)
+                    + rec["in_full_list"],
+                    "is_repeat_visit": old.get("is_repeat_visit", 0)
+                    + rec["is_repeat_visit"],
+                    "max_ts": max(filter(None, (old.get("max_ts"),
+                                                rec["max_ts"])),
+                                  default=None),
+                    "error_rows": old.get("error_rows", 0)
+                    + rec["error_rows"],
+                    "delta_runs": old.get("delta_runs", 0) + 1,
+                }
             manifest.append({
                 "bucket": b, "complete": True,
                 "fragment": f"transcripts/part-{b:02d}.parquet",
                 "wave": wave, "wave_rows_in": n_in,
+                "rows_in": frag_rows[b],
                 "wave_duration_s": round(dt, 3),
                 "run_ts": run_ts.isoformat(),
-                **agg[b],
+                **rec,
             })
         if unattributed_errors:
             run_unattributed += int(unattributed_errors)
@@ -452,7 +572,9 @@ def run_harvest(fx_dir: str, out_dir: str,
                              "error_rows": int(unattributed_errors)})
 
     all_recs = manifest.records()
-    recs = [r for r in all_recs if r.get("complete")]
+    # last-wins per bucket: delta re-harvests append updated CUMULATIVE
+    # records, so summing every complete record would double-count
+    recs = list(manifest.latest_complete().values())
     total_out = sum(r["rows_out"] for r in recs)
     # error lineage: unattributed (-1) records are written ONLY after
     # their wave committed (take_all succeeded, complete records
@@ -474,6 +596,8 @@ def run_harvest(fx_dir: str, out_dir: str,
         "max_ts": max((r["max_ts"] for r in recs if r["max_ts"]), default=None),
         "error_rows": total_errors,
         "error_rows_this_run": run_unattributed,
+        "delta_buckets": sorted(delta),
+        "delta_rows_out": delta_rows_out,
         "stopped_early": stopped_early,
         "duration_s": round(time.time() - t_start, 3),
     }

@@ -23,6 +23,20 @@ import ray
 import ray.data
 
 
+#: read-task retry budget: a transient in-task failure (flaky FS/object
+#: store) re-executes ONLY the failed per-bucket read task — the wave
+#: keeps streaming (C5 at task granularity; the driver-side wave retry
+#: in pipelines/harvest.py remains the coarse backstop, reference
+#: LogHarvesterTask.java:311-329)
+READ_TASK_RETRIES = 4
+
+#: test-only fault injection: when set to a file path before the
+#: Dataset is BUILT, each read task that finds the file consumes it
+#: once and raises OSError — used by pytest to prove task-level retry
+#: recovers without a wave restart.  Never set in production code.
+_FAULT_ONCE_PATH: str | None = None
+
+
 def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
                      columns: list[str] | None = None,
                      one_block_per_bucket: bool = False) -> ray.data.Dataset:
@@ -48,9 +62,16 @@ def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
         # silently split bucket would corrupt the window scan.  IO still
         # runs fully parallel across tasks.
         import pyarrow.parquet as pq
+        fault = _FAULT_ONCE_PATH  # closure-captured at graph build
 
         def load_file(batch: "pa.Table") -> "pa.Table":
             assert batch.num_rows == 1
+            if fault and os.path.exists(fault):
+                try:
+                    os.remove(fault)  # consume: only one attempt fails
+                except OSError:
+                    pass
+                raise OSError("injected per-task read fault")
             return pq.read_table(batch.column("path")[0].as_py(),
                                  columns=columns)
 
@@ -59,9 +80,12 @@ def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
         # num_cpus=1.01 matches the downstream per-bucket scan stage so
         # load+scan FUSE into one task (raw bytes never hit the object
         # store) while the scan stage stays unfused from the slice
-        # stage (see harvest.run_harvest)
+        # stage (see harvest.run_harvest).  max_retries +
+        # retry_exceptions: a transient OSError re-runs just this task.
         return ds.map_batches(load_file, batch_size=None,
-                              batch_format="pyarrow", num_cpus=1.01)
+                              batch_format="pyarrow", num_cpus=1.01,
+                              max_retries=READ_TASK_RETRIES,
+                              retry_exceptions=[OSError])
     return ray.data.read_parquet(paths, columns=columns)
 
 

@@ -43,6 +43,16 @@ class Manifest:
     def completed_buckets(self) -> set[int]:
         return {r["bucket"] for r in self.records() if r.get("complete")}
 
+    def latest_complete(self) -> dict[int, dict]:
+        """bucket -> LAST complete record.  Incremental delta harvests
+        append an updated CUMULATIVE record per re-harvested bucket
+        (never rewrite history), so rollups must read last-wins."""
+        out: dict[int, dict] = {}
+        for r in self.records():
+            if r.get("complete"):
+                out[r["bucket"]] = r
+        return out
+
     def append(self, record: dict) -> None:
         data = (json.dumps(record, sort_keys=True) + "\n").encode()
         fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)

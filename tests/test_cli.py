@@ -19,7 +19,7 @@ def test_cli_harvest_reconcile_query(fx_dir, tmp_path, capsys):
     cli.cmd_reconcile(argparse.Namespace(
         sf_dir="/root/testdata/sf0.001", out=out))
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec == {"added": [], "removed": []}
+    assert rec == {"added": [], "removed": [], "grown": []}
 
     cli.cmd_query(argparse.Namespace(
         name="events_agg", sf_dir="/root/testdata/sf0.001"))

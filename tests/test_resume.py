@@ -196,3 +196,118 @@ def test_kill_file_stops_run(fx_dir, tmp_path):
     s2 = run_harvest(fx_dir, out, resume=True)
     assert s2["stopped_early"] is False
     assert s2["buckets"] == 32
+
+
+def test_incremental_delta_harvest(fx_dir, tmp_path):
+    """The reference's core watermark semantic (LogHarvesterTask.java:
+    189-204,492-496): rows appended to an already-harvested bucket are
+    picked up by the next run as a DELTA — only the new rows are
+    enriched/written (no dupes, no re-write of prior output), the
+    repeat-visit window still sees the conv's prior turns, the
+    watermark advances, and the result equals a from-scratch run."""
+    import os
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d1_log_aggregation_ray.pipelines.harvest import reconcile
+
+    corpus = str(tmp_path / "corpus")
+    shutil.copytree(fx_dir, corpus)
+    out = str(tmp_path / "out")
+    s1 = run_harvest(corpus, out, resume=False)
+    keys1 = _read_keys(out)
+
+    # append 3 turns to the conv that OWNS bucket 5's max ts: two
+    # within the 30s repeat window (prove the delta scan saw the
+    # conv's PRIOR turns — an isolated scan of just the new rows
+    # could never flag the first one), one far later
+    part = os.path.join(corpus, "transcripts", "part-05.parquet")
+    t = pq.read_table(part)
+    max_ts = pc.max(t.column("ts")).as_py()
+    cid = t.filter(pc.equal(t.column("ts"), max_ts)
+                   ).column("conv_id")[0].as_py()
+    sub = t.filter(pc.equal(t.column("conv_id"), cid))
+    next_idx = pc.max(sub.column("turn_idx")).as_py() + 1
+    new_rows = pa.table({
+        "conv_id": pa.array([cid] * 3),
+        "turn_idx": pa.array(range(next_idx, next_idx + 3), pa.int32()),
+        "role": pa.array(["assistant"] * 3),
+        "text": pa.array([f"delta turn {i}" for i in range(3)]),
+        "tool": pa.array([None] * 3, pa.string()),
+        "ts": pa.array([max_ts + timedelta(seconds=s)
+                        for s in (10, 20, 3600)], pa.timestamp("us")),
+    })
+    pq.write_table(pa.concat_tables([t, new_rows]), part)
+
+    rep = reconcile(corpus, out)
+    assert rep == {"added": [], "removed": [], "grown": [5]}
+
+    from d1_log_aggregation_ray.state.manifest import Manifest
+    wm_before = Manifest(f"{out}/_manifest.jsonl").latest_complete()[5]["max_ts"]
+    s2 = run_harvest(corpus, out, resume=True)
+    assert s2["delta_buckets"] == [5]
+    assert s2["delta_rows_out"] == 3          # ONLY the new rows written
+    assert s2["rows_out_total"] == s1["rows_out_total"] + 3
+    wm_after = Manifest(f"{out}/_manifest.jsonl").latest_complete()[5]["max_ts"]
+    assert wm_after > wm_before               # bucket watermark advanced
+    keys2 = _read_keys(out)
+    assert len(keys2) == len(set(keys2)) == len(keys1) + 3  # no dupes
+
+    # ground truth: a from-scratch harvest of the grown corpus must
+    # match the incremental output row-for-row (incl. window flags)
+    out_full = str(tmp_path / "out_full")
+    s_full = run_harvest(corpus, out_full, resume=False)
+    cols = ["turn_id", "sink_id", "is_repeat_visit", "in_partial_list",
+            "in_full_list", "ts"]
+    def _sorted_tbl(d):
+        tb = pads.dataset(d, partitioning="hive").to_table(columns=cols)
+        return tb.sort_by("turn_id")
+    assert _sorted_tbl(out).equals(_sorted_tbl(out_full))
+    for k in ("rows_out_total", "in_partial_list", "in_full_list",
+              "is_repeat_visit", "max_ts"):
+        assert s2[k] == s_full[k], k
+    # the two in-window delta turns ARE repeat visits: prior-turn
+    # continuity across the watermark worked (an isolated scan of only
+    # the appended rows would have left the first one unflagged)
+    tb = _sorted_tbl(out)
+    mask = pc.is_in(tb.column("turn_id"),
+                    value_set=pa.array([f"{cid}.{next_idx}",
+                                        f"{cid}.{next_idx + 1}"]))
+    flagged = tb.filter(mask)
+    assert flagged.num_rows == 2
+    assert pc.all(flagged.column("is_repeat_visit")).as_py() is True
+
+    # a third resume is a no-op: rows_in advanced with the delta record
+    s3 = run_harvest(corpus, out, resume=True)
+    assert s3["delta_buckets"] == [] and s3["rows_in_this_run"] == 0
+    assert _read_keys(out) == keys2
+
+
+def test_read_task_retry_recovers_without_wave_restart(fx_dir, tmp_path,
+                                                       monkeypatch):
+    """C5 at TASK granularity: a transient in-task read failure is
+    retried by Ray (max_retries + retry_exceptions on the per-bucket
+    load task) — with the driver-side wave retry DISABLED
+    (source_retry_attempts=0), the run still completes with correct
+    totals, proving recovery happened inside the task, not the wave."""
+    import dataclasses
+    import os
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
+    from d1_log_aggregation_ray.sources import readers
+
+    ref = run_harvest(fx_dir, str(tmp_path / "ref"), resume=False)
+
+    sentinel = str(tmp_path / "task_fault_once")
+    open(sentinel, "w").close()
+    monkeypatch.setattr(readers, "_FAULT_ONCE_PATH", sentinel)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, source_retry_attempts=0)
+    out = str(tmp_path / "out")
+    s = run_harvest(fx_dir, out, cfg=cfg, resume=False)
+    assert not os.path.exists(sentinel)  # the fault really fired
+    for k in ("rows_out_total", "in_partial_list", "in_full_list",
+              "is_repeat_visit", "max_ts"):
+        assert s[k] == ref[k], k
+    assert _read_keys(out) == _read_keys(str(tmp_path / "ref"))
