@@ -61,31 +61,45 @@ def read_transcripts(fx_dir: str, buckets: list[int] | None = None,
         # split across blocks — override_num_blocks is only a hint and a
         # silently split bucket would corrupt the window scan.  IO still
         # runs fully parallel across tasks.
+        import time as _time
+
         import pyarrow.parquet as pq
         fault = _FAULT_ONCE_PATH  # closure-captured at graph build
 
         def load_file(batch: "pa.Table") -> "pa.Table":
             assert batch.num_rows == 1
-            if fault and os.path.exists(fault):
+            path = batch.column("path")[0].as_py()
+            last: Exception | None = None
+            # bounded IN-TASK retry: a transient OSError re-reads this
+            # ONE file without restarting the wave.  Deliberately not
+            # Ray-level retry_exceptions — a differing ray_remote_arg
+            # breaks read->scan operator FUSION and pushes every raw
+            # bucket table through the object store (measured +0.3 s on
+            # the sf0.1 harvest).  Worker-death retries stay covered by
+            # Ray's default task max_retries.
+            for attempt in range(1 + READ_TASK_RETRIES):
                 try:
-                    os.remove(fault)  # consume: only one attempt fails
-                except OSError:
-                    pass
-                raise OSError("injected per-task read fault")
-            return pq.read_table(batch.column("path")[0].as_py(),
-                                 columns=columns)
+                    if fault and os.path.exists(fault):
+                        try:
+                            os.remove(fault)  # consume: one attempt fails
+                        except OSError:
+                            pass
+                        raise OSError("injected per-task read fault")
+                    return pq.read_table(path, columns=columns)
+                except OSError as err:
+                    last = err
+                    if attempt < READ_TASK_RETRIES:
+                        _time.sleep(min(0.2 * (attempt + 1), 2.0))
+            raise last
 
         ds = ray.data.from_items([{"path": p} for p in paths],
                                  override_num_blocks=len(paths))
         # num_cpus=1.01 matches the downstream per-bucket scan stage so
         # load+scan FUSE into one task (raw bytes never hit the object
         # store) while the scan stage stays unfused from the slice
-        # stage (see harvest.run_harvest).  max_retries +
-        # retry_exceptions: a transient OSError re-runs just this task.
+        # stage (see harvest.run_harvest)
         return ds.map_batches(load_file, batch_size=None,
-                              batch_format="pyarrow", num_cpus=1.01,
-                              max_retries=READ_TASK_RETRIES,
-                              retry_exceptions=[OSError])
+                              batch_format="pyarrow", num_cpus=1.01)
     return ray.data.read_parquet(paths, columns=columns)
 
 
