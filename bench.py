@@ -84,7 +84,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # round-2 additions: the vectorized kernels + the
                      # new banded near-dup family
                      "doc_fingerprint", "lang_id", "asof_prior",
-                     "approx_distinct_users", "dedup_simhash_near"]:
+                     "approx_distinct_users", "dedup_simhash_near",
+                     # round-3 additions: the remaining dedup families
+                     "dedup_ngram", "dedup_embedding"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
