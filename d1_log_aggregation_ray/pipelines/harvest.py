@@ -432,30 +432,17 @@ def run_harvest(fx_dir: str, out_dir: str,
                     np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
                 return batch.filter(pa.array(ts > floors_us[bkt]))
 
-        if os.environ.get("GRAFT_FUSE_SLICE"):
-            # EXPERIMENT (env-gated, default off): fully-fused
-            # per-bucket task — read+scan+[watermark]+enrich+write in
-            # ONE task, ZERO object-store transit.  Trades the unfused
-            # path's slice-level skew-splitting (a hot bucket's slices
-            # redistribute across the pool) for plasma avoidance; the
-            # scaling sweep decides which wins on a given box.
-            def fused_bucket(batch, cfg=cfg):
-                scanned = clean_then_scan(batch, cfg)
-                if past_watermark is not None:
-                    scanned = past_watermark(scanned)
-                return _enrich_and_write_slice(
-                    scanned, out_dir=out_dir, side_ref=side_ref,
-                    cfg=cfg, run_ts=run_ts)
-            ds = ds.map_batches(fused_bucket, batch_size=None,
-                                batch_format="pyarrow", zero_copy_batch=True,
-                                num_cpus=1.01)
-            return ds.take_all()
-
         # num_cpus=1.01 on the per-bucket scan prevents operator fusion
         # with the slice stage: fused, each task would process a WHOLE
         # bucket serially and the hot-conv bucket becomes the job's
         # critical path; unfused, scanned blocks redistribute across
-        # the pool as ~64k-row slices (skew-splitting)
+        # the pool as ~64k-row slices (skew-splitting).  A fully-fused
+        # read+scan+enrich+write single-task-per-bucket variant was
+        # built and measured in round 3: it LOST everywhere — 3.7x
+        # slower at 16 CPUs (308k vs 1138k turns/s, sf5) because the
+        # hot bucket serializes the whole job — so slice-splitting
+        # through one plasma hop is the keeper despite this box's slow
+        # object store.
         ds = ds.map_batches(clean_then_scan, batch_size=None,
                             batch_format="pyarrow", zero_copy_batch=True,
                             num_cpus=1.01)
