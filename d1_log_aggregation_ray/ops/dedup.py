@@ -576,9 +576,12 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     Text never rides the band shuffle: phase 1 is the same narrow
     (band_key, id, home) partition scan as minhash, emitting MULTI-doc
     bucket rows (candidates) plus one narrow home row per doc; phase 2
-    joins the stream back to the corpus to attach texts (candidates
-    need them for the verify; home rows have their text nulled before
-    the next exchange); phase 3 verifies per candidate bucket and
+    LEFT-OUTER-joins the stream back to the corpus to attach texts —
+    home rows carry a negative sentinel join key (-id - 1, never a
+    real doc id; ids must be non-negative, asserted) so they cross the
+    join narrow and come out with NULL text instead of having the
+    corpus-cardinality text payload attached and then discarded;
+    phase 3 restores home ids, verifies per candidate bucket, and
     emits the (id, dup) verdicts the max-aggregate tail resolves.
 
     The input is consumed exactly TWICE — once into the signature/band
@@ -596,17 +599,23 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     def multi_buckets(group: pa.Table) -> pa.Table:
         """Candidate rows (multi-doc buckets, home=0) + this
         partition's home rows (home=1, band_key replaced by the id so
-        the next exchange spreads them — verify ignores their key)."""
+        the next exchange spreads them — verify ignores their key).
+        Home rows take the sentinel join key -id - 1 so the text join
+        leaves them narrow (see the operator docstring)."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         home = group.column("home").to_numpy()
         k, i, starts, counts, _ = _bucket_segments(keys, ids)
         keep = np.repeat(counts > 1, counts)
         home_ids = ids[home == 1]
+        if len(home_ids) and int(home_ids.min()) < 0:
+            raise ValueError(
+                "ngram_jaccard_dedup requires non-negative ids "
+                "(home rows ride the text join under the -id-1 sentinel)")
         return pa.table({
             "band_key": pa.array(np.concatenate(
                 [k[keep].view(np.int64), home_ids.astype(np.int64)])),
-            id_col: pa.array(np.concatenate([i[keep], home_ids])),
+            id_col: pa.array(np.concatenate([i[keep], -home_ids - 1])),
             "home": pa.array(np.concatenate(
                 [np.zeros(int(keep.sum()), np.int8),
                  np.ones(len(home_ids), np.int8)])),
@@ -615,19 +624,23 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
     cand = band.groupby("part").map_groups(multi_buckets,
                                            batch_format="pyarrow")
     texts = ds.select_columns([id_col, text_col])
-    cand = cand.join(texts, "inner", num_partitions=_join_partitions(),
-                     on=(id_col,))
+    # left_outer: candidate rows (non-negative ids) all match — the
+    # corpus side is complete — while sentinel-keyed home rows match
+    # nothing and come out with NULL text instead of a full text
+    # payload that phase 3 would immediately discard
+    cand = cand.join(texts, "left_outer",
+                     num_partitions=_join_partitions(), on=(id_col,))
 
     def prep(batch: pa.Table) -> pa.Table:
-        """Partition column for the verify exchange + null out the text
-        the join attached to home rows (they only carry the id)."""
+        """Partition column for the verify exchange + restore home
+        rows' real ids from the -id-1 join sentinel."""
         from ..stages.aggregate import add_part_column
         batch = add_part_column(batch, "band_key", n_parts, "_part")
-        is_home = pc.equal(batch.column("home"), 1)
-        txt = pc.if_else(is_home, pa.scalar(None, pa.string()),
-                         batch.column(text_col))
-        return batch.set_column(batch.schema.get_field_index(text_col),
-                                text_col, txt)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        home = batch.column("home").to_numpy(zero_copy_only=False)
+        restored = np.where(home == 1, -ids - 1, ids)
+        return batch.set_column(batch.schema.get_field_index(id_col),
+                                id_col, pa.array(restored))
 
     cand = cand.map_batches(prep, batch_format="pyarrow")
 

@@ -128,6 +128,37 @@ def _get_enricher(side_ref, cfg, run_ts) -> Enricher:
     return e
 
 
+# Columns dictionary-encoded across the ONE object-store transit of the
+# flagship (window-scan output -> enrich/write slices).  conv_id repeats
+# ~turns-per-conv times within a bucket block and role/tool are tiny
+# vocabularies, so encoding cuts the hop from ~80 to ~56 B/row (-29%)
+# — measured sf5 part-00: conv_id 15.9->5.2, role 9.8->4.0, tool
+# 11.1->4.1 B/row.  On this box the object store saturates at
+# ~100 MB/s shared (r1: 1.17M turns/s x 80 B plateau at BOTH 16 and 32
+# CPUs), so high-parallelism throughput scales ~1/bytes; the decode
+# back to plain strings happens in-task on the consumer side where it
+# costs memcpy, not plasma bandwidth.  text is NOT encoded (unique per
+# turn — a dictionary would only add overhead).
+_HOP_DICT_COLS = ("conv_id", "role", "tool")
+
+
+def _encode_hop(t: pa.Table) -> pa.Table:
+    for c in _HOP_DICT_COLS:
+        i = t.schema.get_field_index(c)
+        if i >= 0 and not pa.types.is_dictionary(t.column(i).type):
+            t = t.set_column(
+                i, c, pc.dictionary_encode(t.column(i).combine_chunks()))
+    return t
+
+
+def _decode_hop(t: pa.Table) -> pa.Table:
+    for c in _HOP_DICT_COLS:
+        i = t.schema.get_field_index(c)
+        if i >= 0 and pa.types.is_dictionary(t.column(i).type):
+            t = t.set_column(i, c, pc.cast(t.column(i), pa.string()))
+    return t
+
+
 _STATS_SCHEMA = pa.schema([
     ("bucket_id", pa.int32()), ("rows_out", pa.int64()),
     ("in_partial_list", pa.int64()), ("in_full_list", pa.int64()),
@@ -194,6 +225,7 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
     the Solr upsert-by-id analog)."""
     from ..functions.hashing import md5_lower64
     e = _get_enricher(side_ref, cfg, run_ts)
+    batch = _decode_hop(batch)  # in-task; plasma carried the dict form
     n = batch.num_rows
     if n == 0:
         return _STATS_SCHEMA.empty_table()
@@ -397,10 +429,12 @@ def run_harvest(fx_dir: str, out_dir: str,
             # defer_derived: turn_id/version_compliance are re-derived
             # by the Enricher AFTER the scan->slice plasma transit, so
             # ~30 B/row of derivable strings never cross the object
-            # store (the 8->32 CPU shared-memory ceiling lever)
-            return bucket_window_scan(
+            # store; _encode_hop dictionary-encodes the repeated string
+            # columns for the same reason (both are the 8->32 CPU
+            # shared-memory ceiling lever — see _HOP_DICT_COLS)
+            return _encode_hop(bucket_window_scan(
                 clean_project(batch, cfg, defer_derived=True), cfg,
-                check_bucket=True)
+                check_bucket=True))
 
         past_watermark = None
         if ts_floors:
@@ -425,7 +459,10 @@ def run_harvest(fx_dir: str, out_dir: str,
             def past_watermark(batch: pa.Table) -> pa.Table:
                 if batch.num_rows == 0:
                     return batch
-                h64 = md5_lower64_array(batch.column("conv_id"))
+                conv = batch.column("conv_id")
+                if pa.types.is_dictionary(conv.type):
+                    conv = pc.cast(conv, pa.string())  # hop dict form
+                h64 = md5_lower64_array(conv)
                 bkt = (h64 % np.uint64(cfg.n_buckets)).astype(np.int64)
                 ts = pc.fill_null(
                     batch.column("ts").combine_chunks().cast(pa.int64()),
