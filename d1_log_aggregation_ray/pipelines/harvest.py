@@ -88,6 +88,10 @@ def build_pipeline(fx_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             lambda g: bucket_window_scan(g.drop_columns(["_part"]), cfg,
                                          check_bucket=False),
             batch_format="pyarrow")
+    if bucketed:
+        # fan enrich work out at slice granularity, not bucket
+        # granularity (see the _run_wave note in run_harvest)
+        ds = ds.repartition(target_num_rows_per_block=cfg.write_slice_rows)
     ds = ds.map_batches(
         Enricher, fn_constructor_args=(side_ref, cfg, run_ts),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -486,6 +490,18 @@ def run_harvest(fx_dir: str, out_dir: str,
         if past_watermark is not None:
             ds = ds.map_batches(past_watermark, batch_format="pyarrow",
                                 zero_copy_batch=True, num_cpus=1.01)
+        # Ray distributes map work at BLOCK granularity: without this,
+        # a whole bucket is ONE block, the terminal stage runs one
+        # task per bucket (write_slice_rows then only batches WITHIN
+        # that task), and the hot bucket serializes onto the critical
+        # path.  Streaming repartition splits oversized scan-output
+        # blocks into ~slice-row blocks with no shuffle, so enrich+
+        # write fans out across the whole pool.  (Lowering
+        # DataContext.target_max_block_size instead is WRONG: it also
+        # splits blocks BETWEEN the fused read->scan UDFs, feeding the
+        # window scan bucket fragments — measured repeat-visit counts
+        # collapsed 238k -> 16k at sf5.)
+        ds = ds.repartition(target_num_rows_per_block=cfg.write_slice_rows)
         ds = ds.map_batches(
             _enrich_and_write_slice, batch_size=cfg.write_slice_rows,
             batch_format="pyarrow", zero_copy_batch=True,

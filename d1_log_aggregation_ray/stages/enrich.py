@@ -40,7 +40,7 @@ import ray
 
 from ..config import PipelineConfig, DEFAULT_CONFIG, DATE_UPDATED_SENTINEL
 from ..functions.hashing import md5_lower64
-from ..functions.geohash import geohash_encode
+from ..functions.geohash import geohash_encode, geohash_encode_array
 from ..sources.readers import SideTables
 from .parse import regex_flags
 
@@ -97,12 +97,10 @@ class Enricher:
         # python dict takes seconds under a concurrent fleet start, and
         # per-batch pc.index_in/is_in rebuild their hash table on every
         # call (~40 ms/batch).  Both are avoided.
-        # per-actor cross-batch cache:
-        #   conv_id -> (h64, geo fields, is_member, meta_row_or_-1)
-        # convs recur heavily across batches, so md5 + geohash + member
-        # + meta resolution run once per conv per ACTOR, not per batch
-        self._conv_cache: dict[str, tuple] = {}
-        self._conv_cache_max = 2_000_000
+        # (the per-conv dict cache of earlier rounds is gone: with the
+        # geo/membership resolution fully vectorized over the batch's
+        # UNIQUE convs, recomputing is cheaper than the python dict
+        # probe + scatter loops the cache itself required)
         # per-batch constants prebuilt once (TZ-independent epoch math —
         # datetime.timestamp() would use the machine's local zone)
         from ..functions.hashing import epoch_us
@@ -116,7 +114,16 @@ class Enricher:
 
     def _conv_luts(self, conv: pa.Array):
         """Per-unique-conv LUTs (hash, geo, membership, meta row),
-        scattered to rows via dictionary indices."""
+        scattered to rows via dictionary indices.
+
+        Everything except the md5 digests (inherently per-item) is
+        vectorized over the batch's unique convs: membership + meta row
+        via ONE searchsorted each on the driver-sorted fixed-width
+        string arrays, hash-space interval membership via one
+        searchsorted on the merged [lo,hi] ranges, geo fields as pure
+        numpy arithmetic + C %-formatting, geohash via the vectorized
+        bisection (functions/geohash.geohash_encode_array — bit-parity
+        tested against the scalar encoder)."""
         if conv.null_count:
             raise ValueError(
                 "Enricher requires cleaned input (null conv_id present) — "
@@ -124,54 +131,44 @@ class Enricher:
         enc = conv.dictionary_encode()
         uniq = enc.dictionary
         n = len(uniq)
-        h64 = np.zeros(n, dtype=np.uint64)
-        member = np.zeros(n, dtype=bool)
-        meta_row = np.full(n, -1, dtype=np.int64)
-        geo_cols = {k: np.empty(n, dtype=object)
-                    for k in ("country", "region", "city", "location", "geohash")}
-        cache = self._conv_cache
-        if len(cache) > self._conv_cache_max:
-            cache.clear()
         side = self.side
         uniq_list = uniq.to_pylist()
-        miss_idx = [i for i, s in enumerate(uniq_list) if s not in cache]
-        if miss_idx:
-            # vectorized resolution of all cache misses at once:
-            # membership + meta row via searchsorted on driver-sorted
-            # fixed-width string arrays (C string compares, no GIL churn)
-            mu = np.array([uniq_list[i] for i in miss_idx], dtype=str)
-            ms = side.member_sorted
-            if len(ms):
-                pos = np.clip(np.searchsorted(ms, mu), 0, len(ms) - 1)
-                is_mem = ms[pos] == mu
-            else:
-                is_mem = np.zeros(len(mu), dtype=bool)
-            ks = side.meta_keys_sorted
-            if len(ks):
-                pos = np.clip(np.searchsorted(ks, mu), 0, len(ks) - 1)
-                ok = ks[pos] == mu
-                rows = np.where(ok, side.meta_perm[pos], -1)
-            else:
-                rows = np.full(len(mu), -1, dtype=np.int64)
-            lo, hi = side.range_lo, side.range_hi
-            for j, i in enumerate(miss_idx):
-                s = uniq_list[i]
-                h = md5_lower64(s)
-                g = geo_fields_for_hash(h)
-                m = bool(is_mem[j])
-                if not m and len(lo):
-                    h32 = h % 2**32
-                    p = int(np.searchsorted(lo, h32, side="right")) - 1
-                    m = p >= 0 and h32 <= int(hi[p])
-                cache[s] = (h, g, m, int(rows[j]))
-        for i, s in enumerate(uniq_list):
-            hit = cache[s]
-            h64[i] = hit[0]
-            g = hit[1]
-            for k in geo_cols:
-                geo_cols[k][i] = g[k]
-            member[i] = hit[2]
-            meta_row[i] = hit[3]
+        h64 = np.fromiter((md5_lower64(s) for s in uniq_list),
+                          dtype=np.uint64, count=n)
+        mu = np.array(uniq_list, dtype=str) if n else np.empty(0, dtype=str)
+        ms = side.member_sorted
+        if len(ms) and n:
+            pos = np.clip(np.searchsorted(ms, mu), 0, len(ms) - 1)
+            member = ms[pos] == mu
+        else:
+            member = np.zeros(n, dtype=bool)
+        lo, hi = side.range_lo, side.range_hi
+        if len(lo) and n:
+            h32 = h64 % np.uint64(2**32)
+            p = np.searchsorted(lo, h32, side="right") - 1
+            member |= (p >= 0) & (h32 <= hi[np.clip(p, 0, None)])
+        ks = side.meta_keys_sorted
+        if len(ks) and n:
+            pos = np.clip(np.searchsorted(ks, mu), 0, len(ks) - 1)
+            meta_row = np.where(ks[pos] == mu, side.meta_perm[pos], -1)
+        else:
+            meta_row = np.full(n, -1, dtype=np.int64)
+        lat = (h64 % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
+        lon = ((h64 // np.uint64(170000)) % np.uint64(360000)
+               ).astype(np.float64) / 1000.0 - 180.0
+        geo_cols = {
+            "country": pa.array(np.char.add(
+                "country-", (h64 % np.uint64(40)).astype(str))),
+            "region": pa.array(np.char.add(
+                "region-", ((h64 // np.uint64(40)) % np.uint64(60)).astype(str))),
+            "city": pa.array(np.char.add(
+                "city-", ((h64 // np.uint64(2400)) % np.uint64(97)).astype(str))),
+            "location": pa.array(np.char.add(np.char.add(
+                np.char.mod("%.4f", lat), ", "), np.char.mod("%.4f", lon))),
+            "geohash": pa.array(geohash_encode_array(lat, lon, 9)),
+        } if n else {
+            k: pa.array([], type=pa.string())
+            for k in ("country", "region", "city", "location", "geohash")}
         idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
         return h64, geo_cols, member, meta_row, idx
 
@@ -251,15 +248,16 @@ class Enricher:
             "date_updated",
             pa.array(np.full(n, self._sentinel_us), type=pa.int64()).cast(pa.timestamp("us")))
 
-        # J4: synthetic geo + geohash prefixes 1..9
+        # J4: synthetic geo + geohash prefixes 1..9 — sliced on the
+        # UNIQUE geohashes, then scattered to rows with one take() each
+        idx_pa = pa.array(idx)
         for k in ("country", "region", "city", "location"):
-            batch = batch.append_column(
-                k, pa.array(geo_lut[k][idx], type=pa.string()))
-        gh_full = geo_lut["geohash"][idx]
-        gh_arr = pa.array(gh_full, type=pa.string())
+            batch = batch.append_column(k, pc.take(geo_lut[k], idx_pa))
+        gh_uniq = geo_lut["geohash"]
         for p in range(1, 10):
             batch = batch.append_column(
-                f"geohash_{p}", pc.utf8_slice_codeunits(gh_arr, 0, p))
+                f"geohash_{p}",
+                pc.take(pc.utf8_slice_codeunits(gh_uniq, 0, p), idx_pa))
 
         # S6 routing
         batch = batch.append_column("bucket_id",

@@ -36,3 +36,27 @@ def test_merge_intervals():
     hi = np.array([20, 12, 35], dtype=np.uint64)
     mlo, mhi = _merge_intervals(lo, hi)
     assert mlo.tolist() == [5, 30] and mhi.tolist() == [20, 35]
+
+
+def test_geohash_array_bit_parity_with_scalar():
+    """The vectorized bisection must emit byte-identical geohashes to
+    the scalar encoder — including the exact lat/lon grid the synthetic
+    geo derives from hashes (thousandth-degree steps) and boundary
+    values that sit ON bisection midpoints."""
+    from d1_log_aggregation_ray.functions.geohash import geohash_encode_array
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, size=2000, dtype=np.uint64)
+    lat = (h % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
+    lon = ((h // np.uint64(170000)) % np.uint64(360000)
+           ).astype(np.float64) / 1000.0 - 180.0
+    # planted edges: midpoints of early bisection steps + extremes
+    lat = np.concatenate([lat, [0.0, -90.0, 89.999, 45.0, -45.0, 22.5]])
+    lon = np.concatenate([lon, [0.0, -180.0, 179.999, 90.0, -90.0, 45.0]])
+    vec = geohash_encode_array(lat, lon, 9)
+    for i in range(len(lat)):
+        assert vec[i] == geohash_encode(float(lat[i]), float(lon[i]), 9)
+    # non-default precision path
+    v5 = geohash_encode_array(lat[:50], lon[:50], 5)
+    for i in range(50):
+        assert v5[i] == geohash_encode(float(lat[i]), float(lon[i]), 5)
