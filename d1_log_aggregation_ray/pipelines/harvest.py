@@ -233,14 +233,22 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
     n = batch.num_rows
     if n == 0:
         return _STATS_SCHEMA.empty_table()
-    outs = []
     error_rows = 0
-    step = cfg.batch_size or 8192
-    for off in range(0, n, step):
-        out, dropped = _enrich_tolerant(e, batch.slice(off, step))
-        error_rows += dropped
-        if out is not None:
-            outs.append(out)
+    try:
+        # fast path: one vectorized enrich over the whole slice (the
+        # Enricher's per-call fixed costs — dictionary encode, regex
+        # setup, LUT scatter — amortize over 64k rows instead of 8k)
+        outs = [e(batch)]
+    except Exception:
+        # M3 degradation ladder: batch_size chunks, then row-level
+        # inside _enrich_tolerant, so one poison row costs one row
+        outs = []
+        step = cfg.batch_size or 8192
+        for off in range(0, n, step):
+            out, dropped = _enrich_tolerant(e, batch.slice(off, step))
+            error_rows += dropped
+            if out is not None:
+                outs.append(out)
 
     # dropped rows can't be attributed to a bucket (the failing rows
     # never got one); record them under bucket_id=-1 — the manifest
@@ -257,16 +265,30 @@ def _enrich_and_write_slice(batch: pa.Table, out_dir: str, side_ref, cfg,
 
     stats_rows = []
     bucket_col = t.column("bucket_id")
-    for b in pc.unique(bucket_col).to_pylist():
-        tb = t.filter(pc.equal(bucket_col, b))
+    bmm = pc.min_max(bucket_col)
+    uniq_buckets = ([bmm["min"].as_py()]
+                    if bmm["min"] == bmm["max"]
+                    else pc.unique(bucket_col).to_pylist())
+    for b in uniq_buckets:
+        tb = (t if len(uniq_buckets) == 1
+              else t.filter(pc.equal(bucket_col, b)))
         bdir = os.path.join(out_dir, f"bucket_id={b}")
         tag = md5_lower64(
             f"{tb.column('turn_id')[0].as_py()}|"
             f"{tb.column('turn_id')[-1].as_py()}|{tb.num_rows}")
         per_sink = {}
         sink_col = tb.column("sink_id")
-        for s in pc.unique(sink_col).to_pylist():
-            sub = tb.filter(pc.equal(sink_col, s))
+        # single-sink fast path: after the per-bucket repartition a
+        # slice is one bucket, and one bucket often maps to one sink
+        # (when n_sinks divides n_buckets, hash % n_sinks is constant
+        # per bucket) — skip the filter entirely then
+        smm = pc.min_max(sink_col)
+        uniq_sinks = ([smm["min"].as_py()]
+                      if smm["min"] == smm["max"]
+                      else pc.unique(sink_col).to_pylist())
+        for s in uniq_sinks:
+            sub = (tb if len(uniq_sinks) == 1
+                   else tb.filter(pc.equal(sink_col, s)))
             sdir = os.path.join(bdir, f"sink_id={s}")
             os.makedirs(sdir, exist_ok=True)
             fpath = os.path.join(sdir, f"part-{tag:016x}.parquet")
