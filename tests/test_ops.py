@@ -338,3 +338,52 @@ def test_enrich_tolerant_row_fallback():
     out, dropped = _enrich_tolerant(Flaky(), t)
     assert dropped == 1
     assert out.column("x").to_pylist() == ["a", "b"]
+
+
+def test_enrich_write_slice_degradation_ladder(fx_dir, tmp_path, monkeypatch):
+    """M3 end-to-end through the terminal stage: the whole-slice
+    enrich fast path fails on a slice containing a poison row, the
+    stage degrades to chunks then rows, and exactly the poison rows
+    are dropped — everything else is enriched and written."""
+    import dataclasses
+    import os
+
+    import ray
+
+    from d1_log_aggregation_ray import pipelines
+    from d1_log_aggregation_ray.config import DEFAULT_CONFIG
+    from d1_log_aggregation_ray.pipelines import harvest as H
+    from d1_log_aggregation_ray.sources.readers import load_side_tables
+    from d1_log_aggregation_ray.stages.enrich import Enricher, DEFAULT_RUN_TS
+    from d1_log_aggregation_ray.stages.project import clean_project
+    from d1_log_aggregation_ray.stages.window import bucket_window_scan
+    import pyarrow.parquet as pq
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_size=32)
+    side_ref = ray.put(load_side_tables(fx_dir))
+    t = pq.read_table(os.path.join(fx_dir, "transcripts", "part-00.parquet"))
+    scanned = H._encode_hop(bucket_window_scan(
+        clean_project(t, cfg, defer_derived=True), cfg, check_bucket=True))
+    poison_convs = set(scanned.column("conv_id").to_pylist()[:2])
+
+    class PoisonEnricher(Enricher):
+        def __call__(self, batch):
+            bad = [c for c in batch.column("conv_id").to_pylist()
+                   if c in poison_convs]
+            if bad:
+                raise ValueError("poison conv")
+            return super().__call__(batch)
+
+    monkeypatch.setattr(
+        H, "_get_enricher",
+        lambda side, c, ts: PoisonEnricher(side, c, ts))
+    out_dir = str(tmp_path / "ladder")
+    os.makedirs(out_dir, exist_ok=True)
+    stats = H._enrich_and_write_slice(
+        scanned, out_dir, side_ref, cfg, DEFAULT_RUN_TS)
+    n_poison = sum(1 for c in scanned.column("conv_id").to_pylist()
+                   if c in poison_convs)
+    errs = sum(r["error_rows"] for r in stats.to_pylist())
+    written = sum(r["rows_out"] for r in stats.to_pylist())
+    assert errs == n_poison > 0
+    assert written == scanned.num_rows - n_poison
