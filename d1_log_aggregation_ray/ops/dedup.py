@@ -805,3 +805,156 @@ def embedding_cosine_dedup_bruteforce(
         return pa.table({id_col: pa.array(bids[keep])})
 
     return ds.map_batches(mark, batch_format="pyarrow", batch_size=512)
+
+
+def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
+                        n_bands: int = 16, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_rounds: int = 16) -> ray.data.Dataset:
+    """Near-dup CLUSTER assignment: connected components over the
+    minhash-LSH candidate graph, cluster_id = min doc id of the
+    component.  This is the transitive closure the pairwise dedup
+    families cannot express (A~B and B~C put A,C in one cluster even
+    when A and C share no bucket) — the "keep one per cluster" primitive
+    of training-data pipelines.
+
+    Distributed shape: the banded candidate rows (multi-doc buckets
+    only, narrow int64 columns) are materialized ONCE as the iterative
+    state, then min-label propagation runs to a fixpoint: each round
+    co-partitions the membership rows with the current (id, label)
+    table on hash(id) (sort exchange + searchsorted attach), computes
+    per-bucket min labels in a partition scan keyed on band_key, and
+    folds improvements back with one hash-partition min-aggregate.
+    Rounds are O(component diameter) — tiny for near-dup graphs — and
+    every exchange moves only (int64 key, int64 id/label) rows.
+    Convergence is detected via the monotonically decreasing global
+    label sum (labels only ever decrease, so equal sums == fixpoint).
+
+    The per-round materialization of the narrow label table is the
+    inherent cost of an iterative graph algorithm on a dataflow
+    engine; the CORPUS (text) is consumed exactly once, by the
+    signature stage."""
+    from ..functions.parts import key_parts
+    from ..stages.aggregate import hash_partition_aggregate
+    import ray.data.aggregate as _agg
+    n_parts = _num_parts()
+    sigs = _signatures(ds, num_perm, text_col, id_col)
+    band = sigs.map_batches(_band_rows,
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
+                            batch_format="pyarrow")
+
+    def multi_buckets(group: pa.Table) -> pa.Table:
+        """kind=0 membership rows (multi-doc buckets only) + kind=1
+        universe rows (one per home doc)."""
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        home = group.column("home").to_numpy()
+        k, i, starts, counts, _ = _bucket_segments(keys, ids)
+        keep = np.repeat(counts > 1, counts)
+        home_ids = ids[home == 1]
+        return pa.table({
+            "band_key": pa.array(np.concatenate(
+                [k[keep].view(np.int64),
+                 np.zeros(len(home_ids), np.int64)])),
+            id_col: pa.array(np.concatenate([i[keep], home_ids])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int8),
+                 np.ones(len(home_ids), np.int8)])),
+        })
+
+    state = band.groupby("part").map_groups(
+        multi_buckets, batch_format="pyarrow").materialize()
+    members = state.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).drop_columns(
+            ["kind"]), batch_format="pyarrow")
+    labels = state.map_batches(
+        lambda t: pa.table({
+            id_col: (u := t.filter(pc.equal(t.column("kind"), 1))
+                     .column(id_col)),
+            "label": u}), batch_format="pyarrow").materialize()
+
+    def tag_members(b: pa.Table) -> pa.Table:
+        ids_i = b.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({
+            "band_key": b.column("band_key"),
+            id_col: ids_i,
+            "label": pa.nulls(b.num_rows, pa.int64()),
+            "_jp": pa.array(key_parts(
+                ids_i.to_numpy(zero_copy_only=False), n_parts)),
+        })
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        ids_i = b.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({
+            "band_key": pa.nulls(b.num_rows, pa.int64()),
+            id_col: ids_i,
+            "label": b.column("label").combine_chunks().cast(pa.int64()),
+            "_jp": pa.array(key_parts(
+                ids_i.to_numpy(zero_copy_only=False), n_parts)),
+        })
+
+    def attach(group: pa.Table) -> pa.Table:
+        """Resolve each membership row's current label via one
+        searchsorted against this partition's label rows."""
+        lab_col = group.column("label").combine_chunks()
+        is_lab = lab_col.is_valid().to_numpy(zero_copy_only=False)
+        gid = group.column(id_col).to_numpy(zero_copy_only=False)
+        lid = gid[is_lab]
+        lval = lab_col.drop_null().to_numpy(zero_copy_only=False)
+        order = np.argsort(lid, kind="stable")
+        lid_s, lval_s = lid[order], lval[order]
+        mid = gid[~is_lab]
+        if len(mid) == 0 or len(lid_s) == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "_bp": pa.array([], pa.int64())})
+        pos = np.searchsorted(lid_s, mid)
+        bk = group.column("band_key").to_numpy(
+            zero_copy_only=False)[~is_lab].astype(np.int64)
+        lab = lval_s[np.clip(pos, 0, len(lid_s) - 1)]
+        return pa.table({
+            "band_key": pa.array(bk),
+            id_col: pa.array(mid),
+            "label": pa.array(lab),
+            "_bp": pa.array(key_parts(bk, n_parts)),
+        })
+
+    def bucket_min_scatter(group: pa.Table) -> pa.Table:
+        """Per band bucket: min label, scattered back as (id,
+        candidate label) — improvements only, to keep the fold small."""
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        labs = group.column("label").to_numpy()
+        order = np.lexsort((ids, keys))
+        k, i, l = keys[order], ids[order], labs[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        m = np.minimum.reduceat(l, starts)[seg]
+        better = l > m
+        return pa.table({id_col: pa.array(i[better]),
+                         "label": pa.array(m[better])})
+
+    total_prev = None
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(
+            tag_labels, batch_format="pyarrow").union(
+            members.map_batches(tag_members, batch_format="pyarrow"))
+        attached = tagged.groupby("_jp").map_groups(
+            attach, batch_format="pyarrow")
+        cands = attached.groupby("_bp").map_groups(
+            bucket_min_scatter, batch_format="pyarrow")
+        labels = hash_partition_aggregate(
+            labels.union(cands), [id_col], [("label", "min")],
+            rename={"label_min": "label"}).materialize()
+        total = labels.aggregate(_agg.Sum("label"))["sum(label)"]
+        if total == total_prev:
+            break
+        total_prev = total
+    return labels.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            "cluster_id": pc.cast(t.column("label"), pa.int64())}),
+        batch_format="pyarrow")

@@ -175,3 +175,35 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("fingerprint", pa.array(fps))
     batch = batch.append_column("rolling_hash", pa.array(rolls))
     return batch
+
+
+def vocab_df_partial(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Per-batch combiner for corpus vocabulary statistics: one
+    (token, df, tf) partial row per distinct token in the batch, where
+    df counts DOCUMENTS containing the token and tf counts total
+    occurrences.  A document is wholly contained in one row, so
+    summing batch-local df partials over the corpus gives the exact
+    global document frequency — the IDF building block of quality
+    scoring / stopword discovery at training-data scale.
+
+    Vectorized: one split per batch, one flatten + repeat for the
+    (token, doc) pair table, then two arrow C++ hash-aggregates.
+    Tokenization matches token_count_batch (single-space split ==
+    DuckDB string_split(text, ' '))."""
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), lens)
+    pairs = pa.table({"token": flat, id_col: pa.array(ids)})
+    per_doc = pairs.group_by(["token", id_col]).aggregate(
+        [([], "count_all")])
+    agg = per_doc.group_by("token").aggregate(
+        [([], "count_all"), ("count_all", "sum")])
+    return pa.table({
+        "token": agg.column("token"),
+        "df": pc.cast(agg.column("count_all"), pa.int64()),
+        "tf": pc.cast(agg.column("count_all_sum"), pa.int64()),
+    })

@@ -323,6 +323,30 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary statistics (token -> document frequency +
+    term frequency) — the IDF building block.  Per-batch combiner
+    collapses each block to one row per distinct token BEFORE the
+    exchange; the merge runs through the high-cardinality
+    hash-partition aggregate (vocab is corpus-cardinality at design
+    scale — millions of tokens at 100 TB)."""
+    from ..ops.text import vocab_df_partial
+    from ..stages.aggregate import hash_partition_aggregate
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(vocab_df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = hash_partition_aggregate(
+        partials, ["token"], [("df", "sum"), ("tf", "sum")],
+        rename={"df_sum": "df", "tf_sum": "tf"})
+    return merged.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "df": pc.cast(t.column("df"), pa.int64()),
+                            "tf": pc.cast(t.column("tf"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -443,6 +467,15 @@ def q_dedup_ngram(sf_dir: str):
 def q_dedup_embedding(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_cosine_dedup(ds, threshold=0.99)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment (connected components over the
+    minhash-LSH candidate graph) — the transitive "keep one per
+    cluster" primitive the pairwise families can't express."""
+    from ..ops.dedup import minhash_cluster_ids
+    return minhash_cluster_ids(_docs(sf_dir).select_columns(
+        ["doc_id", "text"]))
 
 
 def q_sessionize(sf_dir: str):
@@ -833,6 +866,15 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "vocab_df": """
+            SELECT token,
+                   count(DISTINCT doc_id) AS df,
+                   count(*) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY token""",
+
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10""",
@@ -955,6 +997,7 @@ RAY_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
+    "vocab_df": q_vocab_df,
     "sample_docs": q_sample_docs,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -967,6 +1010,7 @@ RAY_QUERIES = {
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

@@ -29,7 +29,10 @@ QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
 # multi-column pins: whole deterministic result rows (the HLL estimate
 # is md5-hashed + fixed-p -> batch/partition-count independent)
 ROW_QUERIES = {"approx_distinct_users": ["event_type",
-                                         "n_distinct_approx"]}
+                                         "n_distinct_approx"],
+               # connected-components cluster assignment: deterministic
+               # (seeded hashes) and partition-count-independent
+               "dedup_clusters": ["doc_id", "cluster_id"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 

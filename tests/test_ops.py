@@ -387,3 +387,58 @@ def test_enrich_write_slice_degradation_ladder(fx_dir, tmp_path, monkeypatch):
     written = sum(r["rows_out"] for r in stats.to_pylist())
     assert errs == n_poison > 0
     assert written == scanned.num_rows - n_poison
+
+
+def test_cluster_ids_transitive_chain():
+    """A~B and B~C must land A, B, C in ONE cluster even when A and C
+    share no band bucket — the transitivity the pairwise dedup
+    families cannot express — while unrelated docs stay singletons."""
+    import ray
+
+    from d1_log_aggregation_ray.ops.dedup import minhash_cluster_ids
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight ") * 3
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array([
+            base + "alpha beta gamma delta",
+            base + "alpha beta gamma epsilon",   # near 10
+            base + "alpha beta zeta epsilon",    # near 11, farther from 10
+            ("completely different text about databases and query "
+             "engines and shuffles ") * 4,
+        ])})
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in minhash_cluster_ids(
+               ray.data.from_arrow(docs)).take_all()}
+    assert out == {10: 10, 11: 10, 12: 10, 13: 13}
+
+
+def test_cluster_ids_cover_universe_and_match_minhash_dups(fx_dir):
+    """Every doc gets exactly one cluster id; a doc is a minhash
+    SURVIVOR-loser (dup) only if its cluster has >1 member; and
+    cluster ids are always the min doc id of their component."""
+    import os
+
+    import ray
+
+    from d1_log_aggregation_ray.ops.dedup import (minhash_cluster_ids,
+                                                  minhash_lsh_dedup)
+
+    docs = ray.data.read_parquet(os.path.join(
+        "/root/testdata/sf0.001", "documents.parquet"),
+        columns=["doc_id", "text"])
+    labels = minhash_cluster_ids(docs).take_all()
+    all_ids = {r["doc_id"] for r in labels}
+    assert len(labels) == len(all_ids) == docs.count()
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    survivors = {r["doc_id"] for r in minhash_lsh_dedup(docs).take_all()}
+    dups = all_ids - survivors
+    # every pairwise-dup doc sits in a multi-member cluster
+    for d in dups:
+        lab = next(r["cluster_id"] for r in labels if r["doc_id"] == d)
+        assert len(by_cluster[lab]) > 1
