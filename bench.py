@@ -86,7 +86,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "doc_fingerprint", "lang_id", "asof_prior",
                      "approx_distinct_users", "dedup_simhash_near",
                      # round-3 additions: the remaining dedup families
-                     "dedup_ngram", "dedup_embedding"]:
+                     # + vocabulary stats + cluster assignment
+                     "dedup_ngram", "dedup_embedding",
+                     "vocab_df", "dedup_clusters"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

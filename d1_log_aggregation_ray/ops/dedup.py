@@ -810,33 +810,32 @@ def embedding_cosine_dedup_bruteforce(
 def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
                         n_bands: int = 16, id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_rounds: int = 16) -> ray.data.Dataset:
+                        max_rounds: int = 18) -> ray.data.Dataset:
     """Near-dup CLUSTER assignment: connected components over the
     minhash-LSH candidate graph, cluster_id = min doc id of the
     component.  This is the transitive closure the pairwise dedup
     families cannot express (A~B and B~C put A,C in one cluster even
-    when A and C share no bucket) — the "keep one per cluster" primitive
-    of training-data pipelines.
+    when A and C share no bucket) — the "keep one per cluster"
+    primitive of training-data pipelines.
 
-    Distributed shape: the banded candidate rows (multi-doc buckets
-    only, narrow int64 columns) are materialized ONCE as the iterative
-    state, then min-label propagation runs to a fixpoint: each round
-    co-partitions the membership rows with the current (id, label)
-    table on hash(id) (sort exchange + searchsorted attach), computes
-    per-bucket min labels in a partition scan keyed on band_key, and
-    folds improvements back with one hash-partition min-aggregate.
-    Rounds are O(component diameter) — tiny for near-dup graphs — and
-    every exchange moves only (int64 key, int64 id/label) rows.
-    Convergence is detected via the monotonically decreasing global
-    label sum (labels only ever decrease, so equal sums == fixpoint).
-
-    The per-round materialization of the narrow label table is the
-    inherent cost of an iterative graph algorithm on a dataflow
-    engine; the CORPUS (text) is consumed exactly once, by the
-    signature stage."""
+    Distributed shape: ONE narrow int64 stream carries three row
+    kinds — 0 = bucket-membership rows (multi-doc buckets only),
+    1 = per-doc label rows, 2 = pending improvement messages — through
+    a strictly LINEAR chain of alternating sort exchanges: co-partition
+    by hash(id) folds messages into labels and re-labels the
+    membership rows in one partition scan; co-partition by
+    hash(band_key) computes per-bucket min labels and emits
+    improvement messages, passing labels/members through.  Linearity
+    matters: each intermediate dataset has exactly ONE consumer, so an
+    unrolled block of 3 rounds executes as one streaming plan with no
+    lineage re-execution (a branching formulation — labels and
+    messages materialized separately per round — measured 2-4x slower
+    from exactly that re-execution).  The driver syncs only at block
+    boundaries (one materialize + one message count per 3 rounds).
+    Rounds needed = O(component diameter); convergence = a block whose
+    final round emitted no messages.  The corpus text is consumed
+    exactly once, by the signature stage."""
     from ..functions.parts import key_parts
-    from ..stages.aggregate import hash_partition_aggregate
-    import ray.data.aggregate as _agg
     n_parts = _num_parts()
     sigs = _signatures(ds, num_perm, text_col, id_col)
     band = sigs.map_batches(_band_rows,
@@ -844,10 +843,11 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
                                        "n_parts": n_parts,
                                        "id_col": id_col},
                             batch_format="pyarrow")
+    NOLAB = np.int64(np.iinfo(np.int64).max)
 
-    def multi_buckets(group: pa.Table) -> pa.Table:
+    def seed_state(group: pa.Table) -> pa.Table:
         """kind=0 membership rows (multi-doc buckets only) + kind=1
-        universe rows (one per home doc)."""
+        label rows (one per home doc, label = own id)."""
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         home = group.column("home").to_numpy()
@@ -859,102 +859,116 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
                 [k[keep].view(np.int64),
                  np.zeros(len(home_ids), np.int64)])),
             id_col: pa.array(np.concatenate([i[keep], home_ids])),
+            "label": pa.array(np.concatenate(
+                [np.full(int(keep.sum()), NOLAB), home_ids])),
             "kind": pa.array(np.concatenate(
                 [np.zeros(int(keep.sum()), np.int8),
                  np.ones(len(home_ids), np.int8)])),
         })
 
     state = band.groupby("part").map_groups(
-        multi_buckets, batch_format="pyarrow").materialize()
-    members = state.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), 0)).drop_columns(
-            ["kind"]), batch_format="pyarrow")
-    labels = state.map_batches(
-        lambda t: pa.table({
-            id_col: (u := t.filter(pc.equal(t.column("kind"), 1))
-                     .column(id_col)),
-            "label": u}), batch_format="pyarrow").materialize()
+        seed_state, batch_format="pyarrow").materialize()
 
-    def tag_members(b: pa.Table) -> pa.Table:
-        ids_i = b.column(id_col).combine_chunks().cast(pa.int64())
-        return pa.table({
-            "band_key": b.column("band_key"),
-            id_col: ids_i,
-            "label": pa.nulls(b.num_rows, pa.int64()),
-            "_jp": pa.array(key_parts(
-                ids_i.to_numpy(zero_copy_only=False), n_parts)),
-        })
+    def add_jp(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in
+                ("band_key", id_col, "label", "kind")}
+        return pa.table(cols).append_column("_jp", pa.array(key_parts(
+            b.column(id_col).combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False), n_parts)))
 
-    def tag_labels(b: pa.Table) -> pa.Table:
-        ids_i = b.column(id_col).combine_chunks().cast(pa.int64())
-        return pa.table({
-            "band_key": pa.nulls(b.num_rows, pa.int64()),
-            id_col: ids_i,
-            "label": b.column("label").combine_chunks().cast(pa.int64()),
-            "_jp": pa.array(key_parts(
-                ids_i.to_numpy(zero_copy_only=False), n_parts)),
-        })
-
-    def attach(group: pa.Table) -> pa.Table:
-        """Resolve each membership row's current label via one
-        searchsorted against this partition's label rows."""
-        lab_col = group.column("label").combine_chunks()
-        is_lab = lab_col.is_valid().to_numpy(zero_copy_only=False)
-        gid = group.column(id_col).to_numpy(zero_copy_only=False)
-        lid = gid[is_lab]
-        lval = lab_col.drop_null().to_numpy(zero_copy_only=False)
-        order = np.argsort(lid, kind="stable")
-        lid_s, lval_s = lid[order], lval[order]
-        mid = gid[~is_lab]
-        if len(mid) == 0 or len(lid_s) == 0:
-            return pa.table({"band_key": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64()),
-                             "_bp": pa.array([], pa.int64())})
-        pos = np.searchsorted(lid_s, mid)
-        bk = group.column("band_key").to_numpy(
-            zero_copy_only=False)[~is_lab].astype(np.int64)
-        lab = lval_s[np.clip(pos, 0, len(lid_s) - 1)]
-        return pa.table({
-            "band_key": pa.array(bk),
-            id_col: pa.array(mid),
-            "label": pa.array(lab),
-            "_bp": pa.array(key_parts(bk, n_parts)),
-        })
-
-    def bucket_min_scatter(group: pa.Table) -> pa.Table:
-        """Per band bucket: min label, scattered back as (id,
-        candidate label) — improvements only, to keep the fold small."""
-        keys = group.column("band_key").to_numpy()
+    def attach_and_fold(group: pa.Table) -> pa.Table:
+        """Per id: fold the label row + pending messages (kind 1+2)
+        into the new label; emit one kind=1 row per id + the id's
+        membership rows re-labeled (messages are consumed here)."""
+        kind = group.column("kind").to_numpy()
         ids = group.column(id_col).to_numpy()
         labs = group.column("label").to_numpy()
+        carrier = kind != 0
+        lid, lval = ids[carrier], labs[carrier]
+        order = np.argsort(lid, kind="stable")
+        lid_s, lval_s = lid[order], lval[order]
+        starts = np.flatnonzero(np.r_[True, lid_s[1:] != lid_s[:-1]])
+        uid = lid_s[starts]
+        newlab = np.minimum.reduceat(lval_s, starts)
+        memb = kind == 0
+        mid = ids[memb]
+        bk = group.column("band_key").to_numpy()[memb]
+        mlab = newlab[np.searchsorted(uid, mid)] if len(uid) \
+            else np.full(len(mid), NOLAB)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(
+                [np.zeros(len(uid), np.int64), bk])),
+            id_col: pa.array(np.concatenate([uid, mid])),
+            "label": pa.array(np.concatenate([newlab, mlab])),
+            "kind": pa.array(np.concatenate(
+                [np.ones(len(uid), np.int8),
+                 np.zeros(len(mid), np.int8)])),
+        })
+
+    def add_bp(b: pa.Table) -> pa.Table:
+        """Bucket-exchange key: band_key for membership rows; label
+        rows ride under hash(id) so they spread evenly and pass
+        through."""
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        bk = b.column("band_key").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = np.where(kind == 0, bk, ids)
+        cols = {c: b.column(c) for c in
+                ("band_key", id_col, "label", "kind")}
+        return pa.table(cols).append_column(
+            "_bp", pa.array(key_parts(key.astype(np.int64), n_parts)))
+
+    def bucket_min_scatter(group: pa.Table) -> pa.Table:
+        """Per band bucket (kind=0 rows): min label, scattered back as
+        improvement messages (kind=2, only where the label shrinks);
+        label + membership rows pass through."""
+        kind = group.column("kind").to_numpy()
+        memb = kind == 0
+        keys = group.column("band_key").to_numpy()[memb]
+        ids = group.column(id_col).to_numpy()[memb]
+        labs = group.column("label").to_numpy()[memb]
         order = np.lexsort((ids, keys))
         k, i, l = keys[order], ids[order], labs[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
-        m = np.minimum.reduceat(l, starts)[seg]
+        new_seg = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg = np.cumsum(new_seg) - 1
+        m = np.minimum.reduceat(l, starts)[seg] if len(l) else l
         better = l > m
-        return pa.table({id_col: pa.array(i[better]),
-                         "label": pa.array(m[better])})
+        nb = int(better.sum())
+        passthrough = group.drop_columns(["_bp"])
+        msgs = pa.table({
+            "band_key": pa.array(np.zeros(nb, np.int64)),
+            id_col: pa.array(i[better]),
+            "label": pa.array(m[better]),
+            "kind": pa.array(np.full(nb, 2, np.int8)),
+        }).cast(passthrough.schema)
+        return pa.concat_tables([passthrough, msgs])
 
-    total_prev = None
-    for _ in range(max_rounds):
-        tagged = labels.map_batches(
-            tag_labels, batch_format="pyarrow").union(
-            members.map_batches(tag_members, batch_format="pyarrow"))
-        attached = tagged.groupby("_jp").map_groups(
-            attach, batch_format="pyarrow")
-        cands = attached.groupby("_bp").map_groups(
-            bucket_min_scatter, batch_format="pyarrow")
-        labels = hash_partition_aggregate(
-            labels.union(cands), [id_col], [("label", "min")],
-            rename={"label_min": "label"}).materialize()
-        total = labels.aggregate(_agg.Sum("label"))["sum(label)"]
-        if total == total_prev:
+    BLOCK = 3
+    stream = state
+    rounds = 0
+    while rounds < max_rounds:
+        for _ in range(BLOCK):
+            stream = stream.map_batches(
+                add_jp, batch_format="pyarrow").groupby("_jp").map_groups(
+                attach_and_fold, batch_format="pyarrow")
+            stream = stream.map_batches(
+                add_bp, batch_format="pyarrow").groupby("_bp").map_groups(
+                bucket_min_scatter, batch_format="pyarrow")
+            rounds += 1
+        stream = stream.materialize()
+        n_msgs = stream.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(pc.equal(t.column("kind"), 2),
+                                    pa.int64())).as_py() or 0)])}),
+            batch_format="pyarrow").sum("n")
+        if not n_msgs:
             break
-        total_prev = total
-    return labels.map_batches(
-        lambda t: pa.table({
-            id_col: t.column(id_col),
-            "cluster_id": pc.cast(t.column("label"), pa.int64())}),
+    return stream.map_batches(
+        lambda t: (lambda u: pa.table({
+            id_col: u.column(id_col),
+            "cluster_id": u.column("label")}))(
+            t.filter(pc.equal(t.column("kind"), 1))),
         batch_format="pyarrow")
