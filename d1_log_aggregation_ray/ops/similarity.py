@@ -204,3 +204,56 @@ def lsh_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
     order = np.lexsort((ids, -scores))[:k]
     return pa.table({id_col: pa.array(ids[order]),
                      "score": pa.array(scores[order])})
+
+
+def brute_force_multi_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k for a BATCH of Q query vectors in ONE corpus
+    scan — the batched similarity-search serving shape (per-query
+    scans would cost Q passes).  Returns (q_idx, id, score) rows,
+    k per query, sorted by (q_idx, -score, id).
+
+    Scale shape: the (Q, d) query matrix is ray.put ONCE and read by
+    every map task (broadcast, never per batch); each batch does one
+    (batch, d) x (d, Q) matmul and keeps its local top-k PER QUERY, so
+    the driver merge sees only Q*k rows per batch regardless of corpus
+    size.  Q*k*n_blocks must fit the driver — the same contract as
+    brute_force_topk, documented here because Q multiplies it."""
+    qm = queries.astype(np.float64)
+    qm = _normalize(qm)
+    qref = ray.put(qm)
+    nq = qm.shape[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _normalize(_as_matrix(batch, vec_col))
+        scores = m @ qv.T                      # (rows, Q)
+        ids = batch.column(id_col).to_numpy()
+        kk = min(k, len(ids))
+        out_q = np.repeat(np.arange(qv.shape[0], dtype=np.int64), kk)
+        picks = np.empty(qv.shape[0] * kk, dtype=np.int64)
+        for qi in range(qv.shape[0]):          # Q is small; rows vector-scored
+            picks[qi * kk:(qi + 1) * kk] = np.lexsort(
+                (ids, -scores[:, qi]))[:kk]
+        return pa.table({
+            "q_idx": pa.array(out_q),
+            id_col: pa.array(ids[picks]),
+            "score": pa.array(scores[picks, out_q]),
+        })
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    qi = np.array([r["q_idx"] for r in local], dtype=np.int64)
+    ids = np.array([r[id_col] for r in local])
+    sc = np.array([r["score"] for r in local])
+    outs = []
+    for q in range(nq):
+        sel = qi == q
+        order = np.lexsort((ids[sel], -sc[sel]))[:k]
+        outs.append(pa.table({
+            "q_idx": pa.array(np.full(len(order), q, np.int64)),
+            id_col: pa.array(ids[sel][order]),
+            "score": pa.array(sc[sel][order]),
+        }))
+    return pa.concat_tables(outs)

@@ -323,6 +323,61 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def q_ann_multi_topk(sf_dir: str):
+    """Batched similarity search: exact cosine top-10 for 3 query
+    vectors in ONE corpus scan (broadcast query matrix, per-batch
+    matmul, per-query local top-k)."""
+    from ..ops.similarity import brute_force_multi_topk
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    qm = np.stack([np.asarray(
+        t.column("embedding")[pc.index(t.column("vec_id"), q).as_py()]
+        .as_py(), dtype=np.float64) for q in qids])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    qset = pa.array(qids, pa.int64())
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(
+            pc.cast(b.column("vec_id"), pa.int64()), value_set=qset))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    res = brute_force_multi_topk(ds, qm, k=10)
+    return res.select(["q_idx", "vec_id"])
+
+
+#: per-language sampling rates (percent) for the stratified sampler —
+#: downsample the dominant language, keep the tail (the standard
+#: corpus-balancing move); languages not listed keep the default.
+_STRATA_PCT = {"en": 20}
+_STRATA_DEFAULT_PCT = 60
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling: keep a doc iff
+    md5(doc_id) % 100 < rate_pct(lang).  Same hash-Bernoulli mechanism
+    as q_sample_docs (exactly reproducible in SQL, resume-stable, no
+    RNG state), but with per-language rates — one scan, no shuffle."""
+    from ..functions.hashing import md5_lower64_array
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = md5_lower64_array(pc.cast(
+            batch.column("doc_id"), pa.string())) % np.uint64(100)
+        # rate per UNIQUE language (tiny vocab), scattered via dict
+        # indices — no per-row python
+        enc = batch.column("lang").combine_chunks().dictionary_encode()
+        lut = np.array([_STRATA_PCT.get(la, _STRATA_DEFAULT_PCT)
+                        for la in enc.dictionary.to_pylist()],
+                       dtype=np.uint64)
+        idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
+        thr = lut[idx] if len(lut) else np.empty(0, np.uint64)
+        return batch.filter(pa.array(h < thr)).select(["doc_id", "lang"])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary statistics (token -> document frequency +
     term frequency) — the IDF building block.  Per-batch combiner
@@ -879,6 +934,11 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10""",
 
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                  < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""",
+
         "quality_filter": """
             SELECT doc_id FROM (
               SELECT doc_id,
@@ -914,6 +974,19 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score
               FROM embeddings WHERE vec_id <> 0)
             ORDER BY score DESC, vec_id LIMIT 10""",
+
+        "ann_multi_topk": """
+            SELECT q_idx, vec_id FROM (
+              SELECT q.vec_id AS q_idx, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding,
+                                                       q.embedding) DESC,
+                                e.vec_id) AS rn
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id IN (0, 1, 2)
+                AND e.vec_id NOT IN (0, 1, 2))
+            WHERE rn <= 10""",
 
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
@@ -998,12 +1071,14 @@ RAY_QUERIES = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "vocab_df": q_vocab_df,
+    "stratified_sample": q_stratified_sample,
     "sample_docs": q_sample_docs,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_multi_topk": q_ann_multi_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
