@@ -50,5 +50,21 @@ def _install_empty_schema_warning_filter() -> None:
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_EmptySchemaTransition())
 
+    class _SchemaHashFallback(logging.Filter):
+        """Ray's schema-DEDUPLICATION fast path hashes schemas into a
+        set and logs a WARNING when a schema is unhashable (parquet
+        pandas-metadata dicts), then falls back to the full unify —
+        correct behavior, pure noise, and spammed once per shuffle
+        aggregator per query.  Only that exact fallback message is
+        dropped."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("Failed to hash the schemas (for deduplication)"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_SchemaHashFallback())
+
 
 _install_empty_schema_warning_filter()
