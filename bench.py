@@ -88,7 +88,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # round-3 additions: the remaining dedup families
                      # + vocabulary stats + cluster assignment
                      "dedup_ngram", "dedup_embedding",
-                     "vocab_df", "dedup_clusters"]:
+                     "vocab_df", "dedup_clusters",
+                     "ann_multi_topk", "stratified_sample"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
