@@ -1,0 +1,145 @@
+"""Benchmark n-gram decontamination: flag corpus documents that share
+any word n-gram with a benchmark (evaluation) document set.
+
+The standard training-data hygiene operator: before training, every
+document containing a verbatim n-gram from a held-out benchmark must
+be dropped (or at least flagged) so eval scores measure generalization
+rather than memorization.
+
+Reference analog: the robot-list membership semi-join
+(LogEntrySolrItem.java:388-442 / LogHarvesterTask.java:237-294) —
+derive keys from the record, test membership in a broadcast side set,
+flag on hit.  Here the "side set" is the benchmark's n-gram
+fingerprint set and the derived keys are rolling word n-gram hashes.
+
+Scale shape (100 TB corpus):
+  - The benchmark set is SMALL by nature (a fixed eval suite — at most
+    millions of n-grams), so its gram-hash set is built with one
+    distributed pass over the benchmark slice (per-batch distinct
+    partials), merged once on the driver, and `ray.put`-broadcast to
+    every scan task.  The corpus-side pass is a single broadcast
+    semi-join scan: no shuffle, no all-pairs, nothing materialized but
+    the (small) hit list.
+  - Hashing: tokens hash per-unique via md5 (house dictionary-scatter
+    pattern), n-grams via an odd-multiplier polynomial over uint64
+    (wraparound mod 2^64).  Distinct gram hash == distinct gram string
+    w.h.p. (64-bit birthday at ~2^32 distinct grams per benchmark —
+    far above any real eval suite), so `n_hits` matches the SQL
+    oracle's count(DISTINCT gram) exactly at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import md5_lower64_array
+
+#: odd multiplier (golden-ratio constant) — uint64 polynomial base.
+_B = np.uint64(0x9E3779B97F4A7C15)
+
+_EMPTY_HITS = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "n_hits": pa.array([], pa.int64())})
+
+
+def _gram_hashes(batch: pa.Table, id_col: str, text_col: str,
+                 n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word n-gram hashes in the batch, doc-aligned.
+
+    Returns (doc_ids int64, gram_hashes uint64) — one entry per n-gram
+    occurrence (not yet distinct).  Fully vectorized: one Arrow split
+    per batch, per-unique token md5, then n shifted-slice
+    multiply-adds over the flat token-hash array with a same-doc
+    validity mask (no gram crosses a document boundary).
+    """
+    batch = batch.filter(batch.column(text_col).is_valid())
+    if batch.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    h = md5_lower64_array(flat)
+    total = len(h)
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    L = total - n + 1
+    gh = np.zeros(L, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+        for j in range(n - 1, -1, -1):  # gh = sum h[i+j]*B^(n-1-j) mod 2^64
+            gh += h[j:L + j] * mult
+            mult = mult * _B
+    valid = parent[:L] == parent[n - 1:]
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return doc_ids[parent[:L][valid]], gh[valid]
+
+
+def _bench_mask(batch: pa.Table, id_col: str, mod: int,
+                lt: int) -> np.ndarray:
+    """Deterministic benchmark-membership mask:
+    md5(CAST(id AS VARCHAR)) % mod < lt (the house hash-Bernoulli
+    selector, exactly reproducible in the SQL oracle)."""
+    h = md5_lower64_array(pc.cast(batch.column(id_col), pa.string()))
+    return (h % np.uint64(mod)) < np.uint64(lt)
+
+
+def contamination_hits(ds: ray.data.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8,
+                       bench_mod: int = 100,
+                       bench_lt: int = 10) -> ray.data.Dataset:
+    """(doc_id, n_hits) for every NON-benchmark document sharing >= 1
+    word n-gram with the benchmark slice; n_hits = count of distinct
+    shared n-grams.
+
+    Benchmark membership is the deterministic hash split
+    md5(doc_id) % bench_mod < bench_lt (in production the benchmark is
+    an explicit second dataset; the hash split keeps this sandbox
+    self-contained while exercising the identical two-pass shape).
+    """
+    narrow = ds.select_columns([id_col, text_col])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.array(_bench_mask(batch, id_col,
+                                              bench_mod, bench_lt)))
+        _, gh = _gram_hashes(b, id_col, text_col, n)
+        return pa.table({"gh": pa.array(np.unique(gh))})
+
+    parts = [t.column("gh").to_numpy(zero_copy_only=False)
+             for t in ray.get(narrow.map_batches(
+                 bench_grams, batch_format="pyarrow",
+                 zero_copy_batch=True).to_arrow_refs())]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    bench_ref = ray.put(bench)  # broadcast once, read per task
+
+    def hits(batch: pa.Table, *, bench_set) -> pa.Table:
+        bset = ray.get(bench_set) if isinstance(
+            bench_set, ray.ObjectRef) else bench_set
+        keep = ~_bench_mask(batch, id_col, bench_mod, bench_lt)
+        c = batch.filter(pa.array(keep))
+        ids, gh = _gram_hashes(c, id_col, text_col, n)
+        if len(gh) == 0 or len(bset) == 0:
+            return _EMPTY_HITS
+        pos = np.searchsorted(bset, gh)
+        pos[pos == len(bset)] = 0
+        hit = bset[pos] == gh
+        d, g = ids[hit], gh[hit]
+        if len(d) == 0:
+            return _EMPTY_HITS
+        order = np.lexsort((g, d))
+        d, g = d[order], g[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        ud, counts = np.unique(d[first], return_counts=True)
+        return pa.table({"doc_id": pa.array(ud.astype(np.int64)),
+                         "n_hits": pa.array(counts.astype(np.int64))})
+
+    return narrow.map_batches(hits, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_kwargs={"bench_set": bench_ref})

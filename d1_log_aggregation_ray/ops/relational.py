@@ -334,3 +334,52 @@ def distinct_count(ds: ray.data.Dataset, key: str,
     return parts.groupby("_part").map_groups(
         lambda g: count_unique(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+
+
+def value_quantiles(ds: ray.data.Dataset, val_col: str,
+                    qs: list[float]) -> pa.Table:
+    """EXACT distributed quantiles of an integer-valued column via a
+    value-histogram exchange (the scale-correct shape for discrete
+    metrics: token counts, lengths, scores).
+
+    Per-batch combiner collapses each block to (value, count) rows, the
+    merge is one hash-partition aggregate keyed on the VALUE — exchange
+    volume is O(distinct values x blocks), never O(rows) — and only the
+    final merged histogram (bounded by the value domain, e.g. every
+    possible document length) reaches the driver for the cumsum pick.
+
+    Semantics == DuckDB ``quantile_disc``: element at 0-based rank
+    max(ceil(q*n) - 1, 0) of the sorted multiset.
+    """
+    from ..stages.aggregate import hash_partition_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).combine_chunks()
+        v = v.filter(v.is_valid()).to_numpy(zero_copy_only=False)
+        uv, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    merged = hash_partition_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], [("c", "sum")], rename={"c_sum": "c"})
+    # empty hash partitions come back schema-less — keep typed blocks only
+    blocks = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    hist = pa.concat_tables(blocks)
+    v = hist.column("v").to_numpy(zero_copy_only=False)
+    c = hist.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    ntot = int(cum[-1])
+    import math
+    vals = []
+    for q in qs:
+        rank = max(math.ceil(q * ntot) - 1, 0)
+        vals.append(int(v[np.searchsorted(cum, rank, side="right")]))
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(vals, pa.int64())})

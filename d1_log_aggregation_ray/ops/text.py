@@ -177,6 +177,68 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document, exact-integer
+    columns (hash-comparable with the SQL oracle):
+
+      - n_tokens       total ' '-split tokens
+      - n_dup_tokens   n_tokens - count(distinct token): mass of
+                       repeated words (the duplicate-word fraction's
+                       numerator, kept integral)
+      - top_2gram_count  occurrences of the document's most frequent
+                       word bigram (the top-n-gram-coverage numerator)
+
+    High values of either signal boilerplate / degenerate generation —
+    the standard repetition quality gates for LLM training corpora.
+
+    Vectorized: one Arrow split + dictionary-encode per batch, then
+    numpy lexsort/run-length over (doc, code) and (doc, pair-code)
+    arrays — no per-row python.  A document is wholly contained in one
+    row so the per-batch computation is globally exact.
+    """
+    n = batch.num_rows
+    if n == 0:
+        z = pa.array([], pa.int64())
+        for name in ("n_tokens", "n_dup_tokens", "top_2gram_count"):
+            batch = batch.append_column(name, z)
+        return batch
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    enc = flat.dictionary_encode()
+    code = np.asarray(enc.indices).astype(np.int64)
+    V = max(len(enc.dictionary), 1)
+
+    # distinct tokens per doc: unique (doc, code) pairs -> bincount
+    n_distinct = np.bincount(np.unique(parent * V + code) // V,
+                             minlength=n)
+
+    # most frequent bigram per doc: run lengths over sorted (doc, pair)
+    top = np.zeros(n, dtype=np.int64)
+    L = len(code) - 1
+    if L > 0:
+        same = parent[:L] == parent[1:]
+        pd_ = parent[:L][same]
+        pair = code[:L][same] * V + code[1:][same]
+        if len(pd_):
+            order = np.lexsort((pair, pd_))
+            pd_, pair = pd_[order], pair[order]
+            brk = np.ones(len(pd_) + 1, dtype=bool)
+            brk[1:-1] = (pd_[1:] != pd_[:-1]) | (pair[1:] != pair[:-1])
+            idx = np.flatnonzero(brk)
+            run_len = np.diff(idx)
+            np.maximum.at(top, pd_[idx[:-1]], run_len)
+
+    batch = batch.append_column("n_tokens", pa.array(lens))
+    batch = batch.append_column("n_dup_tokens", pa.array(lens - n_distinct))
+    batch = batch.append_column("top_2gram_count", pa.array(top))
+    return batch
+
+
 def vocab_df_partial(batch: pa.Table, id_col: str = "doc_id",
                      text_col: str = "text") -> pa.Table:
     """Per-batch combiner for corpus vocabulary statistics: one

@@ -402,6 +402,53 @@ def q_vocab_df(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: decontamination operating point: 8-gram overlap vs a 10% hash-split
+#: benchmark slice (in production the benchmark is an explicit eval
+#: suite; the deterministic split keeps the sandbox self-contained)
+_DECON_N = 8
+_DECON_MOD, _DECON_LT = 100, 10
+
+
+def q_ngram_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: (doc_id, n_hits) for corpus
+    docs sharing any word 8-gram with the benchmark slice.  Broadcast
+    semi-join shape — the benchmark gram-hash set is built distributed,
+    merged once, ray.put once; the corpus pass is one shuffle-free
+    scan (ops/decontam.py)."""
+    from ..ops.decontam import contamination_hits
+    return contamination_hits(_docs(sf_dir), n=_DECON_N,
+                              bench_mod=_DECON_MOD, bench_lt=_DECON_LT)
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (duplicate
+    -word mass + top-bigram count), exact integers."""
+    from ..ops.text import repetition_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens", "n_dup_tokens", "top_2gram_count"])
+
+
+_QUANTILE_QS = [0.5, 0.9, 0.99]
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact corpus-wide token-length quantiles via the value-histogram
+    exchange (ops/relational.value_quantiles) — the distributed
+    quantile operator a data-curation pipeline needs for length gates."""
+    from ..ops.relational import value_quantiles
+    from ..ops.text import token_count_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    lens = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(["n_tokens"])
+    return value_quantiles(lens, "n_tokens", _QUANTILE_QS)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -939,6 +986,57 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
                   < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""",
 
+        "ngram_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+              SELECT doc_id,
+                     list_aggregate(w[i:i+{_DECON_N - 1}], 'string_agg', ' ') AS gram
+              FROM toks, UNNEST(range(1, len(w) - {_DECON_N - 2})) AS t(i)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams
+              WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {_DECON_MOD} < {_DECON_LT}
+            )
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+            FROM grams g JOIN bench b ON g.gram = b.gram
+            WHERE md5_number_lower(CAST(g.doc_id AS VARCHAR)) % {_DECON_MOD} >= {_DECON_LT}
+            GROUP BY g.doc_id""",
+
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), flat AS (
+              SELECT doc_id, len(w) AS n_tokens, unnest(w) AS tok FROM toks
+            ), per_doc AS (
+              SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                     count(DISTINCT tok) AS n_distinct
+              FROM flat GROUP BY doc_id
+            ), pairs AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g2
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+            ), topg AS (
+              SELECT doc_id, max(c) AS top_2gram_count FROM (
+                SELECT doc_id, count(*) AS c FROM pairs
+                GROUP BY doc_id, g2)
+              GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_tokens,
+                   p.n_tokens - p.n_distinct AS n_dup_tokens,
+                   COALESCE(t.top_2gram_count, 0) AS top_2gram_count
+            FROM per_doc p LEFT JOIN topg t USING (doc_id)""",
+
+        "length_quantiles": f"""
+            WITH lens AS (
+              SELECT len(string_split(text, ' ')) AS n_tokens
+              FROM documents WHERE text IS NOT NULL
+            ), agg AS (
+              SELECT quantile_disc(n_tokens, {_QUANTILE_QS}) AS vs
+              FROM lens)
+            SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
+            FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
+
         "quality_filter": """
             SELECT doc_id FROM (
               SELECT doc_id,
@@ -1072,6 +1170,9 @@ RAY_QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "vocab_df": q_vocab_df,
     "stratified_sample": q_stratified_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "doc_repetition": q_doc_repetition,
+    "length_quantiles": q_length_quantiles,
     "sample_docs": q_sample_docs,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
