@@ -93,7 +93,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # round-3 curation ops: benchmark decontamination,
                      # repetition signals, exact quantiles
                      "ngram_decontaminate", "doc_repetition",
-                     "length_quantiles"]:
+                     "length_quantiles", "pii_redact",
+                     "dup_ngram_stats"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

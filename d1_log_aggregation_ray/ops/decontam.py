@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import md5_lower64_array
+from ..functions.parts import hash_parts
 
 #: odd multiplier (golden-ratio constant) — uint64 polynomial base.
 _B = np.uint64(0x9E3779B97F4A7C15)
@@ -143,3 +144,84 @@ def contamination_hits(ds: ray.data.Dataset, id_col: str = "doc_id",
     return narrow.map_batches(hits, batch_format="pyarrow",
                               zero_copy_batch=True,
                               fn_kwargs={"bench_set": bench_ref})
+
+
+_EMPTY_PAIRS = pa.table({"_part": pa.array([], pa.int64()),
+                         "doc": pa.array([], pa.int64()),
+                         "gh": pa.array([], pa.uint64())})
+
+
+def duplicated_ngram_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = 8) -> ray.data.Dataset:
+    """Corpus-wide duplicated-passage statistics: for every document
+    with >= 1 word n-gram, (doc_id, n_grams, n_dup_grams) where
+    n_grams counts the doc's DISTINCT n-grams and n_dup_grams those
+    of them that also occur in at least one OTHER document.
+
+    The exact-substring-duplication signal (deduplicate-text-datasets
+    style) at n-gram granularity: a high dup fraction marks boilerplate
+    and near-copies that minhash may miss.
+
+    Scale shape: the whole corpus self-join is expressed as ONE
+    hash-partition exchange keyed on the gram hash — per-batch combiner
+    emits distinct (doc, gram-hash) pairs (16 bytes each, no text),
+    each gram's occurrence list lands in one partition, one vectorized
+    run-length scan marks grams with >= 2 distinct docs, and per-doc
+    partial counts (a doc's grams span partitions) merge through the
+    house hash-partition aggregate keyed on doc.  Exchange volume is
+    O(distinct gram occurrences) — the honest cost of exact passage
+    duplication — with nothing all-pairs and no driver state.
+    Collision note: distinct gram hash == distinct gram w.h.p. (64-bit
+    birthday at ~2^32 distinct grams)."""
+    from ..stages.aggregate import hash_partition_aggregate
+
+    P = hash_parts()
+    narrow = ds.select_columns([id_col, text_col])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, gh = _gram_hashes(batch, id_col, text_col, n)
+        if len(gh) == 0:
+            return _EMPTY_PAIRS
+        # distinct (doc, gram) — a doc is wholly inside one batch, so
+        # batch-local distinct is globally distinct
+        order = np.lexsort((gh, ids))
+        d, g = ids[order], gh[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        d, g = d[first], g[first]
+        return pa.table({"_part": pa.array(
+                             (g % np.uint64(P)).astype(np.int64)),
+                         "doc": pa.array(d.astype(np.int64)),
+                         "gh": pa.array(g)})
+
+    pr = narrow.map_batches(pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def scan(group: pa.Table) -> pa.Table:
+        g = group.column("gh").to_numpy(zero_copy_only=False)
+        d = group.column("doc").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, d = g[order], d[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        counts = np.diff(np.r_[starts, len(g)])  # rows are distinct docs
+        dup = np.repeat(counts >= 2, counts)
+        ud, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(ud.astype(np.int64)),
+            "n_grams": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_dup_grams": pa.array(
+                np.bincount(inv, weights=dup).astype(np.int64))})
+
+    scanned = pr.groupby("_part").map_groups(
+        lambda t: scan(t.drop_columns(["_part"])), batch_format="pyarrow")
+    merged = hash_partition_aggregate(
+        scanned, [id_col],
+        [("n_grams", "sum"), ("n_dup_grams", "sum")],
+        rename={"n_grams_sum": "n_grams", "n_dup_grams_sum": "n_dup_grams"})
+    return merged.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            "n_grams": pc.cast(t.column("n_grams"), pa.int64()),
+            "n_dup_grams": pc.cast(t.column("n_dup_grams"), pa.int64())}),
+        batch_format="pyarrow")

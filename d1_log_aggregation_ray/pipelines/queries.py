@@ -449,6 +449,38 @@ def q_length_quantiles(sf_dir: str):
     return value_quantiles(lens, "n_tokens", _QUANTILE_QS)
 
 
+from ..ops.pii import PII_PATTERNS as _PII_PATTERNS
+
+#: the regex bank shared verbatim by the Arrow kernels and the SQL
+#: oracle (RE2 both sides)
+_PII_PATS = [p for _, p, _ in _PII_PATTERNS]
+
+
+def q_pii_redact(sf_dir: str):
+    """PII counts + staged redaction (emails -> IPv4 -> phones) —
+    pure-map RE2 kernels, byte-identical with the nested
+    regexp_replace SQL mirror (ops/pii.py)."""
+    from ..ops.pii import pii_redact_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(pii_redact_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted"])
+
+
+#: duplicated-passage gram size (same as decontamination)
+_DUPGRAM_N = 8
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Corpus-wide duplicated 8-gram statistics per document — the
+    exact-substring-duplication signal expressed as one gram-hash
+    exchange + one doc-keyed merge (ops/decontam.py)."""
+    from ..ops.decontam import duplicated_ngram_stats
+    return duplicated_ngram_stats(_docs(sf_dir), n=_DUPGRAM_N)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1037,6 +1069,44 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "pii_redact": f"""
+            WITH s1 AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '{_PII_PATS[0]}'))
+                       AS n_emails,
+                     regexp_replace(text, '{_PII_PATS[0]}', '<EMAIL>', 'g')
+                       AS t1
+              FROM documents WHERE text IS NOT NULL
+            ), s2 AS (
+              SELECT *, len(regexp_extract_all(t1, '{_PII_PATS[1]}'))
+                       AS n_ipv4,
+                     regexp_replace(t1, '{_PII_PATS[1]}', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ipv4,
+                   len(regexp_extract_all(t2, '{_PII_PATS[2]}')) AS n_phones,
+                   regexp_replace(t2, '{_PII_PATS[2]}', '<PHONE>', 'g')
+                     AS text_redacted
+            FROM s2""",
+
+        "dup_ngram_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     list_aggregate(w[i:i+{_DUPGRAM_N - 1}],
+                                    'string_agg', ' ') AS gram
+              FROM toks, UNNEST(range(1, len(w) - {_DUPGRAM_N - 2})) AS t(i)
+            ), gc AS (
+              SELECT gram, count(*) AS nd FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(coalesce(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_dup_grams
+            FROM grams g JOIN gc c USING (gram)
+            GROUP BY g.doc_id""",
+
         "quality_filter": """
             SELECT doc_id FROM (
               SELECT doc_id,
@@ -1173,6 +1243,8 @@ RAY_QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "doc_repetition": q_doc_repetition,
     "length_quantiles": q_length_quantiles,
+    "pii_redact": q_pii_redact,
+    "dup_ngram_stats": q_dup_ngram_stats,
     "sample_docs": q_sample_docs,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,

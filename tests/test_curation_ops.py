@@ -109,6 +109,89 @@ def test_repetition_matches_python_reference():
         assert out.column("top_2gram_count")[i].as_py() == top
 
 
+def test_pii_redact_hand_computed():
+    from d1_log_aggregation_ray.ops.pii import pii_redact_batch
+    t = pa.table({"text": [
+        "mail a@b.com or c.d+x@e.org now",
+        "host 10.0.0.1 bogus 1.2.3.4.5 has two overlapping matches",
+        "call +1 555 123-4567 end",
+        "user@1.2.3.4 is not an email but holds an ip",
+        "nothing here",
+    ]})
+    out = pii_redact_batch(t)
+    assert out.column("n_emails").to_pylist() == [2, 0, 0, 0, 0]
+    # "1.2.3.4.5": RE2 matches leftmost "1.2.3.4" then ".5" fails \b —
+    # exactly one match; the lone ip line has 2 (10.0.0.1 + 1.2.3.4)
+    assert out.column("n_ipv4").to_pylist() == [0, 2, 0, 1, 0]
+    assert out.column("n_phones").to_pylist() == [0, 0, 1, 0, 0]
+    assert out.column("text_redacted").to_pylist() == [
+        "mail <EMAIL> or <EMAIL> now",
+        "host <IP> bogus <IP>.5 has two overlapping matches",
+        "call <PHONE> end",
+        "user@<IP> is not an email but holds an ip",
+        "nothing here",
+    ]
+
+
+def test_pii_redact_python_reference():
+    import re
+    from d1_log_aggregation_ray.ops.pii import pii_redact_batch, \
+        PII_PATTERNS
+    rng = np.random.default_rng(11)
+    frags = ["plain words", "a@b.io", "x.y@z.co next", "8.8.8.8",
+             "+49 30 123456", "999.1.2.3", "not@an", "dot.", "+12"]
+    texts = [" ".join(rng.choice(frags, size=int(rng.integers(1, 9))))
+             for _ in range(300)]
+    out = pii_redact_batch(pa.table({"text": texts}))
+    for i, txt in enumerate(texts):
+        cur = txt
+        for j, (name, pat, tok) in enumerate(PII_PATTERNS):
+            assert out.column("n_" + name)[i].as_py() == \
+                len(re.findall(pat, cur)), (i, name)
+            cur = re.sub(pat, tok, cur)
+        assert out.column("text_redacted")[i].as_py() == cur
+
+
+def _dup_ngram_python(rows, n=8):
+    """Independent reference: distinct-gram sets per doc, dup = gram in
+    >= 2 docs."""
+    per_doc = {}
+    for did, text in rows:
+        w = text.split(" ")
+        per_doc[did] = {tuple(w[i:i + n]) for i in range(len(w) - n + 1)}
+    from collections import Counter
+    cnt = Counter(g for gs in per_doc.values() for g in gs)
+    return {d: (len(gs), sum(cnt[g] >= 2 for g in gs))
+            for d, gs in per_doc.items() if gs}
+
+
+def test_dup_ngram_stats_vs_python_reference():
+    from d1_log_aggregation_ray.ops.decontam import duplicated_ngram_stats
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(80):
+        rows.append((d, " ".join(rng.choice(vocab,
+                                            size=int(rng.integers(3, 25))))))
+    # plant exact shared passages
+    shared = " ".join(f"s{j}" for j in range(12))
+    rows.append((100, "pre " + shared))
+    rows.append((101, shared + " post"))
+    rows.append((102, shared))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows]})).repartition(5)
+    out = duplicated_ngram_stats(ds, n=8).to_pandas().set_index("doc_id")
+    ref = _dup_ngram_python(rows, n=8)
+    assert set(out.index) == set(ref)
+    for d, (ng, nd) in ref.items():
+        assert out.loc[d, "n_grams"] == ng, d
+        assert out.loc[d, "n_dup_grams"] == nd, d
+    # the planted 12-token passage: every 8-gram of doc 102 is shared
+    assert out.loc[102, "n_grams"] == 5
+    assert out.loc[102, "n_dup_grams"] == 5
+
+
 def test_value_quantiles_matches_disc_rule_across_batches():
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 50, size=5000).astype(np.int64)
