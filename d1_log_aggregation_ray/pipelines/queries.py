@@ -481,6 +481,14 @@ def q_dup_ngram_stats(sf_dir: str):
     return duplicated_ngram_stats(_docs(sf_dir), n=_DUPGRAM_N)
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Top-3 most distinctive terms per doc by the integer-exact
+    tf-idf ordering (df asc, tf desc, term asc) — distributed df join
+    + per-doc top-k combiner (ops/text.distinctive_terms)."""
+    from ..ops.text import distinctive_terms
+    return distinctive_terms(_docs(sf_dir), k=3)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1107,6 +1115,29 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM grams g JOIN gc c USING (gram)
             GROUP BY g.doc_id""",
 
+        "distinctive_terms": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), flat AS (
+              SELECT doc_id, unnest(w) AS tok FROM toks
+            ), tfd AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM flat GROUP BY doc_id, tok
+            ), dfd AS (
+              SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM flat GROUP BY tok
+            ), ranked AS (
+              SELECT t.doc_id, t.tok, d.df, t.tf,
+                     row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY d.df, t.tf DESC, t.tok) AS rnk
+              FROM tfd t JOIN dfd d USING (tok)
+            )
+            SELECT doc_id, tok AS term, df, tf,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM ranked WHERE rnk <= 3""",
+
         "quality_filter": """
             SELECT doc_id FROM (
               SELECT doc_id,
@@ -1245,6 +1276,7 @@ RAY_QUERIES = {
     "length_quantiles": q_length_quantiles,
     "pii_redact": q_pii_redact,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "distinctive_terms": q_distinctive_terms,
     "sample_docs": q_sample_docs,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,

@@ -192,6 +192,40 @@ def test_dup_ngram_stats_vs_python_reference():
     assert out.loc[102, "n_dup_grams"] == 5
 
 
+def _distinctive_python(rows, k=3):
+    from collections import Counter
+    tf = {d: Counter(t.split(" ")) for d, t in rows}
+    df = Counter()
+    for d, c in tf.items():
+        df.update(set(c))
+    out = {}
+    for d, c in tf.items():
+        ranked = sorted(c, key=lambda w: (df[w], -c[w], w))[:k]
+        out[d] = [(w, df[w], c[w], i + 1) for i, w in enumerate(ranked)]
+    return out
+
+
+def test_distinctive_terms_vs_python_reference():
+    from d1_log_aggregation_ray.ops.text import distinctive_terms
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    rows = [(d, " ".join(rng.choice(vocab,
+                                    size=int(rng.integers(1, 30)))))
+            for d in range(120)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows]})).repartition(6)
+    out = distinctive_terms(ds, k=3).to_pandas()
+    ref = _distinctive_python(rows, k=3)
+    got = {}
+    for r in out.itertuples(index=False):
+        got.setdefault(r.doc_id, []).append(
+            (r.term, r.df, r.tf, r.rank))
+    for d in got:
+        got[d].sort(key=lambda x: x[3])
+    assert got == ref
+
+
 def test_value_quantiles_matches_disc_rule_across_batches():
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 50, size=5000).astype(np.int64)
