@@ -94,7 +94,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # repetition signals, exact quantiles
                      "ngram_decontaminate", "doc_repetition",
                      "length_quantiles", "pii_redact",
-                     "dup_ngram_stats", "distinctive_terms"]:
+                     "dup_ngram_stats", "distinctive_terms",
+                     # corpus-organization k-means (integer-exact Lloyd)
+                     "kmeans_clusters"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -589,6 +589,18 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["vec_id"])
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Corpus-organization k-means: (vec_id, cluster) after 5
+    integer-exact Lloyd iterations (ops/cluster.py).  Deterministic at
+    any parallelism, so the oracle is a pinned golden generated from
+    the INDEPENDENT pure-python reference (tests/kmeans_reference.py),
+    not from the engine (round-2 ADVICE rule)."""
+    from ..ops.cluster import kmeans_embeddings
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return kmeans_embeddings(ds, k=10, iters=5)
+
+
 def q_dedup_minhash(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
@@ -1291,6 +1303,7 @@ RAY_QUERIES = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "kmeans_clusters": q_kmeans_clusters,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

@@ -36,6 +36,23 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
+def _kmeans_ref(sf_dir: str) -> dict:
+    """kmeans assignment from the INDEPENDENT pure-python reference
+    (tests/kmeans_reference.py) — the pin source, per the round-2
+    ADVICE rule that goldens should not come from the engine they
+    gate where an independent formulation exists."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from kmeans_reference import kmeans_reference
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    emb = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    return kmeans_reference(ids, emb, k=10, iters=5)
+
+
 def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
@@ -62,6 +79,18 @@ def main() -> None:
                           "rows": sorted([r[c] for c in cols]
                                          for r in rows)}
             print(f"{sf} {q}: {len(rows)} pinned rows")
+        # kmeans pin: generated from the independent reference and
+        # cross-checked against the engine so a divergence fails
+        # loudly at pin time instead of shipping a wrong golden.
+        eng = {r["vec_id"]: r["cluster"] for r in
+               RAY_QUERIES["kmeans_clusters"](sf_dir).take_all()}
+        ref = _kmeans_ref(sf_dir)
+        if eng != ref:
+            raise AssertionError(f"kmeans engine != reference at {sf}")
+        out[sf]["kmeans_clusters"] = {
+            "columns": ["vec_id", "cluster"],
+            "rows": sorted([int(i), int(c)] for i, c in ref.items())}
+        print(f"{sf} kmeans_clusters: {len(ref)} pinned rows")
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(out, f, indent=1)
