@@ -96,7 +96,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "length_quantiles", "pii_redact",
                      "dup_ngram_stats", "distinctive_terms",
                      # corpus-organization k-means (integer-exact Lloyd)
-                     "kmeans_clusters"]:
+                     # + training-shard packing (distributed prefix sum)
+                     "kmeans_clusters", "pack_shards"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

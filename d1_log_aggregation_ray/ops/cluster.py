@@ -11,16 +11,25 @@ bounded pass per cycle) — each Lloyd iteration is one streaming pass
 with a per-batch combiner and a tiny driver-side merge.
 
 Scale shape (100 TB corpus):
+  - The narrow (id, vector) projection is materialized ONCE as Arrow
+    blocks in the object store (spills block-by-block if it exceeds
+    memory); every subsequent pass reads the same immutable block
+    refs.  Iterative refinement with a driver barrier per iteration
+    is the documented case for raw Ray tasks over those refs — one
+    tiny task per block per pass — instead of re-planning a Dataset
+    execution per iteration (which costs a full executor startup each
+    time and re-decodes parquet).
   - Seeds: k vectors with the smallest (md5(vec_id), vec_id) — a
-    per-batch local smallest-k combiner + one driver merge of k-row
+    per-block local smallest-k task + one driver merge of k-row
     partials.  No global sort (the house `brute_force_topk` shape).
   - Each iteration: centroids (k x d int64, a few KiB) broadcast via
-    one `ray.put`; per-batch partial = per-cluster integer sums +
-    counts (k rows per BATCH cross the wire, never the corpus); the
-    k-row partials merge on the driver.  Lineage is re-executed once
-    per iteration — fine for a parquet read (same documented
-    assumption as the dedup tail), so `iters` stays small.
+    one `ray.put`; per-block partial = per-cluster integer sums +
+    counts (k rows per BLOCK cross the wire, never the corpus); the
+    k-row partials merge on the driver.
   - Nothing all-pairs, no shuffle at all: k-means is combiner-only.
+  - Final assignment is a streaming `map_batches` over the cached
+    blocks so the (id, cluster) output composes with downstream
+    Dataset stages.
 
 Determinism (the property the pinned golden + cross-cpu-count
 equality tests rely on): ALL arithmetic is int64 — embeddings are
@@ -29,7 +38,9 @@ means, distances are exact integer sums of squares, ties break to the
 lowest cluster id.  Integer sums are associative, so the result is
 bit-identical at any batch size, block order, or parallelism — a
 float-accumulation k-means would flip near-tie assignments with BLAS
-blocking and batch boundaries.
+blocking and batch boundaries.  Cross-validated against an
+independent pure-python reference (tests/kmeans_reference.py), which
+also generates the driver's pinned golden oracle.
 """
 
 from __future__ import annotations
@@ -70,33 +81,44 @@ def cent_norms(cent: np.ndarray) -> np.ndarray:
     return np.einsum("kd,kd->k", cent, cent)
 
 
-def _seed_centroids(ds: ray.data.Dataset, k: int, id_col: str,
-                    vec_col: str) -> np.ndarray:
-    """k quantized vectors with the smallest (md5(id), id) — local
-    smallest-k per batch, k-row partials merged once on the driver."""
-
-    def local(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.uint64()),
-                             id_col: pa.array([], pa.int64()),
-                             "q": pa.array([], pa.list_(pa.int64()))})
-        h = md5_lower64_array(pc.cast(batch.column(id_col), pa.string()))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:k]
-        q = _quantize(batch, vec_col)[order]
-        return pa.table({"h": pa.array(h[order]),
-                         id_col: pa.array(ids[order].astype(np.int64)),
-                         "q": pa.array(list(q))})
-
-    parts = [t for t in ray.get(
-        ds.map_batches(local, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
-        if t.num_rows]
-    merged = pa.concat_tables(parts)
-    h = merged.column("h").to_numpy(zero_copy_only=False)
-    ids = merged.column(id_col).to_numpy(zero_copy_only=False)
+@ray.remote
+def _seed_part(tbl: pa.Table, k: int, id_col: str, vec_col: str):
+    """Local smallest-k by (md5(id), id): (h, id, quantized vec)."""
+    if tbl.num_rows == 0:
+        return None
+    h = md5_lower64_array(pc.cast(tbl.column(id_col), pa.string()))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, h))[:k]
-    q = np.array(merged.column("q").to_pylist(), dtype=np.int64)
+    return (h[order], ids[order].astype(np.int64),
+            _quantize(tbl, vec_col)[order])
+
+
+@ray.remote
+def _lloyd_part(tbl: pa.Table, cent: np.ndarray, id_col: str,
+                vec_col: str):
+    """Per-cluster (counts, integer sums) for one block — the k-row
+    combiner partial that crosses the wire instead of the block."""
+    if tbl.num_rows == 0:
+        return None
+    q = _quantize(tbl, vec_col)
+    a = _assign(q, cent)
+    order = np.argsort(a, kind="stable")
+    a_s, q_s = a[order], q[order]
+    starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+    return (a_s[starts],
+            np.diff(np.r_[starts, len(a_s)]).astype(np.int64),
+            np.add.reduceat(q_s, starts, axis=0))
+
+
+def _seed_centroids(refs: list, k: int, id_col: str,
+                    vec_col: str) -> np.ndarray:
+    parts = [p for p in ray.get(
+        [_seed_part.remote(r, k, id_col, vec_col) for r in refs])
+        if p is not None]
+    h = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    q = np.concatenate([p[2] for p in parts], axis=0)
+    order = np.lexsort((ids, h))[:k]
     if len(order) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(order)}")
     return q[order]
@@ -108,43 +130,21 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
     """(id, cluster) assignment after `iters` Lloyd iterations from
     deterministic hash-ordered seeds.  See module docstring for the
     scale shape and the integer-exactness argument."""
-    narrow = ds.select_columns([id_col, vec_col])
-    cent = _seed_centroids(narrow, k, id_col, vec_col)
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    refs = mat.to_arrow_refs()
+    cent = _seed_centroids(refs, k, id_col, vec_col)
     d = cent.shape[1]
 
     for _ in range(iters):
         cref = ray.put(cent)
-
-        def partial(batch: pa.Table, *, cent_ref) -> pa.Table:
-            c = ray.get(cent_ref) if isinstance(
-                cent_ref, ray.ObjectRef) else cent_ref
-            if batch.num_rows == 0:
-                return pa.table({"cl": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64()),
-                                 "s": pa.array([], pa.list_(pa.int64()))})
-            q = _quantize(batch, vec_col)
-            a = _assign(q, c)
-            order = np.argsort(a, kind="stable")
-            a_s, q_s = a[order], q[order]
-            starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
-            sums = np.add.reduceat(q_s, starts, axis=0)
-            return pa.table({
-                "cl": pa.array(a_s[starts]),
-                "n": pa.array(np.diff(np.r_[starts, len(a_s)])
-                              .astype(np.int64)),
-                "s": pa.array(list(sums))})
-
-        parts = [t for t in ray.get(
-            narrow.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               fn_kwargs={"cent_ref": cref})
-            .to_arrow_refs()) if t.num_rows]
+        parts = [p for p in ray.get(
+            [_lloyd_part.remote(r, cref, id_col, vec_col) for r in refs])
+            if p is not None]
         S = np.zeros((k, d), dtype=np.int64)
         N = np.zeros(k, dtype=np.int64)
-        for t in parts:
-            cl = t.column("cl").to_numpy(zero_copy_only=False)
-            N[cl] += t.column("n").to_numpy(zero_copy_only=False)
-            S[cl] += np.array(t.column("s").to_pylist(), dtype=np.int64)
+        for cl, n, s in parts:
+            N[cl] += n
+            S[cl] += s
         nz = N > 0  # empty clusters keep their previous centroid
         cent = cent.copy()
         cent[nz] = S[nz] // N[nz, None]  # integer floor-div mean
@@ -162,6 +162,6 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
             id_col: pc.cast(batch.column(id_col), pa.int64()),
             "cluster": pa.array(a)})
 
-    return narrow.map_batches(final, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              fn_kwargs={"cent_ref": cref})
+    return mat.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"cent_ref": cref})

@@ -302,6 +302,25 @@ def q_token_count(sf_dir: str):
         ["doc_id", "n_tokens"])
 
 
+#: shard packing operating point: ~2048 tokens per training shard,
+#: 128-id ranges so the toy corpora still exercise multi-partition
+#: prefix-sum carry (design scale: range_width sized to a worker heap)
+_PACK_CAP, _PACK_RW = 2048, 128
+
+
+def q_pack_shards(sf_dir: str):
+    """Fixed-token-budget training-shard assignment via the
+    distributed prefix-sum scan (ops/packing.py): global cumulative
+    token count in doc_id order, shard = cum_before // capacity."""
+    from ..ops.packing import pack_shards
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return pack_shards(ds, capacity=_PACK_CAP, range_width=_PACK_RW)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -1020,6 +1039,22 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "pack_shards": f"""
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT doc_id,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(cumb // {_PACK_CAP} AS BIGINT) AS shard_id,
+                   CAST(cumb % {_PACK_CAP} AS BIGINT) AS shard_off
+            FROM c""",
+
         "vocab_df": """
             SELECT token,
                    count(DISTINCT doc_id) AS df,
@@ -1304,6 +1339,7 @@ RAY_QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
+    "pack_shards": q_pack_shards,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,
