@@ -97,7 +97,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "dup_ngram_stats", "distinctive_terms",
                      # corpus-organization k-means (integer-exact Lloyd)
                      # + training-shard packing (distributed prefix sum)
-                     "kmeans_clusters", "pack_shards"]:
+                     "kmeans_clusters", "pack_shards",
+                     # large x large shuffle join (TPC-H Q3 analog)
+                     "top_orders"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

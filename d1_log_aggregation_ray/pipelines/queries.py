@@ -697,6 +697,79 @@ def q_asof_prior(sf_dir: str):
                            left_type="click", right_type="view")
 
 
+#: top_orders operating point (TPC-H Q3 analog on the testdata views)
+_TOPORD_SEG, _TOPORD_CUT = "BUILDING", "1998-01-01"
+
+
+def q_top_orders(sf_dir: str):
+    """Large x large relational pipeline (TPC-H Q3 analog): customer
+    segment broadcast semi-join -> lineitem combiner pre-aggregation ->
+    orders hash JOIN (Ray's native shuffle join) -> hash-partition
+    revenue aggregate -> driver merge of per-block top-10 partials.
+    Revenue is integer-exact (cents x discount-complement-percent) so
+    the value hash matches DuckDB regardless of sum order."""
+    from ..functions.parts import join_parts
+    from ..ops.relational import global_topk
+    from ..stages.aggregate import hash_partition_aggregate
+    cut = np.datetime64(_TOPORD_CUT)
+    ct = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"])
+    keep = ct.filter(pc.equal(ct.column("c_mktsegment"), _TOPORD_SEG))
+    cust_ref = ray.put(np.sort(
+        keep.column("c_custkey").to_numpy(zero_copy_only=False)))
+
+    def filter_orders(batch: pa.Table, *, cust) -> pa.Table:
+        ck = ray.get(cust) if isinstance(cust, ray.ObjectRef) else cust
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").combine_chunks()
+        pos = np.searchsorted(ck, keys)
+        pos[pos == len(ck)] = 0
+        hit = (ck[pos] == keys) & (
+            od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            < cut.astype("datetime64[us]").astype(np.int64))
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_orderdate": od}).filter(pa.array(hit))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filter_orders, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"cust": cust_ref})
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd > cut.astype("datetime64[us]").astype(np.int64)
+        keys = batch.column("l_orderkey").to_numpy(
+            zero_copy_only=False)[m]
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        rev = (np.rint(ep * 100).astype(np.int64)
+               * (100 - np.rint(dc * 100).astype(np.int64)))
+        order = np.argsort(keys, kind="stable")
+        k_s, r_s = keys[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        return pa.table({
+            "o_orderkey": pa.array(k_s[starts]),
+            "rev": pa.array(np.add.reduceat(r_s, starts)
+                            if len(starts) else
+                            np.array([], dtype=np.int64))})
+
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        lineitem_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = items.join(orders, "inner", num_partitions=join_parts(),
+                        on=("o_orderkey",))
+    per_order = hash_partition_aggregate(
+        joined, ["o_orderkey", "o_orderdate"], [("rev", "sum")],
+        rename={"rev_sum": "revenue_c2"})
+    return global_topk(per_order, "revenue_c2", 10, "o_orderkey")
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -1039,6 +1112,21 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "top_orders": f"""
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_c2
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = '{_TOPORD_SEG}'
+              AND o.o_orderdate < TIMESTAMP '{_TOPORD_CUT}'
+              AND l.l_shipdate > TIMESTAMP '{_TOPORD_CUT}'
+            GROUP BY 1, 2
+            ORDER BY revenue_c2 DESC, o_orderkey
+            LIMIT 10""",
+
         "pack_shards": f"""
             WITH t AS (
               SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -1340,6 +1428,7 @@ RAY_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "pack_shards": q_pack_shards,
+    "top_orders": q_top_orders,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,
