@@ -99,7 +99,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # + training-shard packing (distributed prefix sum)
                      "kmeans_clusters", "pack_shards",
                      # large x large shuffle join (TPC-H Q3 analog)
-                     "top_orders"]:
+                     # + canonical text normalization
+                     "top_orders", "normalize_text"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

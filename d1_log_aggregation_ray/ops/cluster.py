@@ -130,7 +130,13 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
     """(id, cluster) assignment after `iters` Lloyd iterations from
     deterministic hash-ordered seeds.  See module docstring for the
     scale shape and the integer-exactness argument."""
-    mat = ds.select_columns([id_col, vec_col]).materialize()
+    # block count == per-pass task count: a corpus that arrives as few
+    # fat blocks (one parquet file at smoke scale) would serialize
+    # every Lloyd pass onto few cores, so split to ~2 blocks per CPU
+    # once at cache time (streaming split, no all-to-all)
+    from ..functions.parts import hash_parts
+    mat = (ds.select_columns([id_col, vec_col])
+           .repartition(hash_parts()).materialize())
     refs = mat.to_arrow_refs()
     cent = _seed_centroids(refs, k, id_col, vec_col)
     d = cent.shape[1]

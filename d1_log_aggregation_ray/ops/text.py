@@ -370,3 +370,40 @@ def vocab_df_partial(batch: pa.Table, id_col: str = "doc_id",
         "df": pc.cast(agg.column("count_all"), pa.int64()),
         "tf": pc.cast(agg.column("count_all_sum"), pa.int64()),
     })
+
+
+#: control characters excluding the \s members (\t \n \r \x0B \x0C are
+#: whitespace and handled by the collapse step)
+_CTRL_PATTERN = r"[\x00-\x08\x0E-\x1F\x7F]"
+
+
+def normalize_text_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Canonical text normalization (the first stage of any training
+    corpus cleanup): strip non-whitespace control chars, collapse
+    whitespace runs to one space, trim, unicode NFC — three vectorized
+    Arrow kernels per batch, no python rows.  Spec order matters and
+    is mirrored exactly by the DuckDB oracle
+    (nfc_normalize(trim(regexp_replace(regexp_replace(...))))).
+    Emits text_norm + n_chars_norm alongside the id column."""
+    text = batch.column(text_col)
+    t = pc.replace_substring_regex(text, _CTRL_PATTERN, "")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    # NFC: this pyarrow's utf8_normalize(form="NFC") does NOT compose
+    # (utf8proc build returns e+U+0301 unchanged), so ASCII batches —
+    # NFC-invariant by definition — take the zero-cost fast path and
+    # only batches containing non-ASCII pay one unicodedata.normalize
+    # (a C kernel) pass per row, the same per-item-kernel tradeoff as
+    # md5_lower64_array.
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    if not pc.all(pc.string_is_ascii(t)).as_py():
+        import unicodedata
+        t = pa.array([None if s is None
+                      else unicodedata.normalize("NFC", s)
+                      for s in t.to_pylist()], pa.string())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_norm": t,
+        "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64())})

@@ -321,6 +321,17 @@ def q_pack_shards(sf_dir: str):
     return pack_shards(ds, capacity=_PACK_CAP, range_width=_PACK_RW)
 
 
+def q_normalize_text(sf_dir: str):
+    """Vectorized canonical text normalization (control-strip,
+    whitespace-collapse, trim, NFC) — ops/text.normalize_text_batch."""
+    from ..ops.text import normalize_text_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -1112,6 +1123,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents WHERE text IS NOT NULL""",
 
+        "normalize_text": r"""
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(regexp_replace(
+                     text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                     '\s+', ' ', 'g'), ' ')) AS text_norm,
+                   CAST(length(nfc_normalize(trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F]',
+                     '', 'g'), '\s+', ' ', 'g'), ' ')))
+                     AS BIGINT) AS n_chars_norm
+            FROM documents WHERE text IS NOT NULL""",
+
         "top_orders": f"""
             SELECT o.o_orderkey, o.o_orderdate,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
@@ -1429,6 +1451,7 @@ RAY_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
+    "normalize_text": q_normalize_text,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

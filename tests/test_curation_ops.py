@@ -236,3 +236,38 @@ def test_value_quantiles_matches_disc_rule_across_batches():
     expect = [int(s[max(math.ceil(q * len(s)) - 1, 0)]) for q in qs]
     assert out.column("value").to_pylist() == expect
     assert out.column("q").to_pylist() == qs
+
+
+def test_normalize_text_parity_on_adversarial_strings():
+    """Engine normalize vs DuckDB oracle expression on strings the
+    ASCII corpus can't exercise: control chars, combining accents
+    (NFC composition), tabs/newlines, leading/trailing runs."""
+    import duckdb
+    import pyarrow as pa
+    from d1_log_aggregation_ray.ops.text import normalize_text_batch
+    texts = [
+        "plain words",
+        "  leading and trailing   ",
+        "tab\tand\nnewline\r\nmix",
+        "ctrl\x01\x02chars\x7fhere",
+        "combining é accent",   # NFC -> é
+        "already é composed",
+        "\x0b\x0cvertical\x0b\x0cws",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    eng = normalize_text_batch(t).to_pylist()
+    con = duckdb.connect()
+    con.register("docs", t)
+    ora = con.execute(r"""
+        SELECT doc_id,
+               nfc_normalize(trim(regexp_replace(regexp_replace(
+                 text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g'), ' ')) AS text_norm,
+               CAST(length(nfc_normalize(trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F]',
+                 '', 'g'), '\s+', ' ', 'g'), ' ')))
+                 AS BIGINT) AS n_chars_norm
+        FROM docs ORDER BY doc_id""").df().to_dict("records")
+    assert eng == ora
