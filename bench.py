@@ -99,8 +99,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # + training-shard packing (distributed prefix sum)
                      "kmeans_clusters", "pack_shards",
                      # large x large shuffle join (TPC-H Q3 analog)
-                     # + canonical text normalization
-                     "top_orders", "normalize_text"]:
+                     # + canonical text normalization + line dedup
+                     "top_orders", "normalize_text", "line_dedup"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

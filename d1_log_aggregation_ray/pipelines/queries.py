@@ -332,6 +332,15 @@ def q_normalize_text(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide duplicated-line removal (C4/CCNet boilerplate
+    strip) — ops/lines.line_dedup; counting exchange + broadcast set +
+    one rebuild scan."""
+    from ..ops.lines import line_dedup
+    return line_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                      threshold=2)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -1134,6 +1143,26 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS BIGINT) AS n_chars_norm
             FROM documents WHERE text IS NOT NULL""",
 
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS ord
+              FROM documents WHERE text IS NOT NULL
+            ),
+            linec AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+            j AS (SELECT l.doc_id, l.line, l.ord, (lc.c >= 2) AS dup
+                  FROM lines l JOIN linec lc USING (line))
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                       chr(10) ORDER BY ord), '')
+                     AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_lines
+            FROM j GROUP BY doc_id""",
+
         "top_orders": f"""
             SELECT o.o_orderkey, o.o_orderdate,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
@@ -1452,6 +1481,7 @@ RAY_QUERIES = {
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "normalize_text": q_normalize_text,
+    "line_dedup": q_line_dedup,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

@@ -271,3 +271,60 @@ def test_normalize_text_parity_on_adversarial_strings():
                  AS BIGINT) AS n_chars_norm
         FROM docs ORDER BY doc_id""").df().to_dict("records")
     assert eng == ora
+
+
+def test_line_dedup_parity_on_planted_boilerplate():
+    """Engine line_dedup vs the DuckDB oracle expression on a corpus
+    the shared (single-line) oracle tables can't exercise: multi-line
+    docs, a boilerplate line planted across docs, within-doc repeats,
+    an all-boilerplate doc, empty lines, and a single-line doc.
+    Split across several input blocks so the counting exchange and the
+    broadcast probe both cross batch boundaries."""
+    import duckdb
+    BOILER = "accept cookies to continue"
+    texts = [
+        f"alpha one\n{BOILER}\ngamma three",
+        f"{BOILER}\ndelta four",
+        BOILER,                                # all-boilerplate doc
+        f"{BOILER}\n{BOILER}",                 # within-doc repeat
+        "unique line here",                    # untouched single-line
+        "repeated inside\nrepeated inside",    # dup only within one doc
+        "\n\ntwo empty lines lead",            # '' occurs 4x -> dup
+        "tail empties\n\n",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    from d1_log_aggregation_ray.ops.lines import line_dedup
+    ds = ray.data.from_arrow(t).repartition(4)
+    eng = (line_dedup(ds, threshold=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = con.execute("""
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1)
+                   AS ord
+          FROM documents WHERE text IS NOT NULL
+        ),
+        linec AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+        j AS (SELECT l.doc_id, l.line, l.ord, (lc.c >= 2) AS dup
+              FROM lines l JOIN linec lc USING (line))
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                   chr(10) ORDER BY ord), '')
+                 AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_lines
+        FROM j GROUP BY doc_id ORDER BY doc_id""").df()
+    assert eng.to_dict("records") == ora.to_dict("records")
+    # semantic spot checks independent of the oracle expression
+    by_id = {r["doc_id"]: r for r in eng.to_dict("records")}
+    assert by_id[0]["text_clean"] == "alpha one\ngamma three"
+    assert by_id[2]["text_clean"] == "" and by_id[2]["n_dup_lines"] == 1
+    assert by_id[3]["n_dup_lines"] == 2
+    assert by_id[4]["text_clean"] == "unique line here"
+    assert by_id[5]["n_dup_lines"] == 2      # within-doc repeats count
