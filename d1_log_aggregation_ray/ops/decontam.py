@@ -225,3 +225,101 @@ def duplicated_ngram_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
             "n_grams": pc.cast(t.column("n_grams"), pa.int64()),
             "n_dup_grams": pc.cast(t.column("n_dup_grams"), pa.int64())}),
         batch_format="pyarrow")
+
+
+_EMPTY_TRIPLES = pa.table({"_part": pa.array([], pa.int64()),
+                           "doc": pa.array([], pa.int64()),
+                           "th": pa.array([], pa.uint64()),
+                           "cnt": pa.array([], pa.int64())})
+
+
+def token_rarity(ds: ray.data.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text") -> ray.data.Dataset:
+    """Per-document corpus-frequency aggregates: (doc_id, n_tokens,
+    sum_tf, min_tf) where sum_tf sums, over every token OCCURRENCE in
+    the doc, that token's total occurrence count in the whole corpus,
+    and min_tf is the rarest token's corpus count.
+
+    The rare-token quality signal: natural-language docs average high
+    corpus frequency (stopwords dominate); gibberish, codes and
+    boilerplate-free junk average low and bottom out at min_tf = 1.
+    Integer-exact, so the SQL oracle (unnest + global token count +
+    join back) hash-matches bit-for-bit.
+
+    Scale shape: identical to duplicated_ngram_stats — per-batch
+    combiner emits (doc, token-hash, within-doc count) triples (a doc
+    is wholly inside one batch, so batch-local counts are the doc's
+    global counts), ONE hash-partition exchange keyed on the token
+    hash co-locates every occurrence of a token, a vectorized scan
+    scatters each token's partition-global total back onto its docs,
+    and per-doc partials (a doc's tokens span partitions) merge
+    through the house hash-partition aggregate (sum/sum/min).
+    Exchange volume O(distinct (doc, token) pairs), never the text.
+    Collision note: 64-bit token hashes, same birthday argument as
+    the gram hashes above."""
+    from ..stages.aggregate import hash_partition_aggregate
+
+    P = hash_parts()
+    narrow = ds.select_columns([id_col, text_col])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ids, th = _gram_hashes(batch, id_col, text_col, 1)
+        if len(th) == 0:
+            return _EMPTY_TRIPLES
+        order = np.lexsort((th, ids))
+        d, t = ids[order], th[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(d)])
+        d, t = d[starts], t[starts]
+        return pa.table({"_part": pa.array(
+                             (t % np.uint64(P)).astype(np.int64)),
+                         "doc": pa.array(d.astype(np.int64)),
+                         "th": pa.array(t),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    tr = narrow.map_batches(triples, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = group.column("th").to_numpy(zero_copy_only=False)
+        d = group.column("doc").to_numpy(zero_copy_only=False)
+        c = group.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, d, c = t[order], d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(
+            np.r_[starts, len(t)]))
+        # integer scatter-adds (bincount's float64 weights lose
+        # exactness past 2^53 — these sums reach it at corpus scale)
+        tot = np.zeros(len(starts), np.int64)
+        np.add.at(tot, seg, c)           # per-token corpus total
+        tf = tot[seg]                    # token's corpus total, per row
+        ud, inv = np.unique(d, return_inverse=True)
+        n_tokens = np.zeros(len(ud), np.int64)
+        np.add.at(n_tokens, inv, c)
+        sum_tf = np.zeros(len(ud), np.int64)
+        np.add.at(sum_tf, inv, c * tf)
+        min_tf = np.full(len(ud), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_tf, inv, tf)
+        return pa.table({
+            id_col: pa.array(ud.astype(np.int64)),
+            "n_tokens": pa.array(n_tokens),
+            "sum_tf": pa.array(sum_tf),
+            "min_tf": pa.array(min_tf)})
+
+    scanned = tr.groupby("_part").map_groups(
+        lambda g: scan(g.drop_columns(["_part"])), batch_format="pyarrow")
+    merged = hash_partition_aggregate(
+        scanned, [id_col],
+        [("n_tokens", "sum"), ("sum_tf", "sum"), ("min_tf", "min")],
+        rename={"n_tokens_sum": "n_tokens", "sum_tf_sum": "sum_tf",
+                "min_tf_min": "min_tf"})
+    return merged.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+            "sum_tf": pc.cast(t.column("sum_tf"), pa.int64()),
+            "min_tf": pc.cast(t.column("min_tf"), pa.int64())}),
+        batch_format="pyarrow")

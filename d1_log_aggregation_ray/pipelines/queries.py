@@ -341,6 +341,14 @@ def q_line_dedup(sf_dir: str):
                       threshold=2)
 
 
+def q_token_rarity(sf_dir: str):
+    """Per-doc corpus-frequency aggregates (rare-token quality
+    signal) — ops/decontam.token_rarity; one token-hash exchange +
+    per-doc partial merge, integer-exact."""
+    from ..ops.decontam import token_rarity
+    return token_rarity(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -1143,6 +1151,19 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS BIGINT) AS n_chars_norm
             FROM documents WHERE text IS NOT NULL""",
 
+        "token_rarity": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS sum_tf,
+                   CAST(min(c) AS BIGINT) AS min_tf
+            FROM toks JOIN tc USING (tok)
+            GROUP BY doc_id""",
+
         "line_dedup": """
             WITH lines AS (
               SELECT doc_id,
@@ -1482,6 +1503,7 @@ RAY_QUERIES = {
     "top_orders": q_top_orders,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
+    "token_rarity": q_token_rarity,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

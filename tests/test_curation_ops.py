@@ -328,3 +328,46 @@ def test_line_dedup_parity_on_planted_boilerplate():
     assert by_id[3]["n_dup_lines"] == 2
     assert by_id[4]["text_clean"] == "unique line here"
     assert by_id[5]["n_dup_lines"] == 2      # within-doc repeats count
+
+
+def test_token_rarity_parity_with_duckdb():
+    """token_rarity vs the SQL formulation on a corpus with planted
+    frequency structure: a stopword everywhere, singleton rare tokens,
+    within-doc repeats, an empty-string doc (one '' token), split
+    across blocks so token partials cross batch boundaries."""
+    import duckdb
+    texts = [
+        "the cat sat",
+        "the the dog",          # within-doc repeat of the stopword
+        "the unique1 unique2",
+        "zz",                   # singleton everything
+        "",                     # one '' token
+        "the cat",              # 'cat' now has corpus count 2
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    from d1_log_aggregation_ray.ops.decontam import token_rarity
+    ds = ray.data.from_arrow(t).repartition(3)
+    eng = (token_rarity(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS sum_tf,
+               CAST(min(c) AS BIGINT) AS min_tf
+        FROM toks JOIN tc USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""").df()
+    assert eng.to_dict("records") == ora.to_dict("records")
+    by_id = {r["doc_id"]: r for r in eng.to_dict("records")}
+    # 'the' occurs 5x corpus-wide; doc 1 = the,the,dog -> 5+5+1
+    assert by_id[1]["n_tokens"] == 3
+    assert by_id[1]["sum_tf"] == 11 and by_id[1]["min_tf"] == 1
+    assert by_id[3]["min_tf"] == 1 and by_id[3]["sum_tf"] == 1
+    assert by_id[4]["n_tokens"] == 1          # '' counts as one token
