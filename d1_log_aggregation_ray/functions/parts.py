@@ -76,3 +76,25 @@ def int_key_array(col) -> np.ndarray:
         return arr.astype(np.uint64).view(np.int64)
     col = pc.fill_null(col.cast(pa.int64()), NULL_KEY_SENTINEL)
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def arrow_block_refs(ds) -> list:
+    """Execute `ds` and return its block ObjectRefs (one pyarrow.Table
+    per block) WITHOUT going through Dataset.to_arrow_refs().
+
+    to_arrow_refs() ends with `self.schema(fetch_if_missing=True)`;
+    whenever the executed plan's cached schema is missing (observed on
+    every TPC-H parquet read here: Ray's schema-dedup hash fails with
+    "Failed to hash the schemas ... unhashable type: 'dict'", so the
+    unified schema never lands in the cache), that call silently
+    RE-EXECUTES the entire plan at limit=1 — doubling the cost of any
+    driver-side collect (measured 2x on the top_orders join pipeline,
+    whose limit=1 probe still pays the full join + sort barrier).
+
+    Every caller in this package produces Arrow blocks
+    (batch_format="pyarrow" throughout), so the bundle refs already
+    point at pyarrow Tables and the schema probe buys nothing.
+    """
+    from ray.data.dataset import _ref_bundles_iterator_to_block_refs_list
+    return _ref_bundles_iterator_to_block_refs_list(
+        ds.iter_internal_ref_bundles())

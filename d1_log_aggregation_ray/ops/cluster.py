@@ -135,9 +135,10 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
     # every Lloyd pass onto few cores, so split to ~2 blocks per CPU
     # once at cache time (streaming split, no all-to-all)
     from ..functions.parts import hash_parts
+    from ..functions.parts import arrow_block_refs
     mat = (ds.select_columns([id_col, vec_col])
            .repartition(hash_parts()).materialize())
-    refs = mat.to_arrow_refs()
+    refs = arrow_block_refs(mat)
     cent = _seed_centroids(refs, k, id_col, vec_col)
     d = cent.shape[1]
 

@@ -39,6 +39,7 @@ import ray.data
 
 from ..functions.hashing import md5_lower64_array
 from ..functions.parts import hash_parts
+from ..functions.parts import arrow_block_refs
 
 #: odd multiplier (golden-ratio constant) — uint64 polynomial base.
 _B = np.uint64(0x9E3779B97F4A7C15)
@@ -112,9 +113,9 @@ def contamination_hits(ds: ray.data.Dataset, id_col: str = "doc_id",
         return pa.table({"gh": pa.array(np.unique(gh))})
 
     parts = [t.column("gh").to_numpy(zero_copy_only=False)
-             for t in ray.get(narrow.map_batches(
+             for t in ray.get(arrow_block_refs(narrow.map_batches(
                  bench_grams, batch_format="pyarrow",
-                 zero_copy_batch=True).to_arrow_refs())]
+                 zero_copy_batch=True)))]
     bench = (np.unique(np.concatenate(parts)) if parts
              else np.empty(0, np.uint64))
     bench_ref = ray.put(bench)  # broadcast once, read per task

@@ -784,7 +784,8 @@ def embedding_cosine_dedup_bruteforce(
     compare.  Never use in a pipeline; embedding_cosine_dedup is the
     shipped operator."""
     from .similarity import _as_matrix, _normalize
-    mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    from ..functions.parts import arrow_block_refs
+    mat_tbl = arrow_block_refs(ds.select_columns([id_col, vec_col]))
     tables = [ray.get(r) for r in mat_tbl]
     full = pa.concat_tables(tables).combine_chunks()
     ids = full.column(id_col).to_numpy()

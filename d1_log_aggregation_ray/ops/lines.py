@@ -45,6 +45,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import md5_lower64_array
+from ..functions.parts import arrow_block_refs
 
 _EMPTY_PARTIAL = pa.table({"lh": pa.array([], pa.int64()),
                            "cnt": pa.array([], pa.int64())})
@@ -98,7 +99,7 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     # empty exchange partitions surface as schema-less empty blocks in
     # to_arrow_refs (the executor's empty-partition path) — skip them
     parts = [t.column("lh").to_numpy(zero_copy_only=False)
-             for t in ray.get(dup_only.to_arrow_refs())
+             for t in ray.get(arrow_block_refs(dup_only))
              if "lh" in t.schema.names]
     dup = (np.sort(np.concatenate(parts)) if parts
            else np.empty(0, np.int64))

@@ -27,6 +27,7 @@ import ray.data
 from ..functions.parts import hash_parts as _asof_parts
 from ..functions.parts import key_parts as _key_parts
 from ..functions.parts import int_key_array as _int_keys
+from ..functions.parts import arrow_block_refs
 
 
 def _seg_keys(col) -> np.ndarray:
@@ -365,7 +366,7 @@ def value_quantiles(ds: ray.data.Dataset, val_col: str,
                        zero_copy_batch=True),
         ["v"], [("c", "sum")], rename={"c_sum": "c"})
     # empty hash partitions come back schema-less — keep typed blocks only
-    blocks = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    blocks = [t for t in ray.get(arrow_block_refs(merged)) if t.num_rows]
     if not blocks:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.int64())})
@@ -400,9 +401,9 @@ def global_topk(ds: ray.data.Dataset, order_col: str, k: int,
         t = batch.column(tie_col).to_numpy(zero_copy_only=False)
         return batch.take(pa.array(np.lexsort((t, -v))[:k]))
 
-    parts = [t for t in ray.get(
+    parts = [t for t in ray.get(arrow_block_refs(
         ds.map_batches(local, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True)))
         if t.num_rows]
     if not parts:
         sch = ds.schema()

@@ -407,3 +407,58 @@ def normalize_text_batch(batch: pa.Table,
         "doc_id": batch.column("doc_id"),
         "text_norm": t,
         "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64())})
+
+
+def chunk_tokens_batch(batch: pa.Table, window: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Fixed-token-window document chunking — the sequence-prep step
+    that turns variable-length documents into training-sized pieces
+    (every doc split into ceil(n_tokens/window) chunks of `window`
+    ' '-separated tokens, last chunk short).  Emits one row per chunk:
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Embarrassingly parallel: a doc's chunks are computed wholly inside
+    its batch — map_batches with a changed row count, NO exchange.
+    Fully vectorized: one split_pattern, offset arithmetic in numpy,
+    and a single ListArray.from_arrays + binary_join to reassemble
+    chunk texts — the flattened token values buffer is never copied
+    per chunk.  ''.split(' ') == [''] so an empty doc yields exactly
+    one chunk of '', matching DuckDB string_split semantics."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern(text, " ")
+    n = pc.list_value_length(parts).to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    w = int(window)
+    n_chunks = (n + w - 1) // w
+    total_chunks = int(n_chunks.sum())
+    doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+    # chunk index within its doc: global position minus the doc's
+    # first-chunk global position
+    first = np.cumsum(n_chunks) - n_chunks
+    ci = np.arange(total_chunks) - np.repeat(first, n_chunks)
+    chunk_len = np.minimum(w, n[doc_idx] - ci * w)
+    doc_off = np.concatenate([[0], np.cumsum(n)])
+    starts = doc_off[doc_idx] + ci * w
+    # chunks tile each doc exactly and docs are contiguous in `flat`,
+    # so the chunk starts ARE the list offsets
+    offsets = np.empty(total_chunks + 1, np.int64)
+    offsets[:-1] = starts
+    offsets[-1] = doc_off[-1]
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()),
+        pc.cast(flat, pa.large_string()))
+    chunk_text = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(doc_idx, pa.int64())),
+        "chunk_idx": pa.array(ci.astype(np.int64)),
+        "n_chunk_tokens": pa.array(chunk_len.astype(np.int64)),
+        "chunk_text": pc.cast(chunk_text, pa.string())})

@@ -349,6 +349,20 @@ def q_token_rarity(sf_dir: str):
     return token_rarity(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_chunk_tokens(sf_dir: str):
+    """Fixed-token-window chunking (training-sequence prep) —
+    ops/text.chunk_tokens_batch; embarrassingly parallel flat-map,
+    no exchange, one split + offset arithmetic + binary_join per
+    batch."""
+    from ..ops.text import chunk_tokens_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: chunk_tokens_batch(t, window=64),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -732,19 +746,27 @@ _TOPORD_SEG, _TOPORD_CUT = "BUILDING", "1998-01-01"
 def q_top_orders(sf_dir: str):
     """Large x large relational pipeline (TPC-H Q3 analog): customer
     segment broadcast semi-join -> lineitem combiner pre-aggregation ->
-    orders hash JOIN (Ray's native shuffle join) -> hash-partition
-    revenue aggregate -> driver merge of per-block top-10 partials.
+    union co-partition hash join (both sides tagged with the SAME
+    _part = hash(o_orderkey) % P, ONE sort-exchange co-locates them,
+    a vectorized searchsorted scan joins AND finishes the revenue
+    aggregate in the same pass) -> driver merge of per-partition
+    top-10 partials.  Replaces Ray's native JoinOperator, which cost
+    a 16-actor pool + a SECOND exchange for the post-join aggregate
+    and showed 4-30 s run-to-run variance on this box; the union join
+    is one exchange, deterministic, and the per-key completeness of a
+    partition makes the scan's group sums final (no re-merge).
     Revenue is integer-exact (cents x discount-complement-percent) so
     the value hash matches DuckDB regardless of sum order."""
-    from ..functions.parts import join_parts
+    from ..functions.parts import hash_parts, key_parts
     from ..ops.relational import global_topk
-    from ..stages.aggregate import hash_partition_aggregate
     cut = np.datetime64(_TOPORD_CUT)
     ct = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                        columns=["c_custkey", "c_mktsegment"])
     keep = ct.filter(pc.equal(ct.column("c_mktsegment"), _TOPORD_SEG))
     cust_ref = ray.put(np.sort(
         keep.column("c_custkey").to_numpy(zero_copy_only=False)))
+
+    P = hash_parts()
 
     def filter_orders(batch: pa.Table, *, cust) -> pa.Table:
         ck = ray.get(cust) if isinstance(cust, ray.ObjectRef) else cust
@@ -755,8 +777,14 @@ def q_top_orders(sf_dir: str):
         hit = (ck[pos] == keys) & (
             od.cast(pa.int64()).to_numpy(zero_copy_only=False)
             < cut.astype("datetime64[us]").astype(np.int64))
-        return pa.table({"o_orderkey": batch.column("o_orderkey"),
-                         "o_orderdate": od}).filter(pa.array(hit))
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[hit]
+        dt = od.cast(pa.int64()).to_numpy(zero_copy_only=False)[hit]
+        return pa.table({
+            "_part": pa.array(key_parts(ok, P)),
+            "k": pa.array(ok),
+            "d": pa.array(dt),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.zeros(len(ok), np.int8))})
 
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -778,11 +806,15 @@ def q_top_orders(sf_dir: str):
         order = np.argsort(keys, kind="stable")
         k_s, r_s = keys[order], rev[order]
         starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ku = k_s[starts]
+        rv = (np.add.reduceat(r_s, starts) if len(starts)
+              else np.array([], dtype=np.int64))
         return pa.table({
-            "o_orderkey": pa.array(k_s[starts]),
-            "rev": pa.array(np.add.reduceat(r_s, starts)
-                            if len(starts) else
-                            np.array([], dtype=np.int64))})
+            "_part": pa.array(key_parts(ku, P)),
+            "k": pa.array(ku),
+            "d": pa.array(np.zeros(len(ku), np.int64)),
+            "rev": pa.array(rv),
+            "side": pa.array(np.ones(len(ku), np.int8))})
 
     items = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -790,11 +822,39 @@ def q_top_orders(sf_dir: str):
                  "l_shipdate"]).map_batches(
         lineitem_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = items.join(orders, "inner", num_partitions=join_parts(),
-                        on=("o_orderkey",))
-    per_order = hash_partition_aggregate(
-        joined, ["o_orderkey", "o_orderdate"], [("rev", "sum")],
-        rename={"rev_sum": "revenue_c2"})
+    _EMPTY_Q3 = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "revenue_c2": pa.array([], pa.int64())})
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok, od = k[om], group.column("d").to_numpy(
+            zero_copy_only=False)[om]
+        ik = k[~om]
+        ir = group.column("rev").to_numpy(zero_copy_only=False)[~om]
+        if len(ok) == 0 or len(ik) == 0:
+            return _EMPTY_Q3
+        oo = np.argsort(ok)                   # orderkey is a PK: unique
+        ok, od = ok[oo], od[oo]
+        io = np.argsort(ik, kind="stable")    # item partials per key
+        ik, ir = ik[io], ir[io]
+        starts = np.flatnonzero(np.r_[True, ik[1:] != ik[:-1]])
+        ku = ik[starts]
+        rv = np.add.reduceat(ir, starts)
+        pos = np.searchsorted(ok, ku)
+        pos[pos == len(ok)] = 0
+        hit = ok[pos] == ku                   # inner-join match
+        return pa.table({
+            "o_orderkey": pa.array(ku[hit]),
+            "o_orderdate": pa.array(od[pos[hit]]).cast(
+                pa.timestamp("us")),
+            "revenue_c2": pa.array(rv[hit])})
+
+    per_order = orders.union(items).groupby("_part").map_groups(
+        join_scan, batch_format="pyarrow")
     return global_topk(per_order, "revenue_c2", 10, "o_orderkey")
 
 
@@ -1151,6 +1211,16 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS BIGINT) AS n_chars_norm
             FROM documents WHERE text IS NOT NULL""",
 
+        "chunk_tokens": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS chunk_idx,
+                   CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+                   string_agg(tok, ' ' ORDER BY i) AS chunk_text
+            FROM toks GROUP BY doc_id, (i-1)//64""",
+
         "token_rarity": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1504,6 +1574,7 @@ RAY_QUERIES = {
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,
+    "chunk_tokens": q_chunk_tokens,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

@@ -371,3 +371,42 @@ def test_token_rarity_parity_with_duckdb():
     assert by_id[1]["sum_tf"] == 11 and by_id[1]["min_tf"] == 1
     assert by_id[3]["min_tf"] == 1 and by_id[3]["sum_tf"] == 1
     assert by_id[4]["n_tokens"] == 1          # '' counts as one token
+
+
+def test_chunk_tokens_parity_with_duckdb():
+    """chunk_tokens vs the SQL window formulation: exact-multiple
+    docs, short docs, empty string (one '' chunk), consecutive
+    spaces ('' tokens), split across blocks."""
+    import duckdb
+    texts = [
+        "a b c d e f",          # exact multiple of 3
+        "x y",                  # shorter than window
+        "",                     # one empty chunk
+        "p  q r s",             # double space -> '' token
+        "one two three four five six seven",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    from d1_log_aggregation_ray.ops.text import chunk_tokens_batch
+    ds = ray.data.from_arrow(t).repartition(3)
+    eng = (ds.map_batches(lambda b: chunk_tokens_batch(b, window=3),
+                          batch_format="pyarrow").to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, CAST((i-1)//3 AS BIGINT) AS chunk_idx,
+               CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+               string_agg(tok, ' ' ORDER BY i) AS chunk_text
+        FROM toks GROUP BY doc_id, (i-1)//3
+        ORDER BY doc_id, chunk_idx""").df()
+    assert eng.to_dict("records") == ora.to_dict("records")
+    by = {(r["doc_id"], r["chunk_idx"]): r for r in eng.to_dict("records")}
+    assert by[(0, 1)]["chunk_text"] == "d e f"
+    assert by[(2, 0)]["chunk_text"] == "" and by[(2, 0)]["n_chunk_tokens"] == 1
+    assert by[(3, 0)]["chunk_text"] == "p  q"      # '' token preserved
+    assert by[(4, 2)]["chunk_text"] == "seven"
