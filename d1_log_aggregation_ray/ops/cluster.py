@@ -124,24 +124,14 @@ def _seed_centroids(refs: list, k: int, id_col: str,
     return q[order]
 
 
-def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> ray.data.Dataset:
-    """(id, cluster) assignment after `iters` Lloyd iterations from
-    deterministic hash-ordered seeds.  See module docstring for the
-    scale shape and the integer-exactness argument."""
-    # block count == per-pass task count: a corpus that arrives as few
-    # fat blocks (one parquet file at smoke scale) would serialize
-    # every Lloyd pass onto few cores, so split to ~2 blocks per CPU
-    # once at cache time (streaming split, no all-to-all)
-    from ..functions.parts import hash_parts
-    from ..functions.parts import arrow_block_refs
-    mat = (ds.select_columns([id_col, vec_col])
-           .repartition(hash_parts()).materialize())
-    refs = arrow_block_refs(mat)
+def _fit_centroids(refs: list, k: int, iters: int, id_col: str,
+                   vec_col: str) -> np.ndarray:
+    """Lloyd loop over cached Arrow block refs: per-block integer
+    partials (k x d sums + counts) merged on the driver, centroids
+    re-broadcast per pass.  Combiner-only — nothing but k-row partials
+    crosses the wire."""
     cent = _seed_centroids(refs, k, id_col, vec_col)
     d = cent.shape[1]
-
     for _ in range(iters):
         cref = ray.put(cent)
         parts = [p for p in ray.get(
@@ -155,7 +145,27 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
         nz = N > 0  # empty clusters keep their previous centroid
         cent = cent.copy()
         cent[nz] = S[nz] // N[nz, None]  # integer floor-div mean
+    return cent
 
+
+def _cached_blocks(ds: ray.data.Dataset, id_col: str, vec_col: str):
+    """Materialize the narrow (id, vector) projection once, split to
+    ~2 blocks per CPU (streaming split, no all-to-all) so every Lloyd
+    pass runs one task per block at full parallelism."""
+    from ..functions.parts import arrow_block_refs, hash_parts
+    mat = (ds.select_columns([id_col, vec_col])
+           .repartition(hash_parts()).materialize())
+    return mat, arrow_block_refs(mat)
+
+
+def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> ray.data.Dataset:
+    """(id, cluster) assignment after `iters` Lloyd iterations from
+    deterministic hash-ordered seeds.  See module docstring for the
+    scale shape and the integer-exactness argument."""
+    mat, refs = _cached_blocks(ds, id_col, vec_col)
+    cent = _fit_centroids(refs, k, iters, id_col, vec_col)
     cref = ray.put(cent)
 
     def final(batch: pa.Table, *, cent_ref) -> pa.Table:
@@ -172,3 +182,115 @@ def kmeans_embeddings(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
     return mat.map_batches(final, batch_format="pyarrow",
                            zero_copy_batch=True,
                            fn_kwargs={"cent_ref": cref})
+
+
+def semantic_dedup(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means as the
+    blocking stage, exact cosine dedup inside each cluster.  A vector
+    is a duplicate iff some strictly-smaller id IN ITS CLUSTER has
+    cosine similarity >= threshold; survivors (one Dataset column of
+    ids) are returned.
+
+    Scale shape (100 TB corpus):
+      - Centroid fit is the combiner-only Lloyd loop above — k x d
+        integer partials per block, nothing else moves.
+      - ONE exchange, each vector carried exactly once, keyed on
+        hash(cluster) % P (contrast: sign-LSH embedding dedup ships
+        n_planes+1 replicas).  Every cluster lands whole in one
+        partition, and every id is in exactly one cluster, so the
+        partition scan emits final survivors directly — no marks
+        exchange, no max-aggregate tail.
+      - Within-cluster verify is the chunked-pairwise scan (the
+        embedding-dedup hot-bucket guard): the sims temporary is
+        bounded at O(chunk x c), so a degenerate fat cluster degrades
+        to more chunks, never OOM.  The SemDeDup operating point
+        scales k with the corpus (cluster size ~N/k held constant),
+        which also keeps partitions worker-sized.
+      - Cluster assignment is integer-exact (see module docstring),
+        and the cosine verify compares each pair once in a fixed
+        orientation (smaller id = column), so the survivor set is
+        bit-identical at any parallelism — pinned-golden checkable.
+    """
+    from ..functions.parts import hash_parts
+    from .similarity import _as_matrix, _normalize
+    P = hash_parts()
+
+    # Cluster on the UNIT SPHERE (the paper's formulation): normalize
+    # once before caching, so the euclidean k-means geometry coincides
+    # with the cosine dedup metric — scaled copies of a vector land in
+    # the same cluster and the within-cluster dot products ARE the
+    # cosines.  Normalization happens exactly once; every later stage
+    # (fit, assign, verify) reuses the cached unit vectors.
+    _empty_unit = pa.table({id_col: pa.array([], pa.int64()),
+                            vec_col: pa.array([], pa.list_(pa.float64()))})
+
+    def _unit_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_unit
+        m = _normalize(_as_matrix(batch, vec_col))
+        n, d = m.shape
+        offs = np.arange(n + 1, dtype=np.int32) * d
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            vec_col: pa.ListArray.from_arrays(pa.array(offs),
+                                              pa.array(m.reshape(-1)))})
+
+    unit = ds.map_batches(_unit_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mat, refs = _cached_blocks(unit, id_col, vec_col)
+    cent = _fit_centroids(refs, k, iters, id_col, vec_col)
+    cref = ray.put(cent)
+
+    _empty = pa.table({
+        "_part": pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "vec": pa.array([], pa.list_(pa.float64()))})
+
+    def rows(batch: pa.Table, *, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(
+            cent_ref, ray.ObjectRef) else cent_ref
+        if batch.num_rows == 0:
+            return _empty
+        a = _assign(_quantize(batch, vec_col), c)
+        m = _as_matrix(batch, vec_col)   # cached rows are unit vectors
+        n, d = m.shape
+        offs = np.arange(n + 1, dtype=np.int32) * d
+        return pa.table({
+            "_part": pa.array((a % P).astype(np.int64)),
+            "cluster": pa.array(a),
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "vec": pa.ListArray.from_arrays(pa.array(offs),
+                                            pa.array(m.reshape(-1)))})
+
+    tagged = mat.map_batches(rows, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_kwargs={"cent_ref": cref})
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "cluster" not in group.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        clusters = group.column("cluster").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, clusters))
+        cl, ii = clusters[order], ids[order]
+        m = _as_matrix(group, "vec")[order]  # already normalized
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        counts = np.diff(np.r_[starts, len(cl)])
+        dup = np.zeros(len(ii), dtype=bool)
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg = m[s:s + c]
+            CH = max(16, 4_000_000 // max(c, 1))
+            for a in range(1, c, CH):
+                b = min(a + CH, c)
+                sims = seg[a:b] @ seg[:b].T      # ids asc: cols smaller
+                smaller = np.arange(b)[None, :] < np.arange(a, b)[:, None]
+                dup[s + a:s + b] = ((sims >= threshold)
+                                    & smaller).any(axis=1)
+        return pa.table({id_col: pa.array(ii[~dup])})
+
+    return tagged.groupby("_part").map_groups(partition_scan,
+                                              batch_format="pyarrow")

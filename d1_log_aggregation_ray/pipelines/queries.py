@@ -684,6 +684,18 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_cosine_dedup(ds, threshold=0.99)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (k-means blocking + within-cluster exact cosine) —
+    ops/cluster.semantic_dedup.  Deterministic at any parallelism
+    (integer-exact assignment, fixed pair orientation), so the oracle
+    is a pinned golden cross-checked against the independent
+    pure-python reference at pin time (scripts/make_goldens.py)."""
+    from ..ops.cluster import semantic_dedup
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=10, iters=5, threshold=0.4)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment (connected components over the
     minhash-LSH candidate graph) — the transitive "keep one per
@@ -1049,7 +1061,8 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
             out[q] = (f"SELECT {cols} FROM (VALUES {vals}) "
                       f"AS t({cols})")
         else:
-            col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk") \
+            col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
+                                    "semantic_dedup") \
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
@@ -1567,6 +1580,7 @@ RAY_QUERIES = {
     "dedup_simhash_near": q_dedup_simhash_near,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "semantic_dedup": q_semantic_dedup,
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "pack_shards": q_pack_shards,

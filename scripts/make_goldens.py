@@ -53,6 +53,36 @@ def _kmeans_ref(sf_dir: str) -> dict:
     return kmeans_reference(ids, emb, k=10, iters=5)
 
 
+def _semdedup_ref(sf_dir: str, threshold: float = 0.4) -> list:
+    """Independent SemDeDup survivors: pure-python kmeans reference
+    labels + an O(n^2)-per-cluster numpy brute force (dup iff some
+    strictly-smaller id in the cluster has cosine >= threshold)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from kmeans_reference import kmeans_reference
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    emb = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    lab = kmeans_reference(ids, mn, k=10, iters=5)  # unit-sphere kmeans
+    vid = np.array(ids)
+    la = np.array([lab[v] for v in ids])
+    dup = set()
+    for c in np.unique(la):
+        m = la == c
+        ii, seg = vid[m], mn[m]
+        o = np.argsort(ii)
+        ii, seg = ii[o], seg[o]
+        sims = seg @ seg.T
+        for a in range(1, len(ii)):
+            if (sims[a, :a] >= threshold).any():
+                dup.add(int(ii[a]))
+    return sorted(int(v) for v in ids if int(v) not in dup)
+
+
 def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
@@ -91,6 +121,15 @@ def main() -> None:
             "columns": ["vec_id", "cluster"],
             "rows": sorted([int(i), int(c)] for i, c in ref.items())}
         print(f"{sf} kmeans_clusters: {len(ref)} pinned rows")
+        # semantic_dedup pin: same independent-reference rule
+        sd_eng = sorted(r["vec_id"] for r in
+                        RAY_QUERIES["semantic_dedup"](sf_dir).take_all())
+        sd_ref = _semdedup_ref(sf_dir)
+        if sd_eng != sd_ref:
+            raise AssertionError(
+                f"semantic_dedup engine != reference at {sf}")
+        out[sf]["semantic_dedup"] = sd_ref
+        print(f"{sf} semantic_dedup: {len(sd_ref)} survivors")
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(out, f, indent=1)

@@ -82,3 +82,69 @@ def test_kmeans_separated_blobs_recovered():
     # each planted blob maps to exactly one engine cluster, all distinct
     assert all(len(s) == 1 for s in groups.values())
     assert len({next(iter(s)) for s in groups.values()}) == 3
+
+
+def _semdedup_survivors(ds, **kw):
+    from d1_log_aggregation_ray.ops.cluster import semantic_dedup
+    return sorted(r["vec_id"] for r in semantic_dedup(ds, **kw).take_all())
+
+
+def test_semantic_dedup_planted_near_dups():
+    """Three separated blobs; inside blob 0, plant vectors that are
+    near-copies of vector 0 (cos > 0.999).  SemDeDup must drop the
+    copies (keep-lowest-id), keep everything else."""
+    rng = np.random.RandomState(7)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                        [0.0, 0.0, 10.0]])
+    planted = np.repeat([0, 1, 2], 30)
+    emb = centers[planted] + rng.uniform(-0.5, 0.5, size=(90, 3))
+    # ids 90..94: power-of-2 scaled copies of vector 0 — exact in
+    # float32, so the normalized vectors are bit-identical (cos=1);
+    # the widest non-copy pair in this corpus is cos ~ 0.9999999249
+    copies = emb[0] * np.array([[0.5], [2.0], [4.0], [0.25], [8.0]])
+    emb = np.vstack([emb, copies])
+    ids = np.arange(len(emb))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(
+                      [r.astype(np.float32) for r in emb],
+                      pa.list_(pa.float32()))})
+    got = _semdedup_survivors(ray.data.from_arrow(t).repartition(7),
+                              k=3, iters=8, threshold=0.99999999)
+    # copies of id 0 die; id 0 itself and all others survive
+    assert set(range(90)) <= set(got)
+    assert not set(range(90, 95)) & set(got)
+
+
+def test_semantic_dedup_parallelism_independent():
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    a = _semdedup_survivors(ray.data.from_arrow(t).repartition(1),
+                            k=10, iters=5, threshold=0.4)
+    b = _semdedup_survivors(ray.data.from_arrow(t).repartition(13),
+                            k=10, iters=5, threshold=0.4)
+    assert a == b
+    assert 0 < len(a) < t.num_rows  # non-trivial at this threshold
+
+
+def test_semantic_dedup_matches_independent_reference():
+    """Engine survivors == pure-python kmeans labels + per-cluster
+    numpy brute force (the make_goldens pin source)."""
+    t, ids, emb = _load_emb()
+    mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    lab = kmeans_reference(ids, mn, k=10, iters=5)  # unit-sphere kmeans
+    vid = np.array(ids)
+    la = np.array([lab[v] for v in ids])
+    dup = set()
+    for c in np.unique(la):
+        m = la == c
+        ii, seg = vid[m], mn[m]
+        o = np.argsort(ii)
+        ii, seg = ii[o], seg[o]
+        sims = seg @ seg.T
+        for a in range(1, len(ii)):
+            if (sims[a, :a] >= 0.4).any():
+                dup.add(int(ii[a]))
+    ref = sorted(int(v) for v in ids if int(v) not in dup)
+    got = _semdedup_survivors(ray.data.from_arrow(t).repartition(5),
+                              k=10, iters=5, threshold=0.4)
+    assert got == ref
