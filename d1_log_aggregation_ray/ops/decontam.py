@@ -324,3 +324,122 @@ def token_rarity(ds: ray.data.Dataset, id_col: str = "doc_id",
             "sum_tf": pc.cast(t.column("sum_tf"), pa.int64()),
             "min_tf": pc.cast(t.column("min_tf"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def _mix64(x: np.ndarray, c: np.uint64) -> np.ndarray:
+    """xorshift-multiply finalizer (splitmix64 family): low OUTPUT
+    bits depend on all 64 input bits.  A bare `x * c` would not —
+    its low m bits depend only on x's low m bits, so two probe
+    positions derived that way collide whenever the low bits of two
+    keys collide (~2^-20 per pair at m=2^20), which measured 5 orders
+    of magnitude above the theoretical Bloom FP rate."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(33))) * c
+        return x ^ (x >> np.uint64(29))
+
+
+_BLOOM_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_BLOOM_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _bloom_positions(gh: np.ndarray, m_bits: int, k: int):
+    """k Kirsch-Mitzenmacher probe positions (h1 + i*h2) & (m_bits-1)
+    from two independently-mixed halves of the 64-bit gram hash."""
+    mask = np.uint64(m_bits - 1)
+    h1 = _mix64(gh, _BLOOM_C1)
+    h2 = _mix64(gh, _BLOOM_C2) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            yield (h1 + np.uint64(i) * h2) & mask
+
+
+def _bloom_build(gh: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """uint64-word Bloom bit array over gram hashes.  m_bits must be
+    a power of two."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    B = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(gh) == 0:
+        return B
+    for p in _bloom_positions(gh, m_bits, k):
+        np.bitwise_or.at(B, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    return B
+
+
+def _bloom_probe(B: np.ndarray, gh: np.ndarray, m_bits: int,
+                 k: int) -> np.ndarray:
+    """Vectorized membership probe; True may be a false positive,
+    False is definite."""
+    if len(gh) == 0:
+        return np.empty(0, dtype=bool)
+    hit = np.ones(len(gh), dtype=bool)
+    for p in _bloom_positions(gh, m_bits, k):
+        w = B[(p >> np.uint64(6)).astype(np.int64)]
+        hit &= ((w >> (p & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
+def bloom_contamination_hits(ds: ray.data.Dataset,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 8,
+                             bench_mod: int = 100, bench_lt: int = 10,
+                             m_bits: int = 1 << 20,
+                             k: int = 4) -> ray.data.Dataset:
+    """contamination_hits with the broadcast side compressed into a
+    Bloom filter: (doc_id, n_hits) where n_hits counts the doc's
+    DISTINCT n-grams whose Bloom probe is positive (a superset of the
+    exact operator's hits — false positives possible, negatives
+    definite).
+
+    WHY a second decontamination path: the exact operator broadcasts
+    the full 8-byte-per-gram benchmark hash set.  At a 100 TB
+    operating point with a large eval suite (billions of grams) that
+    broadcast is tens of GB per worker; the Bloom filter is a FIXED
+    m_bits/8 bytes (128 KiB at the default) at a false-positive rate
+    of ~(1-e^(-kn/m))^k, and contamination is a flag-for-review
+    signal where a tiny FP rate only over-flags.  Same two-pass
+    broadcast-semi-join shape, no shuffle; the filter build is one
+    distributed distinct pass + a driver-side fold.
+
+    Deterministic (md5 gram hashes, fixed double-hash probes), so the
+    driver oracle is a pinned golden cross-checked in pytest against
+    the exact operator (bloom hits must be a superset; equal when the
+    FP rate is negligible at test scale)."""
+    narrow = ds.select_columns([id_col, text_col])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.array(_bench_mask(batch, id_col,
+                                              bench_mod, bench_lt)))
+        _, gh = _gram_hashes(b, id_col, text_col, n)
+        return pa.table({"gh": pa.array(np.unique(gh))})
+
+    parts = [t.column("gh").to_numpy(zero_copy_only=False)
+             for t in ray.get(arrow_block_refs(narrow.map_batches(
+                 bench_grams, batch_format="pyarrow",
+                 zero_copy_batch=True)))]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    bloom_ref = ray.put(_bloom_build(bench, m_bits, k))
+
+    def hits(batch: pa.Table, *, bloom) -> pa.Table:
+        B = ray.get(bloom) if isinstance(bloom, ray.ObjectRef) else bloom
+        keep = ~_bench_mask(batch, id_col, bench_mod, bench_lt)
+        c = batch.filter(pa.array(keep))
+        ids, gh = _gram_hashes(c, id_col, text_col, n)
+        if len(gh) == 0:
+            return _EMPTY_HITS
+        hit = _bloom_probe(B, gh, m_bits, k)
+        d, g = ids[hit], gh[hit]
+        if len(d) == 0:
+            return _EMPTY_HITS
+        order = np.lexsort((g, d))
+        d, g = d[order], g[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        ud, counts = np.unique(d[first], return_counts=True)
+        return pa.table({"doc_id": pa.array(ud.astype(np.int64)),
+                         "n_hits": pa.array(counts.astype(np.int64))})
+
+    return narrow.map_batches(hits, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_kwargs={"bloom": bloom_ref})

@@ -481,6 +481,19 @@ def q_ngram_decontaminate(sf_dir: str):
                               bench_mod=_DECON_MOD, bench_lt=_DECON_LT)
 
 
+def q_bloom_decontam(sf_dir: str):
+    """Bloom-filter decontamination: same contract as
+    ngram_decontaminate but the broadcast side is a fixed-size Bloom
+    bit array (128 KiB) instead of the full gram-hash set — the
+    100 TB-benchmark-suite scale path (ops/decontam.py).  Deterministic
+    probes, so the oracle is a pinned golden cross-checked in pytest
+    against the exact operator (superset property)."""
+    from ..ops.decontam import bloom_contamination_hits
+    return bloom_contamination_hits(_docs(sf_dir), n=_DECON_N,
+                                    bench_mod=_DECON_MOD,
+                                    bench_lt=_DECON_LT)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals per document (duplicate
     -word mass + top-bigram count), exact integers."""
@@ -1562,6 +1575,7 @@ RAY_QUERIES = {
     "vocab_df": q_vocab_df,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "bloom_decontam": q_bloom_decontam,
     "doc_repetition": q_doc_repetition,
     "length_quantiles": q_length_quantiles,
     "pii_redact": q_pii_redact,

@@ -30,6 +30,10 @@ QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
 # is md5-hashed + fixed-p -> batch/partition-count independent)
 ROW_QUERIES = {"approx_distinct_users": ["event_type",
                                          "n_distinct_approx"],
+               # bloom probes are deterministic (md5 gram hashes +
+               # fixed double-hash); superset-of-exact guarded in
+               # tests/test_curation_ops.py
+               "bloom_decontam": ["doc_id", "n_hits"],
                # connected-components cluster assignment: deterministic
                # (seeded hashes) and partition-count-independent
                "dedup_clusters": ["doc_id", "cluster_id"]}

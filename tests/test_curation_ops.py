@@ -410,3 +410,44 @@ def test_chunk_tokens_parity_with_duckdb():
     assert by[(2, 0)]["chunk_text"] == "" and by[(2, 0)]["n_chunk_tokens"] == 1
     assert by[(3, 0)]["chunk_text"] == "p  q"      # '' token preserved
     assert by[(4, 2)]["chunk_text"] == "seven"
+
+
+def test_bloom_decontam_superset_of_exact_and_deterministic():
+    """Bloom hits must contain every exact hit (no false negatives),
+    match the exact counts at a negligible FP operating point, and be
+    partition-count independent."""
+    from d1_log_aggregation_ray.ops.decontam import (
+        bloom_contamination_hits, contamination_hits)
+    ds1 = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet").repartition(3)
+    ds2 = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet").repartition(11)
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in contamination_hits(ds1).take_all()}
+    bloom = {r["doc_id"]: r["n_hits"]
+             for r in bloom_contamination_hits(ds1).take_all()}
+    bloom2 = {r["doc_id"]: r["n_hits"]
+              for r in bloom_contamination_hits(ds2).take_all()}
+    assert bloom == bloom2                      # deterministic
+    assert set(exact) <= set(bloom)             # no false negatives
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    # at 2^20 bits / k=4 over this corpus the FP rate is ~1e-6 —
+    # expect bit-equality; a small excess would still be legal but
+    # this pins the operating point
+    assert bloom == exact
+
+
+def test_bloom_build_probe_roundtrip():
+    from d1_log_aggregation_ray.ops.decontam import (_bloom_build,
+                                                     _bloom_probe)
+    import numpy as np
+    rng = np.random.RandomState(3)
+    members = rng.randint(0, 2**63, size=1000).astype(np.uint64)
+    others = rng.randint(0, 2**63, size=100000).astype(np.uint64)
+    others = np.setdiff1d(others, members)
+    B = _bloom_build(members, 1 << 16, 4)
+    assert _bloom_probe(B, members, 1 << 16, 4).all()   # no f-negatives
+    fp = _bloom_probe(B, others, 1 << 16, 4).mean()
+    # 1000 * 4 / 65536 -> ~6% bits set; FP ~ (0.059)^4 ~ 1.2e-5
+    assert fp < 1e-3
