@@ -100,7 +100,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "kmeans_clusters", "pack_shards",
                      # large x large shuffle join (TPC-H Q3 analog)
                      # + canonical text normalization + line dedup
-                     "top_orders", "normalize_text", "line_dedup"]:
+                     "top_orders", "normalize_text", "line_dedup",
+                     # round-3 late additions: rare-token stats,
+                     # token-window chunking, SemDeDup, Bloom decontam
+                     "token_rarity", "chunk_tokens",
+                     "semantic_dedup", "bloom_decontam",
+                     # flagship curation composition (one exchange)
+                     "curate_corpus"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -363,6 +363,17 @@ def q_chunk_tokens(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_curate_corpus(sf_dir: str):
+    """Flagship curation composition: normalize -> quality gate ->
+    benchmark decontamination -> exact dedup (the pipeline's ONE
+    exchange) -> 64-token chunking, emitting training-ready chunks
+    (ops/curate.py).  The oracle is the composition of the component
+    oracles in the same order."""
+    from ..ops.curate import curate_corpus
+    return curate_corpus(_docs(sf_dir), n=_DECON_N,
+                         bench_mod=_DECON_MOD, bench_lt=_DECON_LT)
+
+
 def q_doc_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
@@ -1237,6 +1248,49 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS BIGINT) AS n_chars_norm
             FROM documents WHERE text IS NOT NULL""",
 
+        "curate_corpus": rf"""
+            WITH norm AS (
+              SELECT doc_id,
+                     nfc_normalize(trim(regexp_replace(regexp_replace(
+                       text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                       '\s+', ' ', 'g'), ' ')) AS t
+              FROM documents WHERE text IS NOT NULL
+            ), toks AS (
+              SELECT doc_id, string_split(t, ' ') AS w FROM norm
+            ), grams AS (
+              SELECT doc_id,
+                     list_aggregate(w[i:i+{_DECON_N - 1}],
+                                    'string_agg', ' ') AS gram
+              FROM toks, UNNEST(range(1, len(w) - {_DECON_N - 2}))
+                   AS tt(i)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams
+              WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
+                    % {_DECON_MOD} < {_DECON_LT}
+            ), contaminated AS (
+              SELECT DISTINCT g.doc_id
+              FROM grams g JOIN bench b USING (gram)
+            ), clean AS (
+              SELECT doc_id, t FROM norm
+              WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
+                    % {_DECON_MOD} >= {_DECON_LT}
+                AND len(string_split(t, ' ')) >= 5
+                AND length(t) >= 30
+                AND length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 5
+                    <= len(string_split(t, ' '))
+                AND length(t) <= 40 * len(string_split(t, ' '))
+                AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), survivors AS (
+              SELECT min(doc_id) AS doc_id, t FROM clean GROUP BY t
+            ), ctoks AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+                     generate_subscripts(string_split(t, ' '), 1) AS i
+              FROM survivors)
+            SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS chunk_idx,
+                   CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+                   string_agg(tok, ' ' ORDER BY i) AS chunk_text
+            FROM ctoks GROUP BY doc_id, (i-1)//64""",
+
         "chunk_tokens": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -1603,6 +1657,7 @@ RAY_QUERIES = {
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,
     "chunk_tokens": q_chunk_tokens,
+    "curate_corpus": q_curate_corpus,
     "sessionize": q_sessionize,
     "events_agg": q_events_agg,
     "props_extract": q_props_extract,

@@ -451,3 +451,80 @@ def test_bloom_build_probe_roundtrip():
     fp = _bloom_probe(B, others, 1 << 16, 4).mean()
     # 1000 * 4 / 65536 -> ~6% bits set; FP ~ (0.059)^4 ~ 1.2e-5
     assert fp < 1e-3
+
+
+def test_curate_corpus_end_to_end_planted():
+    """The flagship composition on a corpus with one planted case per
+    stage: a quality-fail doc (too short), an exact duplicate pair
+    (keep-min-id), and chunking of a long survivor.  Cross-checked
+    against the composed DuckDB oracle."""
+    import duckdb
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa. quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three four five six seven eight nine ten eleven "
+            "twelve. thirteen fourteen fifteen sixteen seventeen "
+            "eighteen nineteen twenty.")
+    texts = {
+        0: base,                      # long doc -> several chunks
+        1: "too short",               # fails the quality gate
+        2: base.replace("alpha", "beta"),   # distinct survivor
+        3: base.replace("alpha", "beta"),   # exact dup of 2 -> dropped
+        4: "x " * 400,                # punct-free, passes gate
+    }
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    from d1_log_aggregation_ray.ops.curate import curate_corpus
+    ds = ray.data.from_arrow(t).repartition(3)
+    eng = (curate_corpus(ds, n=8, bench_mod=100, bench_lt=0, window=16)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = con.execute(r"""
+        WITH norm AS (
+          SELECT doc_id, nfc_normalize(trim(regexp_replace(
+            regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g'), ' ')) AS t
+          FROM documents WHERE text IS NOT NULL
+        ), clean AS (
+          SELECT doc_id, t FROM norm
+          WHERE len(string_split(t, ' ')) >= 5 AND length(t) >= 30
+            AND length(regexp_replace(t, '[^.!?,;:]', '', 'g')) * 5
+                <= len(string_split(t, ' '))
+            AND length(t) <= 40 * len(string_split(t, ' '))
+        ), survivors AS (
+          SELECT min(doc_id) AS doc_id, t FROM clean GROUP BY t
+        ), ctoks AS (
+          SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+                 generate_subscripts(string_split(t, ' '), 1) AS i
+          FROM survivors)
+        SELECT doc_id, CAST((i-1)//16 AS BIGINT) AS chunk_idx,
+               CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+               string_agg(tok, ' ' ORDER BY i) AS chunk_text
+        FROM ctoks GROUP BY doc_id, (i-1)//16
+        ORDER BY doc_id, chunk_idx""").df()
+    assert eng.to_dict("records") == ora.to_dict("records")
+    docs = set(eng["doc_id"])
+    assert docs == {0, 2, 4}       # 1 quality-fails, 3 dups onto 2
+    assert (eng[eng.doc_id == 0].n_chunk_tokens.iloc[:-1] == 16).all()
+
+
+def test_curate_corpus_decontamination_drops_hit_docs():
+    """With a real benchmark slice (bench_lt > 0), a non-bench doc
+    sharing an 8-gram with a bench doc must vanish from the output."""
+    # md5_number_lower(id) % 100: 0 -> 62, 3 -> 36, 4 -> 53;
+    # bench_lt=40 puts doc 3 (only) in the benchmark slice
+    shared = ("one two three four five six seven eight common tail "
+              "with more than thirty characters here.")
+    clean = ("totally different words nine ten eleven twelve thirteen "
+             "fourteen fifteen sixteen, nothing shared at all here.")
+    t = pa.table({"doc_id": pa.array([0, 3, 4], pa.int64()),
+                  "text": pa.array([shared, shared, clean])})
+    from d1_log_aggregation_ray.ops.curate import curate_corpus
+    out = curate_corpus(ray.data.from_arrow(t), n=8,
+                        bench_mod=100, bench_lt=40,
+                        window=64).to_pandas()
+    # doc 3 is benchmark (excluded); doc 0 shares its 8-grams -> dropped;
+    # doc 4 is clean -> survives
+    assert set(out["doc_id"]) == {4}
