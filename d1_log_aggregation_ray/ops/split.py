@@ -1,0 +1,155 @@
+"""Deterministic corpus splitting and training-order shuffling.
+
+The three bookkeeping operators every training-data pipeline runs
+after curation:
+
+  * ``train_split``   — hash-Bernoulli train/val/test assignment.
+  * ``shuffle_shards``— a deterministic global shuffle expressed as
+    (shard_id, pos): shard-major traversal of the output IS the
+    shuffled training order, and each shard's internal order is a
+    per-shard sort, never a global one.
+  * ``source_stats``  — per-source corpus composition (the report a
+    curation run ends with).
+
+All three are resume-stable and RNG-free: every assignment derives
+from ``md5(seed:id)``, so re-running a failed partition reproduces the
+identical split/order (the same idempotency contract as the harvest
+sink, pipelines/harvest.py).  Reference analog: the deterministic
+natural key + sink routing (LogHarvesterTask.java:431-435) applied to
+corpus bookkeeping.
+
+Scale shape (100 TB corpus):
+  - train_split / the shard-assign half of shuffle_shards are MAP-ONLY
+    (fuse with the read, stream, no exchange).
+  - shuffle_shards' rank step is ONE hash exchange keyed on the
+    (small-cardinality) shard id followed by one numpy argsort per
+    shard — each shard is corpus/n_shards rows, so n_shards scales
+    with the cluster exactly like the dedup partition count
+    (ops/dedup.py).  No global sort anywhere.
+  - source_stats is a per-batch combiner that collapses each block to
+    <= |sources|x|langs| rows before a single tiny exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import md5_lower64_array
+
+#: default split percentages (cumulative thresholds over md5 % 100)
+DEFAULT_SPLITS = (("train", 80), ("val", 10), ("test", 10))
+
+
+def _seeded_hash(batch: pa.Table, id_col: str, seed: str) -> np.ndarray:
+    """uint64 md5 of 'seed:id' — DuckDB equivalent:
+    ``md5_number_lower('seed:' || CAST(id AS VARCHAR))``.  The seed
+    prefix makes the split/shuffle hash domain independent of the
+    sampling hashes (q_sample_docs uses the bare id)."""
+    ids = pc.cast(batch.column(id_col), pa.string())
+    keys = pc.binary_join_element_wise(pa.scalar(seed), ids, ":")
+    return md5_lower64_array(keys)
+
+
+def train_split(ds: ray.data.Dataset, id_col: str = "doc_id",
+                splits=DEFAULT_SPLITS,
+                seed: str = "s42") -> ray.data.Dataset:
+    """(id, split) with split in {train, val, test} assigned by
+    md5(seed:id) % 100 against cumulative percentage thresholds.
+    Map-only, one scan, resume-stable."""
+    names = [n for n, _ in splits]
+    bounds = np.cumsum([p for _, p in splits]).astype(np.uint64)
+    assert int(bounds[-1]) == 100, "split percentages must sum to 100"
+    labels = pa.array(names, pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _seeded_hash(batch, id_col, seed) % np.uint64(100)
+        idx = np.searchsorted(bounds, h, side="right").astype(np.int64)
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "split": pc.take(labels, pa.array(idx)),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_shards(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   n_shards: int = 16,
+                   seed: str = "s42") -> ray.data.Dataset:
+    """Deterministic global shuffle as (id, shard_id, pos).
+
+    shard_id = md5(seed:id) % n_shards; pos = rank of md5(seed:id)
+    (ties broken by id) within the shard.  Reading shards in order,
+    rows in pos order, is a uniform pseudo-random permutation of the
+    corpus — without a global sort: the only exchange is the shard
+    hash partition, and each rank step is one numpy lexsort over a
+    single shard (corpus/n_shards rows; size n_shards to the cluster
+    like the dedup partition count)."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = _seeded_hash(batch, id_col, seed)
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "_h": pa.array(h),
+            "shard_id": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = group.column("_h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table({
+            id_col: group.column(id_col),
+            "shard_id": group.column("shard_id"),
+            "pos": pa.array(pos),
+        })
+
+    keyed_ds = ds.select_columns([id_col]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_ds.groupby("shard_id").map_groups(
+        rank, batch_format="pyarrow")
+
+
+def source_stats(ds: ray.data.Dataset, source_col: str = "source",
+                 lang_col: str = "lang",
+                 chars_col: str = "n_chars") -> ray.data.Dataset:
+    """Per-source corpus composition: (source, n_docs, total_chars,
+    n_langs).  Per-batch combiner collapses each block to one row per
+    (source, lang) BEFORE the exchange; the merge + final rollup runs
+    over <= |sources|x|langs| rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([source_col, lang_col, chars_col]).group_by(
+            [source_col, lang_col]).aggregate(
+            [([], "count_all"), (chars_col, "sum")])
+        return g.rename_columns(
+            [source_col, lang_col, "n_docs", "total_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        per_pair = batch.group_by([source_col, lang_col]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")])
+        g = per_pair.group_by([source_col]).aggregate(
+            [("n_docs_sum", "sum"), ("total_chars_sum", "sum"),
+             ([], "count_all")])
+        return pa.table({
+            source_col: g.column(source_col),
+            "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+            "total_chars": pc.cast(g.column("total_chars_sum_sum"),
+                                   pa.int64()),
+            "n_langs": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    # the partial stream is tiny (<= pairs-per-block rows per block);
+    # one repartition(1) collapse is a few-hundred-row exchange
+    return partials.repartition(1).map_batches(
+        rollup, batch_format="pyarrow")

@@ -1053,6 +1053,30 @@ _GOLDEN_JSON = os.path.join(os.path.dirname(os.path.dirname(
     "dedup_survivors.json")
 
 
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split: md5('s42:'||doc_id) % 100
+    against cumulative 80/10/10 thresholds — map-only, resume-stable
+    (ops/split.py)."""
+    from ..ops.split import train_split
+    return train_split(_docs(sf_dir))
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle as (shard_id, pos): the training
+    order without a global sort — one shard-hash exchange + one
+    per-shard lexsort (ops/split.py)."""
+    from ..ops.split import shuffle_shards
+    return shuffle_shards(_docs(sf_dir), n_shards=16)
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source corpus composition report: (source, n_docs,
+    total_chars, n_langs) via a per-batch (source, lang) combiner and
+    one tiny exchange (ops/split.py)."""
+    from ..ops.split import source_stats
+    return source_stats(_docs(sf_dir))
+
+
 def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     """Pinned-golden oracles for the deterministic-but-not-SQL dedup
     families (see scripts/make_goldens.py): the committed survivor id
@@ -1378,6 +1402,30 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10""",
 
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower('s42:' || CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+                        WHEN md5_number_lower('s42:' || CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+
+        "shuffle_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5_number_lower('s42:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+            SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard_id,
+                   CAST(row_number() OVER (PARTITION BY h % 16
+                                           ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM k""",
+
+        "source_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source""",
+
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
@@ -1636,6 +1684,9 @@ RAY_QUERIES = {
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinctive_terms": q_distinctive_terms,
     "sample_docs": q_sample_docs,
+    "train_split": q_train_split,
+    "shuffle_shards": q_shuffle_shards,
+    "source_stats": q_source_stats,
     "quality_filter": q_quality_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_quality": q_doc_quality,

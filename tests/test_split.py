@@ -1,0 +1,87 @@
+"""Corpus split / shuffle / composition operators (ops/split.py):
+invariants checked against independent pure-python references, not
+the engine under test."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from d1_log_aggregation_ray.functions.hashing import md5_lower64
+from d1_log_aggregation_ray.ops.split import (shuffle_shards,
+                                              source_stats, train_split)
+
+
+def _docs_table(n=2000):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"src{i % 7}" for i in range(n)]),
+        "lang": pa.array(["en", "de", "fr"][i % 3] for i in range(n)),
+        "n_chars": pa.array([(i * 37) % 500 + 10 for i in range(n)],
+                            pa.int64()),
+    })
+
+
+def test_train_split_matches_reference_and_proportions():
+    t = _docs_table()
+    out = train_split(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == t.num_rows
+    # independent reference: same md5 math in pure python
+    for _, row in out.sample(n=100, random_state=0).iterrows():
+        h = md5_lower64(f"s42:{row.doc_id}") % 100
+        want = "train" if h < 80 else ("val" if h < 90 else "test")
+        assert row.split == want
+    frac = out.split.value_counts(normalize=True)
+    assert 0.72 < frac["train"] < 0.88
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+
+
+def test_train_split_deterministic_across_block_layouts():
+    t = _docs_table(500)
+    a = train_split(ray.data.from_arrow(t)).to_pandas()
+    b = train_split(
+        ray.data.from_arrow(t).repartition(13)).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shuffle_shards_is_a_permutation():
+    t = _docs_table(1000)
+    out = shuffle_shards(ray.data.from_arrow(t), n_shards=8).to_pandas()
+    assert len(out) == 1000
+    assert sorted(out.doc_id) == list(range(1000))
+    for sid, g in out.groupby("shard_id"):
+        # pos is dense 0..len-1 within the shard
+        assert sorted(g.pos) == list(range(len(g)))
+        # shard assignment and internal order match the reference hash
+        for _, row in g.head(5).iterrows():
+            assert md5_lower64(f"s42:{row.doc_id}") % 8 == sid
+        ref = sorted(g.doc_id,
+                     key=lambda i: (md5_lower64(f"s42:{i}"), i))
+        assert list(g.sort_values("pos").doc_id) == ref
+
+
+def test_shuffle_shards_parallelism_independent():
+    t = _docs_table(600)
+    a = shuffle_shards(ray.data.from_arrow(t)).to_pandas()
+    b = shuffle_shards(ray.data.from_arrow(t).repartition(11)).to_pandas()
+    key = ["doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_source_stats_matches_pandas():
+    t = _docs_table(900)
+    out = source_stats(ray.data.from_arrow(t)).to_pandas()
+    df = t.to_pandas()
+    ref = df.groupby("source").agg(
+        n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"),
+        n_langs=("lang", "nunique")).reset_index()
+    out = out.sort_values("source").reset_index(drop=True)
+    ref = ref.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref,
+                                  check_dtype=False)
