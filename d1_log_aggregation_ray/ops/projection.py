@@ -1,0 +1,129 @@
+"""Distributed PCA projection over an embedding column.
+
+The dimensionality-reduction stage an embedding pipeline runs before
+ANN indexing / clustering at scale: fit principal components with ONE
+combiner-only pass (per-block integer partials: count, sum, raw
+second moment), then project every vector in a second streaming pass.
+
+Reference analog: the two-phase harvest aggregates (per-node partials
+merged centrally, LogHarvesterTask.java:446-452) applied to moment
+statistics.
+
+Scale shape (100 TB corpus):
+  - Fit is combiner-only: each block contributes one (1, d, d*d)
+    integer partial — a few KiB — merged on the driver.  Nothing
+    all-pairs, no shuffle, no materialization beyond the narrow
+    (id, vector) projection cached once (the k-means block-cache
+    pattern, ops/cluster.py).
+  - The eigendecomposition runs on the driver over the d x d moment
+    matrix (d = embedding dim, hundreds at most) — O(d^3) once,
+    independent of corpus size.
+  - Projection is a pure map over the cached blocks.
+
+Determinism (pinned-golden checkable, like ops/cluster.py): vectors
+are quantized once (round(x * 2^20) -> int64); the count/sum/moment
+partials are exact integer sums (associative -> bit-identical at any
+block layout or parallelism; the driver merge accumulates in python
+ints so no int64 overflow at any corpus size); the mean is an integer
+floor-div; the centered moment  M = SS - S u^T - u S^T + N u u^T  is
+exact.  eigh() runs once on the driver over the exact-integer-derived
+matrix, and its components are re-quantized to int64 (absorbing any
+ulp-level LAPACK noise) with a deterministic sign convention
+(largest-|w| entry positive, first index on ties).  The projected
+output  (q - u) @ Wq / 2^40  is an exact power-of-two rescale of an
+int64 < 2^53, so every emitted float64 is bit-exact and
+parallelism-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .cluster import KMEANS_SCALE as PCA_SCALE
+from .cluster import _cached_blocks, _quantize
+
+
+@ray.remote
+def _moment_part(tbl: pa.Table, vec_col: str):
+    """(n, sum, raw second moment) of the quantized block — the
+    fixed-size integer partial that crosses the wire.  The moment is
+    accumulated per 64k-row chunk (int64 matmul, < 2^58 per chunk)
+    into a python-int array, so the partial stays exact for blocks of
+    ANY size."""
+    if tbl.num_rows == 0:
+        return None
+    q = _quantize(tbl, vec_col)
+    n, dim = q.shape
+    ss = np.zeros((dim, dim), dtype=object)
+    for i in range(0, n, 65536):
+        c = q[i:i + 65536]
+        ss += c.T @ c
+    return (n, q.sum(axis=0, dtype=object), ss)
+
+
+def _fit_components(refs: list, d_out: int, vec_col: str):
+    """Exact-integer moment merge -> covariance eigh -> top d_out
+    components re-quantized to int64.  Returns (mu int64[d],
+    Wq int64[d, d_out])."""
+    parts = [p for p in ray.get(
+        [_moment_part.remote(r, vec_col) for r in refs]) if p is not None]
+    if not parts:
+        raise ValueError("pca_project: empty input")
+    dim = parts[0][1].shape[0]
+    n_tot = 0
+    s_tot = np.zeros(dim, dtype=object)        # python-int accumulate:
+    ss_tot = np.zeros((dim, dim), dtype=object)  # overflow-free merge
+    for n, s, ss in parts:
+        n_tot += int(n)
+        s_tot += s
+        ss_tot += ss
+    mu = np.array([int(v) // n_tot for v in s_tot], dtype=np.int64)
+    # centered moment, exact:  sum (q-mu)(q-mu)^T
+    m = (ss_tot - np.outer(s_tot, mu) - np.outer(mu, s_tot)
+         + n_tot * np.outer(mu, mu))
+    cov = m.astype(np.float64) / (n_tot * float(PCA_SCALE) ** 2)
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.argsort(-vals, kind="stable")[:d_out]
+    w = vecs[:, top]
+    # deterministic sign: largest-|w| entry positive (first on ties)
+    for j in range(w.shape[1]):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    return mu, np.rint(w * PCA_SCALE).astype(np.int64)
+
+
+def pca_project(ds: ray.data.Dataset, d_out: int = 4,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> ray.data.Dataset:
+    """(id, pc1..pc{d_out}) — every vector centered and projected onto
+    the top d_out principal components of the corpus.  See the module
+    docstring for the one-pass fit and the bit-exactness argument."""
+    mat, refs = _cached_blocks(ds, id_col, vec_col)
+    mu, wq = _fit_components(refs, d_out, vec_col)
+    bref = ray.put((mu, wq))
+    names = [f"pc{j + 1}" for j in range(d_out)]
+    inv = 1.0 / float(PCA_SCALE) ** 2
+
+    def project(batch: pa.Table, *, broadcast) -> pa.Table:
+        u, w = ray.get(broadcast) if isinstance(
+            broadcast, ray.ObjectRef) else broadcast
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 **{nm: pa.array([], pa.float64()) for nm in names}})
+        # int64 matmul is exact; |(q-u) @ w| < 2^49 << 2^53, so the
+        # power-of-two rescale to float64 is lossless
+        p = (_quantize(batch, vec_col) - u[None, :]) @ w
+        return pa.table(
+            {id_col: pc.cast(batch.column(id_col), pa.int64()),
+             **{nm: pa.array(p[:, j] * inv) for j, nm in enumerate(names)}})
+
+    return mat.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"broadcast": bref})

@@ -1077,6 +1077,18 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed PCA: combiner-only exact-integer moment fit + a
+    streaming projection pass (ops/projection.py).  Bit-exact at any
+    parallelism, so the oracle is a pinned golden generated from the
+    independent serial reference (tests/pca_reference.py)."""
+    from ..ops.projection import pca_project
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return pca_project(ds, d_out=4)
+
+
 def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     """Pinned-golden oracles for the deterministic-but-not-SQL dedup
     families (see scripts/make_goldens.py): the committed survivor id
@@ -1101,7 +1113,9 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
                     return "TRUE" if v else "FALSE"
                 if isinstance(v, int):
                     return f"CAST({v} AS BIGINT)"
-                return repr(float(v))
+                # bare float literals parse as DECIMAL in DuckDB and
+                # lose low bits; string -> DOUBLE is correctly rounded
+                return f"CAST('{float(v)!r}' AS DOUBLE)"
             vals = ", ".join(
                 "({})".format(", ".join(lit(v) for v in row))
                 for row in pin["rows"])
@@ -1702,6 +1716,7 @@ RAY_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
+    "pca_project": q_pca_project,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "normalize_text": q_normalize_text,

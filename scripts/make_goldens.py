@@ -125,6 +125,28 @@ def main() -> None:
             "columns": ["vec_id", "cluster"],
             "rows": sorted([int(i), int(c)] for i, c in ref.items())}
         print(f"{sf} kmeans_clusters: {len(ref)} pinned rows")
+        # pca pin: generated from the independent serial reference
+        # (tests/pca_reference.py) and cross-checked EXACTLY against
+        # the engine (both are bit-exact integer formulations)
+        import numpy as np
+        import pyarrow.parquet as _pq
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from pca_reference import pca_reference
+        _t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+        _ids = _t.column("vec_id").to_pylist()
+        _emb = np.asarray(_t.column("embedding").combine_chunks()
+                          .flatten(), dtype=np.float64).reshape(
+            len(_ids), -1)
+        pca_ref = pca_reference(_ids, _emb, d_out=4)
+        pca_eng = {r["vec_id"]: [r["pc1"], r["pc2"], r["pc3"], r["pc4"]]
+                   for r in RAY_QUERIES["pca_project"](sf_dir).take_all()}
+        if pca_eng != pca_ref:
+            raise AssertionError(f"pca engine != reference at {sf}")
+        out[sf]["pca_project"] = {
+            "columns": ["vec_id", "pc1", "pc2", "pc3", "pc4"],
+            "rows": sorted([int(i)] + v for i, v in pca_ref.items())}
+        print(f"{sf} pca_project: {len(pca_ref)} pinned rows")
         # semantic_dedup pin: same independent-reference rule
         sd_eng = sorted(r["vec_id"] for r in
                         RAY_QUERIES["semantic_dedup"](sf_dir).take_all())
