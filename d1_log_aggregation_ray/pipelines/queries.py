@@ -1077,6 +1077,18 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+#: BM25 bench query: three mid-frequency corpus terms
+_BM25_TERMS = ["vector", "stream", "window"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 over the documents table: one corpus scan
+    emitting candidates + stats partials, broadcast idf, local top-k
+    merge (ops/ranking.py)."""
+    from ..ops.ranking import bm25_topk
+    return bm25_topk(_docs(sf_dir), terms=_BM25_TERMS, k=10)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA: combiner-only exact-integer moment fit + a
     streaming projection pass (ops/projection.py).  Bit-exact at any
@@ -1403,6 +1415,38 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(cumb % {_PACK_CAP} AS BIGINT) AS shard_off
             FROM c""",
 
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+              FROM toks
+            ), flat AS (
+              SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM toks
+            ), tf AS (
+              SELECT doc_id, any_value(dl) AS dl, tok,
+                     CAST(count(*) AS DOUBLE) AS tf
+              FROM flat
+              WHERE tok IN ('{"','".join(_BM25_TERMS)}')
+              GROUP BY doc_id, tok
+            ), df AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), scored AS (
+              SELECT t.doc_id,
+                     ROUND(SUM(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * (1.2 + 1.0))
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * t.dl / s.avgdl))), 6)
+                       AS score
+              FROM tf t JOIN df d USING (tok), stats s
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10""",
+
         "vocab_df": """
             SELECT token,
                    count(DISTINCT doc_id) AS df,
@@ -1717,6 +1761,7 @@ RAY_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
+    "bm25_topk": q_bm25_topk,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "normalize_text": q_normalize_text,
