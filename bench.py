@@ -106,7 +106,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "token_rarity", "chunk_tokens",
                      "semantic_dedup", "bloom_decontam",
                      # flagship curation composition (one exchange)
-                     "curate_corpus"]:
+                     "curate_corpus",
+                     # corpus bookkeeping (split/shuffle/stats) + PCA
+                     # projection + BM25 ranked retrieval
+                     "train_split", "shuffle_shards", "source_stats",
+                     "pca_project", "bm25_topk",
+                     # entropy quality signal + budgeted mixture sampler
+                     "doc_entropy", "mixture_sample"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -117,6 +117,61 @@ def shuffle_shards(ds: ray.data.Dataset, id_col: str = "doc_id",
         rank, batch_format="pyarrow")
 
 
+def mixture_sample(ds: ray.data.Dataset, budget_chars: float,
+                   id_col: str = "doc_id",
+                   source_col: str = "source",
+                   chars_col: str = "n_chars",
+                   seed: str = "mix") -> ray.data.Dataset:
+    """Data-mixing downsampler: cap every source at ~budget_chars of
+    text by keeping each doc with probability
+    min(1, budget / total_chars(source)) — deterministically, via
+    md5(seed:id) % 1e6 against a per-source integer threshold.
+
+    The standard corpus-balancing move (downweight the dominant crawl,
+    keep the tail verbatim), expressed in two passes:
+      1. per-source char totals — a per-batch combiner collapsing each
+         block to <= |sources| rows, merged on the driver (sources are
+         few; the rows that cross the wire are per-block partials).
+      2. a map-only hash-threshold filter with the tiny threshold
+         table broadcast in the closure.
+    Resume-stable and exactly reproducible in SQL (same md5 domain +
+    FLOOR(1e6 * LEAST(1, B/total)) threshold math)."""
+
+    # the narrow (id, source, chars) projection is cached ONCE so the
+    # two passes never re-execute the input lineage (the round-2
+    # double-consumption rule, ops/dedup.py)
+    narrow = ds.select_columns(
+        [id_col, source_col, chars_col]).materialize()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        g = batch.select([source_col, chars_col]).group_by(
+            [source_col]).aggregate([(chars_col, "sum")])
+        return g.rename_columns([source_col, "total"])
+
+    parts = narrow.map_batches(totals, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    tot: dict[str, int] = {}
+    for r in parts:
+        tot[r[source_col]] = tot.get(r[source_col], 0) + int(r["total"])
+    thr = {s: int(np.floor(1_000_000 * min(1.0, budget_chars / float(t))))
+           for s, t in tot.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _seeded_hash(batch, id_col, seed) % np.uint64(1_000_000)
+        enc = batch.column(source_col).combine_chunks().dictionary_encode()
+        lut = np.array([thr.get(s, 0) for s in
+                        enc.dictionary.to_pylist()], dtype=np.uint64)
+        idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
+        t = lut[idx] if len(lut) else np.empty(0, np.uint64)
+        out = batch.filter(pa.array(h < t))
+        return pa.table({
+            id_col: pc.cast(out.column(id_col), pa.int64()),
+            source_col: out.column(source_col)})
+
+    return narrow.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def source_stats(ds: ray.data.Dataset, source_col: str = "source",
                  lang_col: str = "lang",
                  chars_col: str = "n_chars") -> ray.data.Dataset:

@@ -239,6 +239,45 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def entropy_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Per-document unigram token entropy (bits):
+    H = log2(n) - (sum_t tf_t*log2(tf_t)) / n over ' '-split tokens —
+    the standard degenerate-text / low-information quality signal
+    (near-zero entropy = one token repeated; high = diverse text).
+
+    Vectorized: one Arrow split + dictionary-encode, one lexsort
+    run-length for per-(doc, token) tf, one weighted bincount for the
+    per-doc sum.  Output is rounded half-away to 6 decimals in the
+    same association order as the SQL oracle (log2(n) - SUM/n), so
+    sum-order and log ulp differences cannot flip the hash gate."""
+    batch = batch.filter(batch.column(text_col).is_valid())
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "entropy": pa.array([], pa.float64())})
+    toks = pc.split_pattern(batch.column(text_col).combine_chunks(), " ")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    enc = flat.dictionary_encode()
+    code = np.asarray(enc.indices).astype(np.int64)
+    V = max(len(enc.dictionary), 1)
+    key = np.sort(parent * V + code)
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    tf = np.diff(np.r_[starts, len(key)]).astype(np.float64)
+    doc = key[starts] // V
+    s = np.bincount(doc, weights=tf * np.log2(tf), minlength=n)
+    nn = lens.astype(np.float64)
+    h = np.log2(nn) - s / nn
+    h = np.floor(h * 1e6 + 0.5) / 1e6  # duckdb ROUND(x, 6), x >= 0
+    return pa.table({
+        id_col: pc.cast(batch.column(id_col), pa.int64()),
+        "entropy": pa.array(h)})
+
+
 def distinctive_terms(ds, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3):
     """Top-k most DISTINCTIVE terms per document: rank by global

@@ -1077,6 +1077,26 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+def q_doc_entropy(sf_dir: str):
+    """Per-doc unigram token entropy (low-information quality signal)
+    — one vectorized scan (ops/text.py::entropy_batch)."""
+    from ..ops.text import entropy_batch
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: mixture sampler operating point: cap every source at ~20k chars
+_MIX_BUDGET = 20_000.0
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixing downsampler: per-source char budgets enforced by a
+    deterministic hash-threshold keep rate min(1, B/total) —
+    combiner totals pass + map-only filter (ops/split.py)."""
+    from ..ops.split import mixture_sample
+    return mixture_sample(_docs(sf_dir), budget_chars=_MIX_BUDGET)
+
+
 #: BM25 bench query: three mid-frequency corpus terms
 _BM25_TERMS = ["vector", "stream", "window"]
 
@@ -1414,6 +1434,38 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(cumb // {_PACK_CAP} AS BIGINT) AS shard_id,
                    CAST(cumb % {_PACK_CAP} AS BIGINT) AS shard_off
             FROM c""",
+
+        "doc_entropy": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), flat AS (
+              SELECT doc_id, len(w) AS n, unnest(w) AS tok FROM toks
+            ), tf AS (
+              SELECT doc_id, any_value(n) AS n,
+                     CAST(count(*) AS DOUBLE) AS tf
+              FROM flat GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+                   ROUND(log2(CAST(any_value(n) AS DOUBLE))
+                         - SUM(tf * log2(tf)) / any_value(n), 6)
+                     AS entropy
+            FROM tf GROUP BY doc_id""",
+
+        "mixture_sample": f"""
+            WITH tot AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total
+              FROM documents GROUP BY source
+            ), thr AS (
+              SELECT source,
+                     CAST(FLOOR(1000000 * LEAST(1.0, {_MIX_BUDGET!r} / total))
+                          AS BIGINT) AS t
+              FROM tot
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr USING (source)
+            WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR))
+                  % 1000000 < t""",
 
         "bm25_topk": f"""
             WITH toks AS (
@@ -1762,6 +1814,8 @@ RAY_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
     "bm25_topk": q_bm25_topk,
+    "doc_entropy": q_doc_entropy,
+    "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "normalize_text": q_normalize_text,

@@ -85,3 +85,25 @@ def test_source_stats_matches_pandas():
     ref = ref.sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(out[ref.columns], ref,
                                   check_dtype=False)
+
+
+def test_mixture_sample_caps_dominant_source():
+    from d1_log_aggregation_ray.ops.split import mixture_sample
+    # src_big: 100k chars total; src_small: 3k chars -> kept whole
+    n_big, n_small = 1000, 30
+    t = pa.table({
+        "doc_id": pa.array(range(n_big + n_small), pa.int64()),
+        "source": pa.array(["src_big"] * n_big + ["src_small"] * n_small),
+        "n_chars": pa.array([100] * (n_big + n_small), pa.int64()),
+    })
+    out = mixture_sample(ray.data.from_arrow(t),
+                         budget_chars=10_000.0).to_pandas()
+    by = out.groupby("source").size()
+    # src_small is under budget: every doc kept
+    assert by.get("src_small", 0) == n_small
+    # src_big keep-rate = 10k/100k = 10%: binomial-ish around 100
+    assert 60 <= by.get("src_big", 0) <= 140
+    # deterministic: re-run identical
+    out2 = mixture_sample(ray.data.from_arrow(t).repartition(9),
+                          budget_chars=10_000.0).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
