@@ -1097,6 +1097,48 @@ def q_mixture_sample(sf_dir: str):
     return mixture_sample(_docs(sf_dir), budget_chars=_MIX_BUDGET)
 
 
+def q_pca_ann_topk(sf_dir: str):
+    """Composition: PCA-reduce the corpus to 8 dims (combiner-only
+    fit), then exact cosine top-10 for query vec 0 in the REDUCED
+    space — the dim-reduction-before-search scale path (search cost
+    drops d/8-fold; the reduced vectors are what a production IVF
+    would index).  Bit-exact reduced vectors (ops/projection.py) make
+    the result pinned-golden checkable against the independent serial
+    reference."""
+    from ..ops.projection import pca_project
+    from ..ops.similarity import brute_force_topk
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    red = pca_project(ds, d_out=8)
+    pcs = [f"pc{j + 1}" for j in range(8)]
+
+    def as_list(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = np.column_stack([batch.column(c).to_numpy(
+            zero_copy_only=False) for c in pcs]) if n else \
+            np.empty((0, 8))
+        offs = np.arange(n + 1, dtype=np.int32) * 8
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "reduced": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(m.reshape(-1)))})
+
+    lst = red.map_batches(as_list, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    q = None
+    for r in lst.map_batches(
+            lambda b: b.filter(pc.equal(b.column("vec_id"), 0)),
+            batch_format="pyarrow").take_all():
+        q = np.asarray(r["reduced"], dtype=np.float64)
+    rest = lst.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("vec_id"), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    top = brute_force_topk(rest, q, k=10, id_col="vec_id",
+                           vec_col="reduced")
+    return top.select(["vec_id"])
+
+
 #: BM25 bench query: three mid-frequency corpus terms
 _BM25_TERMS = ["vector", "stream", "window"]
 
@@ -1156,7 +1198,7 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
                       f"AS t({cols})")
         else:
             col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
-                                    "semantic_dedup") \
+                                    "semantic_dedup", "pca_ann_topk") \
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
@@ -1815,6 +1857,7 @@ RAY_QUERIES = {
     "pca_project": q_pca_project,
     "bm25_topk": q_bm25_topk,
     "doc_entropy": q_doc_entropy,
+    "pca_ann_topk": q_pca_ann_topk,
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,

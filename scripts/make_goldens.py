@@ -147,6 +147,25 @@ def main() -> None:
             "columns": ["vec_id", "pc1", "pc2", "pc3", "pc4"],
             "rows": sorted([int(i)] + v for i, v in pca_ref.items())}
         print(f"{sf} pca_project: {len(pca_ref)} pinned rows")
+        # pca_ann pin: independent reference = serial PCA reference ->
+        # numpy exact cosine top-10 (mirrors brute_force_topk's
+        # normalize/score/tie-break order)
+        red_ref = pca_reference(_ids, _emb, d_out=8)
+        rid = np.array([i for i in sorted(red_ref) if i != 0])
+        rm = np.array([red_ref[int(i)] for i in rid])
+        qv = np.array(red_ref[0])
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        nn = np.linalg.norm(rm, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        scores = (rm / nn) @ qn
+        order = np.lexsort((rid, -scores))[:10]
+        ann_ref = [int(v) for v in rid[order]]
+        ann_eng = [r["vec_id"] for r in
+                   RAY_QUERIES["pca_ann_topk"](sf_dir).to_pylist()]
+        if ann_eng != ann_ref:
+            raise AssertionError(f"pca_ann engine != reference at {sf}")
+        out[sf]["pca_ann_topk"] = ann_ref
+        print(f"{sf} pca_ann_topk: top-{len(ann_ref)} pinned")
         # semantic_dedup pin: same independent-reference rule
         sd_eng = sorted(r["vec_id"] for r in
                         RAY_QUERIES["semantic_dedup"](sf_dir).take_all())
