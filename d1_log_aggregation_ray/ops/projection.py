@@ -63,7 +63,9 @@ def _moment_part(tbl: pa.Table, vec_col: str):
     for i in range(0, n, 65536):
         c = q[i:i + 65536]
         ss += c.T @ c
-    return (n, q.sum(axis=0, dtype=object), ss)
+    # int64 row-sum is exact for any feasible block (|q| < 2^21 ->
+    # overflow needs > 2^42 rows); widen to python ints once after
+    return (n, q.sum(axis=0).astype(object), ss)
 
 
 def _fit_components(refs: list, d_out: int, vec_col: str):
