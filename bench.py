@@ -112,7 +112,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "train_split", "shuffle_shards", "source_stats",
                      "pca_project", "bm25_topk",
                      # entropy quality signal + budgeted mixture sampler
-                     "doc_entropy", "mixture_sample"]:
+                     "doc_entropy", "mixture_sample",
+                     # adaptive quantile length gate + CMS heavy hitters
+                     "length_trim", "heavy_tokens"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

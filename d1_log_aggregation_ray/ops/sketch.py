@@ -108,6 +108,120 @@ def _hash_column(arr: pa.Array) -> np.ndarray:
     return lut[idx.astype(np.int64)]
 
 
+#: count-min geometry: 4 rows x 2^14 slots = 512 KiB of int64 — the
+#: FIXED memory bound that replaces the corpus-cardinality exact vocab
+#: aggregate at 100 TB (error <= e/W * total_count per row, min over 4
+#: independent rows)
+CMS_D, CMS_W = 4, 1 << 14
+#: odd multipliers (splitmix64/Murmur finalizer constants) — row i's
+#: slot is the top 14 bits of h * mult_i under uint64 wraparound;
+#: deterministic, so the sketch (and everything derived) pins exactly
+_CMS_MULTS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def _cms_slots(h64: np.ndarray) -> np.ndarray:
+    """(CMS_D, n) int64 slot indices from 64-bit token hashes."""
+    with np.errstate(over="ignore"):
+        return np.stack([((h64 * m) >> np.uint64(50)).astype(np.int64)
+                         for m in _CMS_MULTS])
+
+
+def heavy_tokens(ds: ray.data.Dataset, threshold: int,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> ray.data.Dataset:
+    """Approximate heavy hitters: (token, est) for every token whose
+    count-min estimate of corpus-wide term frequency is >= threshold.
+    Guaranteed SUPERSET of the exact heavy set (CMS never
+    underestimates), with bounded overestimate — the fixed-memory
+    alternative to the corpus-cardinality vocab_df aggregate.
+
+    Scale shape (100 TB corpus):
+      - stage 0: per-batch (token, tf) combiner rows — the narrow
+        vocab-partial stream, materialized ONCE and consumed by both
+        later stages (no input re-execution).
+      - stage 1: each block scatters its partials into sparse
+        (cell, count) rows; the merge is a hash-partition aggregate on
+        the cell id, whose cardinality is FIXED (4 x 2^14) regardless
+        of corpus size; the dense 512 KiB sketch assembles on the
+        driver and broadcasts via one ray.put.
+      - stage 2: one scan over the vocab partials queries the sketch
+        (vectorized min over 4 gathers) and emits only candidates
+        >= threshold; the final distinct pass exchanges candidates
+        only.
+    Deterministic (md5 token hashes + fixed multipliers) -> pinned
+    golden; superset + overestimate properties are pytest-guarded
+    against the exact operator."""
+    from ..functions.hashing import md5_lower64_array
+    from ..stages.aggregate import hash_partition_aggregate
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = t.drop_null()
+        flat = pc.list_flatten(pc.split_pattern(t, " "))
+        agg = pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"token": agg.column("token"),
+                         "tf": pc.cast(agg.column("count_all"),
+                                       pa.int64())})
+
+    narrow = ds.select_columns([text_col]).map_batches(
+        tf_partial, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        h = md5_lower64_array(batch.column("token"))
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        slots = _cms_slots(h)  # (d, n)
+        cell = (np.arange(CMS_D, dtype=np.int64)[:, None] * CMS_W
+                + slots).reshape(-1)
+        c = np.broadcast_to(tf, (CMS_D, len(tf))).reshape(-1)
+        # collapse within the block so <= d*W rows leave it
+        uc, inv = np.unique(cell, return_inverse=True)
+        sums = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(sums, inv, c)  # integer-exact (float weights lose
+        return pa.table({"cell": pa.array(uc),  # bits past 2^53)
+                         "c": pa.array(sums)})
+
+    merged = hash_partition_aggregate(
+        narrow.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cell"], [("c", "sum")], rename={"c_sum": "c"})
+    sk = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in merged.take_all():
+        sk[r["cell"]] = r["c"]
+    sk_ref = ray.put(sk)
+
+    def candidates(batch: pa.Table, *, sketch) -> pa.Table:
+        s = ray.get(sketch) if isinstance(sketch, ray.ObjectRef) \
+            else sketch
+        if batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64())})
+        h = md5_lower64_array(batch.column("token"))
+        slots = _cms_slots(h)
+        est = np.min(np.stack(
+            [s[i * CMS_W + slots[i]] for i in range(CMS_D)]), axis=0)
+        keep = est >= threshold
+        return pa.table({
+            "token": batch.column("token").combine_chunks().filter(
+                pa.array(keep)),
+            "est": pa.array(est[keep])})
+
+    cand = narrow.map_batches(candidates, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_kwargs={"sketch": sk_ref})
+    # a token repeats across blocks with the SAME est: min == dedup
+    return hash_partition_aggregate(
+        cand, ["token"], [("est", "min")], rename={"est_min": "est"})
+
+
 def approx_distinct(ds: ray.data.Dataset, key: str, distinct_col: str,
                     p: int = 12) -> ray.data.Dataset:
     """Per-key approximate distinct count (~1.04/sqrt(2^p) rel. error).

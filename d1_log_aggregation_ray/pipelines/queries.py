@@ -534,6 +534,31 @@ def q_length_quantiles(sf_dir: str):
     return value_quantiles(lens, "n_tokens", _QUANTILE_QS)
 
 
+def q_length_trim(sf_dir: str):
+    """Adaptive length gate: keep docs whose token count lies within
+    the corpus [p10, p90] — relative thresholds computed by the exact
+    distributed quantile operator, then one broadcast-threshold filter
+    over the once-materialized narrow (doc_id, n_tokens) projection
+    (quality gates tuned to the corpus, not magic constants)."""
+    from ..ops.relational import value_quantiles
+    from ..ops.text import token_count_batch
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lambda t: t.filter(t.column("text").is_valid()),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    narrow = ds.map_batches(
+        token_count_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"]).materialize()
+    qv = value_quantiles(narrow, "n_tokens", [0.1, 0.9])
+    lo, hi = (qv.column("value")[0].as_py(),
+              qv.column("value")[1].as_py())
+    return narrow.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("n_tokens"), lo),
+            pc.less_equal(b.column("n_tokens"), hi))).select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 from ..ops.pii import PII_PATTERNS as _PII_PATTERNS
 
 #: the regex bank shared verbatim by the Arrow kernels and the SQL
@@ -1151,6 +1176,20 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), terms=_BM25_TERMS, k=10)
 
 
+#: heavy-hitter gate for the bench corpus (tokens with CMS-estimated
+#: corpus tf >= this)
+_HEAVY_T = 100
+
+
+def q_heavy_tokens(sf_dir: str):
+    """Count-min-sketch heavy hitters: fixed 512 KiB of state instead
+    of the corpus-cardinality exact vocab aggregate; guaranteed
+    superset of the exact heavy set (ops/sketch.py).  Deterministic ->
+    pinned golden; superset/overestimate properties pytest-guarded."""
+    from ..ops.sketch import heavy_tokens
+    return heavy_tokens(_docs(sf_dir), threshold=_HEAVY_T)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA: combiner-only exact-integer moment fit + a
     streaming projection pass (ops/projection.py).  Bit-exact at any
@@ -1634,6 +1673,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "length_trim": """
+            WITH lens AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n
+              FROM documents WHERE text IS NOT NULL
+            ), b AS (
+              SELECT quantile_disc(n, 0.1) AS lo,
+                     quantile_disc(n, 0.9) AS hi
+              FROM lens
+            )
+            SELECT doc_id FROM lens, b WHERE n >= lo AND n <= hi""",
+
         "pii_redact": f"""
             WITH s1 AS (
               SELECT doc_id, text,
@@ -1858,6 +1908,8 @@ RAY_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_entropy": q_doc_entropy,
     "pca_ann_topk": q_pca_ann_topk,
+    "length_trim": q_length_trim,
+    "heavy_tokens": q_heavy_tokens,
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,

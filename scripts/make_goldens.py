@@ -36,7 +36,11 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                "bloom_decontam": ["doc_id", "n_hits"],
                # connected-components cluster assignment: deterministic
                # (seeded hashes) and partition-count-independent
-               "dedup_clusters": ["doc_id", "cluster_id"]}
+               "dedup_clusters": ["doc_id", "cluster_id"],
+               # count-min estimates are deterministic (md5 hashes +
+               # fixed multipliers); superset-of-exact guarded in
+               # tests/test_sketch.py
+               "heavy_tokens": ["token", "est"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 

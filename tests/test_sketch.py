@@ -68,3 +68,55 @@ def test_approx_distinct_null_keys():
     out2 = {r["k"]: r["n_distinct_approx"] for r in
             approx_distinct(ray.data.from_arrow(t2), "k", "v").take_all()}
     assert out2 == {None: 2}
+
+
+def test_heavy_tokens_superset_and_overestimate():
+    """CMS heavy hitters must (a) include every exactly-heavy token,
+    (b) never underestimate, (c) at this vocab size (far below the
+    2^14 slot width) match the exact counts exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.sketch import heavy_tokens
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(500)]
+    # token i appears ~ proportional to 1/(i+1): a heavy head
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=40, p=weights))
+             for _ in range(400)]
+    exact: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            exact[w] = exact.get(w, 0) + 1
+    T = 150
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    got = {r["token"]: r["est"]
+           for r in heavy_tokens(ds, threshold=T).take_all()}
+    heavy_exact = {w for w, c in exact.items() if c >= T}
+    assert heavy_exact <= set(got)          # superset
+    for w, est in got.items():
+        assert est >= exact.get(w, 0)       # never underestimates
+    # 500 tokens into 4 x 16384 slots: collisions are overwhelmingly
+    # unlikely, so estimates should be exact here
+    for w in heavy_exact:
+        assert got[w] == exact[w]
+
+
+def test_heavy_tokens_parallelism_independent():
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.sketch import heavy_tokens
+
+    texts = [("aa bb " * 30).strip()] * 50 + ["cc dd ee"] * 20
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    a = sorted((r["token"], r["est"]) for r in heavy_tokens(
+        ray.data.from_arrow(t), threshold=100).take_all())
+    b = sorted((r["token"], r["est"]) for r in heavy_tokens(
+        ray.data.from_arrow(t).repartition(7), threshold=100).take_all())
+    assert a == b
+    assert [t for t, _ in a] == ["aa", "bb"]
