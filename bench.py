@@ -114,7 +114,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # entropy quality signal + budgeted mixture sampler
                      "doc_entropy", "mixture_sample",
                      # adaptive quantile length gate + CMS heavy hitters
-                     "length_trim", "heavy_tokens"]:
+                     "length_trim", "heavy_tokens",
+                     # large x large ANTI join (lapsed customers)
+                     "cust_no_orders"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

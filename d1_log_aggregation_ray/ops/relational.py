@@ -413,3 +413,55 @@ def global_topk(ds: ray.data.Dataset, order_col: str, k: int,
     v = merged.column(order_col).to_numpy(zero_copy_only=False)
     t = merged.column(tie_col).to_numpy(zero_copy_only=False)
     return merged.take(pa.array(np.lexsort((t, -v))[:k]))
+
+
+def anti_join_keys(left: ray.data.Dataset, right: ray.data.Dataset,
+                   left_key: str, right_key: str) -> ray.data.Dataset:
+    """Distributed ANTI join: left rows whose key has NO match on the
+    right (SQL `left_key NOT IN (SELECT right_key FROM right)` for
+    non-null keys) — one column of surviving left keys.
+
+    Scale shape (both sides large): the union co-partition pattern
+    (q_top_orders) — both sides tagged with the SAME
+    _part = hash(key) % P, ONE sort-exchange co-locates them, and a
+    vectorized searchsorted scan per partition emits the misses.  The
+    right side is deduplicated per block BEFORE the exchange (a
+    membership probe needs each key once), so the shuffle carries
+    unique-right + left keys, nothing wider.  No broadcast: neither
+    side needs to fit anywhere whole."""
+    P = _asof_parts()
+
+    def _rows(batch: pa.Table, *, key: str, side: int) -> pa.Table:
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = pc.cast(col, pa.int64()).drop_null().to_numpy(
+            zero_copy_only=False)
+        if side == 1:
+            k = np.unique(k)  # per-block combiner: membership only
+        return pa.table({
+            "_part": pa.array(_key_parts(k, P)),
+            "k": pa.array(k),
+            "side": pa.array(np.full(len(k), side, np.int8))})
+
+    l_rows = left.select_columns([left_key]).map_batches(
+        _rows, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"key": left_key, "side": 0})
+    r_rows = right.select_columns([right_key]).map_batches(
+        _rows, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"key": right_key, "side": 1})
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "side" not in group.schema.names:
+            return pa.table({left_key: pa.array([], pa.int64())})
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        lk, rk = k[side == 0], np.unique(k[side == 1])
+        if len(rk) == 0:
+            return pa.table({left_key: pa.array(lk)})
+        pos = np.searchsorted(rk, lk)
+        pos[pos == len(rk)] = 0
+        return pa.table({left_key: pa.array(lk[rk[pos] != lk])})
+
+    return l_rows.union(r_rows).groupby("_part").map_groups(
+        scan, batch_format="pyarrow")

@@ -919,6 +919,31 @@ def q_top_orders(sf_dir: str):
     return global_topk(per_order, "revenue_c2", 10, "o_orderkey")
 
 
+#: lapsed-customer cutoff for the anti-join query
+_LAPSED_CUT = "1999-01-01"
+
+
+def q_cust_no_orders(sf_dir: str):
+    """Distributed ANTI join (large x large): lapsed customers — no
+    order since the cutoff.  Union co-partition + per-partition
+    searchsorted misses, right side filtered at the read and deduped
+    per block before the exchange (ops/relational.anti_join_keys)."""
+    from ..ops.relational import anti_join_keys
+    cut = np.datetime64(_LAPSED_CUT).astype(
+        "datetime64[us]").astype(np.int64)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            pc.cast(b.column("o_orderdate").combine_chunks(),
+                    pa.int64()),
+            cut)).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join_keys(cust, orders, "c_custkey", "o_custkey")
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -1794,6 +1819,13 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 AND e.vec_id NOT IN (0, 1, 2))
             WHERE rn <= 10""",
 
+        "cust_no_orders": f"""
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_custkey IS NOT NULL
+                     AND o_orderdate >= TIMESTAMP '{_LAPSED_CUT}')""",
+
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
                    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND
@@ -1913,6 +1945,7 @@ RAY_QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
+    "cust_no_orders": q_cust_no_orders,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,

@@ -70,3 +70,24 @@ def test_bm25_no_hits_returns_empty():
     got = bm25_topk(ray.data.from_arrow(pa.table(rows)),
                     terms=["missing"], k=5)
     assert got.num_rows == 0
+
+
+def test_anti_join_keys_planted():
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.relational import anti_join_keys
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array(range(100), pa.int64())}))
+    # right covers everything except multiples of 7
+    right_vals = [i for i in range(100) if i % 7 != 0] * 3  # with dups
+    right = ray.data.from_arrow(pa.table(
+        {"rk": pa.array(right_vals, pa.int64())}))
+    got = sorted(r["k"] for r in anti_join_keys(
+        left, right, "k", "rk").take_all())
+    assert got == [i for i in range(100) if i % 7 == 0]
+    # empty right keeps every left key
+    empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    got2 = sorted(r["k"] for r in anti_join_keys(
+        left, empty, "k", "rk").take_all())
+    assert got2 == list(range(100))
