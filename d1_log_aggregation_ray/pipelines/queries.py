@@ -944,6 +944,16 @@ def q_cust_no_orders(sf_dir: str):
     return anti_join_keys(cust, orders, "c_custkey", "o_custkey")
 
 
+def q_zscore_events(sf_dir: str):
+    """Grouped standardization at scale: z-score every event value
+    within its user (aggregate-then-rejoin — moments CANNOT broadcast
+    at corpus key cardinality; ops/relational.zscore_per_key)."""
+    from ..ops.relational import zscore_per_key
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    return zscore_per_key(ds, key="user_id", val_col="value",
+                          id_col="event_id")
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -1826,6 +1836,19 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    WHERE o_custkey IS NOT NULL
                      AND o_orderdate >= TIMESTAMP '{_LAPSED_CUT}')""",
 
+        "zscore_events": """
+            WITH m AS (
+              SELECT user_id, count(*) AS n, SUM(value) AS s,
+                     SUM(value * value) AS ss
+              FROM events GROUP BY user_id
+            )
+            SELECT e.event_id,
+                   ROUND((e.value - m.s / m.n)
+                         / SQRT((m.ss - m.s * m.s / m.n) / (m.n - 1)),
+                         6) AS z
+            FROM events e JOIN m USING (user_id)
+            WHERE m.n > 1""",
+
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
                    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND
@@ -1946,6 +1969,7 @@ RAY_QUERIES = {
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "cust_no_orders": q_cust_no_orders,
+    "zscore_events": q_zscore_events,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,

@@ -91,3 +91,39 @@ def test_anti_join_keys_planted():
     got2 = sorted(r["k"] for r in anti_join_keys(
         left, empty, "k", "rk").take_all())
     assert got2 == list(range(100))
+
+
+def test_zscore_per_key_hand_computed():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.relational import zscore_per_key
+
+    # user 1: values 1,2,3 -> mean 2, sample std 1 -> z = -1,0,1
+    # user 2: single row -> dropped
+    t = pa.table({
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 99.0]),
+    })
+    out = {r["event_id"]: r["z"] for r in zscore_per_key(
+        ray.data.from_arrow(t), "user_id", "value",
+        "event_id").take_all()}
+    assert out == {10: -1.0, 11: 0.0, 12: 1.0}
+
+    # parallelism independence on a bigger random table
+    rng = np.random.default_rng(4)
+    n = 5000
+    big = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "value": pa.array(rng.normal(50, 10, n)),
+    })
+    a = sorted((r["event_id"], r["z"]) for r in zscore_per_key(
+        ray.data.from_arrow(big), "user_id", "value",
+        "event_id").take_all())
+    b = sorted((r["event_id"], r["z"]) for r in zscore_per_key(
+        ray.data.from_arrow(big).repartition(13), "user_id", "value",
+        "event_id").take_all())
+    assert [i for i, _ in a] == [i for i, _ in b]
+    assert max(abs(x - y) for (_, x), (_, y) in zip(a, b)) <= 1e-6
