@@ -623,7 +623,12 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
 
     cand = band.groupby("part").map_groups(multi_buckets,
                                            batch_format="pyarrow")
-    texts = ds.select_columns([id_col, text_col])
+    # strip the parquet pandas metadata: the join's shuffle aggregator
+    # hashes block schemas for dedup, and the metadata dict makes the
+    # hash fail (one warning per block + a dead schema cache)
+    texts = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
     # left_outer: candidate rows (non-negative ids) all match — the
     # corpus side is complete — while sentinel-keyed home rows match
     # nothing and come out with NULL text instead of a full text

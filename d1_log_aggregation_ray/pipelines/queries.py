@@ -1093,9 +1093,13 @@ def _ann_lsh_sql(sf_dir: str) -> str:
     qsig = int((((planes @ qn) > 0).astype(np.uint32)
                 << np.arange(n_planes, dtype=np.uint32)).sum())
     want = sorted({qsig} | {qsig ^ (1 << i) for i in range(n_planes)})
+    # string -> DOUBLE literals: bare decimals parse as DECIMAL in
+    # DuckDB and lose low bits (same fix as the golden-pin SQL), which
+    # could flip a near-zero projection's sign
     sig_terms = " + ".join(
         "(CASE WHEN list_dot_product(embedding, [{}]) > 0 THEN {} ELSE 0 END)"
-        .format(", ".join(repr(float(x)) for x in planes[i]), 1 << i)
+        .format(", ".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                          for x in planes[i]), 1 << i)
         for i in range(n_planes))
     return f"""
         SELECT vec_id FROM (
