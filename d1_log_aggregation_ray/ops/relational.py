@@ -474,82 +474,57 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
     single row are dropped (stddev undefined).
 
     Scale shape: keys are corpus-cardinality, so the moments CANNOT be
-    broadcast — this is the aggregate-then-rejoin pattern:
-      1. per-batch (key, n, s, ss) combiner partials, merged by the
-         house hash-partition aggregate;
-      2. the moment rows and the raw value rows ride the SAME
-         hash(key) co-partition exchange (union, one sort-exchange —
-         the q_top_orders join shape) and a vectorized searchsorted
-         scan standardizes every row in place.
+    broadcast.  ONE input pass, ONE exchange: every batch emits its
+    value rows (side 0) PLUS its per-batch (key, n, s, ss) moment
+    partials (side 1, <= uniques-per-block rows) into the same
+    hash(key) co-partition stream; each partition scan merges the
+    moment partials per key (reduceat) and standardizes its value
+    rows in place — the combiner-carried variant of the
+    aggregate-then-rejoin pattern (no separate moment exchange, no
+    double input consumption).
     Float alignment: z is computed in the SQL oracle's exact
     association order (mean = s/n; var = (ss - s*s/n)/(n-1)) and
     rounded half-away to 6 decimals, absorbing partial-sum-order ulp
     differences."""
-    from ..stages.aggregate import hash_partition_aggregate
     P = _asof_parts()
 
-    def moments(batch: pa.Table) -> pa.Table:
-        v = batch.column(val_col).to_numpy(zero_copy_only=False)
-        t = pa.table({key: batch.column(key),
-                      "n": pa.array(np.ones(len(v), np.int64)),
-                      "s": pa.array(v),
-                      "ss": pa.array(v * v)})
-        g = t.group_by([key]).aggregate(
-            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
-        return g.rename_columns([key, "n", "s", "ss"])
-
-    merged = hash_partition_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        [key], [("n", "sum"), ("s", "sum"), ("ss", "sum")],
-        rename={"n_sum": "n", "s_sum": "s", "ss_sum": "ss"})
-
-    def m_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or key not in batch.schema.names:
-            return pa.table({
-                "_part": pa.array([], pa.int64()),
-                "k": pa.array([], pa.int64()),
-                "id": pa.array([], pa.int64()),
-                "v": pa.array([], pa.float64()),
-                "s": pa.array([], pa.float64()),
-                "ss": pa.array([], pa.float64()),
-                "n": pa.array([], pa.int64()),
-                "side": pa.array([], pa.int8())})
+    def rows(batch: pa.Table) -> pa.Table:
         k = pc.cast(batch.column(key), pa.int64()).to_numpy(
             zero_copy_only=False)
-        n = pc.cast(batch.column("n"), pa.int64()).to_numpy(
+        v = batch.column(val_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
             zero_copy_only=False)
+        # per-batch moment partials: one vectorized segment pass
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        mk = ks[starts]
+        mn = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        ms = (np.add.reduceat(vs, starts) if len(starts)
+              else np.array([], np.float64))
+        mss = (np.add.reduceat(vs * vs, starts) if len(starts)
+               else np.array([], np.float64))
+        allk = np.concatenate([k, mk])
         return pa.table({
-            "_part": pa.array(_key_parts(k, P)),
-            "k": pa.array(k),
-            "id": pa.array(np.zeros(len(k), np.int64)),
-            "v": pa.array(np.zeros(len(k), np.float64)),
-            "s": pa.array(batch.column("s").to_numpy(
-                zero_copy_only=False)),
-            "ss": pa.array(batch.column("ss").to_numpy(
-                zero_copy_only=False)),
-            "n": pa.array(n),
-            "side": pa.array(np.ones(len(k), np.int8))})
+            "_part": pa.array(_key_parts(allk, P)),
+            "k": pa.array(allk),
+            "id": pa.array(np.concatenate(
+                [ids, np.zeros(len(mk), np.int64)])),
+            "v": pa.array(np.concatenate(
+                [v, np.zeros(len(mk), np.float64)])),
+            "s": pa.array(np.concatenate(
+                [np.zeros(len(k), np.float64), ms])),
+            "ss": pa.array(np.concatenate(
+                [np.zeros(len(k), np.float64), mss])),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(k), np.int64), mn])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(k), np.int8),
+                 np.ones(len(mk), np.int8)]))})
 
-    def v_rows(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch.column(key), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        z = np.zeros(len(k))
-        return pa.table({
-            "_part": pa.array(_key_parts(k, P)),
-            "k": pa.array(k),
-            "id": pa.array(pc.cast(batch.column(id_col), pa.int64())),
-            "v": pa.array(batch.column(val_col).to_numpy(
-                zero_copy_only=False).astype(np.float64)),
-            "s": pa.array(z),
-            "ss": pa.array(z),
-            "n": pa.array(np.zeros(len(k), np.int64)),
-            "side": pa.array(np.zeros(len(k), np.int8))})
-
-    left = ds.map_batches(v_rows, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    right = merged.map_batches(m_rows, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    tagged = ds.map_batches(rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     _EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
                        "z": pa.array([], pa.float64())})
@@ -560,17 +535,24 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
         side = group.column("side").to_numpy(zero_copy_only=False)
         k = group.column("k").to_numpy(zero_copy_only=False)
         mm = side == 1
-        mk = k[mm]
-        order = np.argsort(mk)
-        mk = mk[order]
-        s = group.column("s").to_numpy(zero_copy_only=False)[mm][order]
-        ss = group.column("ss").to_numpy(zero_copy_only=False)[mm][order]
-        n = group.column("n").to_numpy(zero_copy_only=False)[mm][order]
+        mk0 = k[mm]
+        order = np.argsort(mk0, kind="stable")
+        mk0 = mk0[order]
+        s0 = group.column("s").to_numpy(zero_copy_only=False)[mm][order]
+        ss0 = group.column("ss").to_numpy(
+            zero_copy_only=False)[mm][order]
+        n0 = group.column("n").to_numpy(zero_copy_only=False)[mm][order]
         vk = k[~mm]
         vid = group.column("id").to_numpy(zero_copy_only=False)[~mm]
         vv = group.column("v").to_numpy(zero_copy_only=False)[~mm]
-        if len(mk) == 0 or len(vk) == 0:
+        if len(mk0) == 0 or len(vk) == 0:
             return _EMPTY
+        # merge the per-block moment partials per key
+        starts = np.flatnonzero(np.r_[True, mk0[1:] != mk0[:-1]])
+        mk = mk0[starts]
+        s = np.add.reduceat(s0, starts)
+        ss = np.add.reduceat(ss0, starts)
+        n = np.add.reduceat(n0, starts)
         pos = np.searchsorted(mk, vk)
         pos[pos == len(mk)] = 0
         hit = (mk[pos] == vk) & (n[pos] > 1)
@@ -585,5 +567,5 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
         return pa.table({"event_id": pa.array(vid[hit]),
                          "z": pa.array(z)})
 
-    return left.union(right).groupby("_part").map_groups(
+    return tagged.groupby("_part").map_groups(
         scan, batch_format="pyarrow")
