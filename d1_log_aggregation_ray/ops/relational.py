@@ -560,12 +560,17 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
         # EXACT oracle association order (see docstring)
         mean = s[p] / n[p]
         var = (ss[p] - s[p] * s[p] / n[p]) / (n[p] - 1)
-        z = (vv[hit] - mean) / np.sqrt(var)
+        # degenerate (zero/negative-after-rounding variance) groups:
+        # NULL, matching the oracle's guarded CASE (DuckDB SQRT raises
+        # on negatives and x/0 is NULL)
+        ok = var > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vv[hit] - mean) / np.sqrt(np.where(ok, var, 1.0))
         # duckdb ROUND: half away from zero, both signs
         z = np.where(z >= 0, np.floor(z * 1e6 + 0.5),
                      -np.floor(-z * 1e6 + 0.5)) / 1e6
         return pa.table({"event_id": pa.array(vid[hit]),
-                         "z": pa.array(z)})
+                         "z": pa.array(z, mask=~ok)})
 
     return tagged.groupby("_part").map_groups(
         scan, batch_format="pyarrow")

@@ -1847,9 +1847,11 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM events GROUP BY user_id
             )
             SELECT e.event_id,
-                   ROUND((e.value - m.s / m.n)
-                         / SQRT((m.ss - m.s * m.s / m.n) / (m.n - 1)),
-                         6) AS z
+                   CASE WHEN (m.ss - m.s * m.s / m.n) / (m.n - 1) > 0
+                        THEN ROUND((e.value - m.s / m.n)
+                             / SQRT((m.ss - m.s * m.s / m.n)
+                                    / (m.n - 1)), 6)
+                        END AS z
             FROM events e JOIN m USING (user_id)
             WHERE m.n > 1""",
 
