@@ -116,7 +116,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # adaptive quantile length gate + CMS heavy hitters
                      "length_trim", "heavy_tokens",
                      # large x large ANTI join (lapsed customers)
-                     "cust_no_orders",
+                     "cust_no_orders", "incremental_dedup",
                      # grouped standardization (aggregate-then-rejoin)
                      "zscore_events"]:
             samples[name] = []

@@ -978,3 +978,91 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
             "cluster_id": u.column("label")}))(
             t.filter(pc.equal(t.column("kind"), 1))),
         batch_format="pyarrow")
+
+
+def incremental_exact_dedup(ds: ray.data.Dataset,
+                            is_prior_col: str = "is_prior",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> ray.data.Dataset:
+    """Snapshot-incremental exact dedup: among the NEW rows
+    (is_prior == false), keep the min-id representative of each text
+    that does NOT already exist in the prior corpus (is_prior rows) —
+    the day-2 operation of an incremental ingest pipeline (pairs with
+    the incremental delta harvest, pipelines/harvest.py).
+
+    ONE input pass, ONE exchange: every row becomes a narrow
+    (16-byte md5 fp, id, side) record; prior rows carry only the fp.
+    The hash(fp) co-partition scan drops new fps seen in the prior
+    side and min-reduces the survivors — the exact-dedup shape
+    (q_dedup_exact) extended with an anti-membership side.  At scale
+    the prior side is read from the previous run's persisted
+    fingerprint parquet with columns=[fp] (prune-at-the-read); here it
+    rides the same input for the self-contained oracle."""
+    from ..functions.hashing import md5_bytes_array
+    from ..functions.parts import hash_parts
+    P = hash_parts()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        fp = md5_bytes_array(t)
+        raw = np.frombuffer(fp.buffers()[1], dtype=np.uint8)
+        low = raw.reshape(-1, 16)[:, 8:].copy().view(np.uint64).reshape(-1)
+        prior = batch.column(is_prior_col).to_numpy(
+            zero_copy_only=False).astype(bool)
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False).copy()
+        ids[prior] = -1
+        return pa.table({
+            "_part": pa.array((low % np.uint64(P)).astype(np.int64)),
+            "fp": fp,
+            id_col: pa.array(ids),
+            "side": pa.array(prior.astype(np.int8))})
+
+    tagged = ds.select_columns(
+        [id_col, text_col, is_prior_col]).map_batches(
+        rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY = pa.table({id_col: pa.array([], pa.int64())})
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "side" not in group.schema.names:
+            return _EMPTY
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        fp = group.column("fp").combine_chunks()
+        raw = np.frombuffer(fp.buffers()[1], dtype=np.uint8)
+        key = raw.reshape(-1, 16).view(np.uint64)  # (n, 2) words
+        k0, k1 = key[:, 0].copy(), key[:, 1].copy()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        new = side == 0
+        if not new.any():
+            return _EMPTY
+        # sort new rows by (fp words, id); run-starts are the min ids
+        nk0, nk1, nid = k0[new], k1[new], ids[new]
+        order = np.lexsort((nid, nk1, nk0))
+        nk0, nk1, nid = nk0[order], nk1[order], nid[order]
+        starts = np.flatnonzero(np.r_[True, (nk0[1:] != nk0[:-1])
+                                      | (nk1[1:] != nk1[:-1])])
+        mk0, mk1, mid = nk0[starts], nk1[starts], nid[starts]
+        # membership probe against the prior fps (sorted two-word key)
+        pk0, pk1 = k0[~new], k1[~new]
+        if len(pk0):
+            po = np.lexsort((pk1, pk0))
+            pk0, pk1 = pk0[po], pk1[po]
+            lo = np.searchsorted(pk0, mk0, side="left")
+            hi = np.searchsorted(pk0, mk0, side="right")
+            # vectorized two-word match: a k0 run is length 1 except
+            # under a 64-bit collision (~never); longer runs take the
+            # tiny per-candidate fallback
+            seen = np.zeros(len(mk0), dtype=bool)
+            one = hi - lo == 1
+            oi = lo[one]
+            seen[one] = (pk0[oi] == mk0[one]) & (pk1[oi] == mk1[one])
+            for i in np.flatnonzero(hi - lo > 1):
+                seen[i] = bool(np.any(pk1[lo[i]:hi[i]] == mk1[i]))
+            mid = mid[~seen]
+        return pa.table({id_col: pa.array(mid)})
+
+    return tagged.groupby("_part").map_groups(scan,
+                                              batch_format="pyarrow")

@@ -1141,6 +1141,24 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Snapshot-incremental exact dedup: the md5 < 50 hash-half of the
+    corpus plays the already-ingested snapshot; among the rest, keep
+    the min-id doc per text not already in the snapshot.  One pass,
+    one exchange (ops/dedup.incremental_exact_dedup)."""
+    from ..ops.dedup import incremental_exact_dedup
+    from ..functions.hashing import md5_lower64_array
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = md5_lower64_array(pc.cast(
+            batch.column("doc_id"), pa.string())) % np.uint64(100)
+        return batch.append_column("is_prior", pa.array(h < 50))
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+    return incremental_exact_dedup(ds)
+
+
 def q_doc_entropy(sf_dir: str):
     """Per-doc unigram token entropy (low-information quality signal)
     — one vectorized scan (ops/text.py::entropy_batch)."""
@@ -1712,6 +1730,21 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "incremental_dedup": """
+            WITH tagged AS (
+              SELECT doc_id, text,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50
+                       AS is_prior
+              FROM documents
+            ), prior AS (
+              SELECT DISTINCT md5(text) AS fp FROM tagged WHERE is_prior
+            )
+            SELECT min(doc_id) AS doc_id
+            FROM tagged
+            WHERE NOT is_prior
+              AND md5(text) NOT IN (SELECT fp FROM prior)
+            GROUP BY md5(text)""",
+
         "length_trim": """
             WITH lens AS (
               SELECT doc_id, len(string_split(text, ' ')) AS n
@@ -1971,6 +2004,7 @@ RAY_QUERIES = {
     "pca_ann_topk": q_pca_ann_topk,
     "length_trim": q_length_trim,
     "heavy_tokens": q_heavy_tokens,
+    "incremental_dedup": q_incremental_dedup,
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,

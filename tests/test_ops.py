@@ -442,3 +442,32 @@ def test_cluster_ids_cover_universe_and_match_minhash_dups(fx_dir):
     for d in dups:
         lab = next(r["cluster_id"] for r in labels if r["doc_id"] == d)
         assert len(by_cluster[lab]) > 1
+
+
+def test_incremental_exact_dedup_planted():
+    """Planted snapshot-dedup: new docs duplicating prior texts are
+    dropped; new-only dup groups keep min id; unique new docs kept."""
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.dedup import incremental_exact_dedup
+
+    rows = [
+        (0, "prior text one", True),
+        (1, "prior text two", True),
+        (10, "prior text one", False),   # dup of snapshot -> dropped
+        (11, "brand new text", False),   # unique new -> kept
+        (12, "brand new text", False),   # new-dup -> min id 11 kept
+        (13, "another new",   False),    # kept
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "is_prior": pa.array([r[2] for r in rows]),
+    })
+    got = sorted(r["doc_id"] for r in incremental_exact_dedup(
+        ray.data.from_arrow(t)).take_all())
+    assert got == [11, 13]
+    # parallelism independence
+    got2 = sorted(r["doc_id"] for r in incremental_exact_dedup(
+        ray.data.from_arrow(t).repartition(5)).take_all())
+    assert got2 == got
