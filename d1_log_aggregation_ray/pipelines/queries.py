@@ -1167,8 +1167,10 @@ def q_doc_entropy(sf_dir: str):
         entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-#: mixture sampler operating point: cap every source at ~20k chars
-_MIX_BUDGET = 20_000.0
+#: mixture sampler operating point: cap every source at ~4k chars —
+#: below every test-scale source total (6-9k), so the correctness
+#: gate exercises the actual downsampling path, not the keep-all edge
+_MIX_BUDGET = 4_000.0
 
 
 def q_mixture_sample(sf_dir: str):
