@@ -1141,6 +1141,62 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+def q_media_summary(sf_dir: str):
+    """Value-checkable projection of the multimodal chain: per-kind
+    aggregates (doc counts, byte/frame/resize totals, a rounded
+    embedding checksum) over the full decode -> frame-sample ->
+    resize -> featurize pipeline.  The fake kernels are deterministic
+    per item (crc math independent of batching), so this pins as a
+    golden — the chain's outputs are value-gated even though the
+    full row-level result carries list columns the VALUES oracle
+    can't express."""
+    ds = q_media_decode(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        es = (np.asarray(emb.flatten(), dtype=np.float64).sum()
+              if batch.num_rows else 0.0)
+        g = batch.select(["kind", "n_bytes", "n_frames",
+                          "resized_w"]).group_by(["kind"]).aggregate(
+            [([], "count_all"), ("n_bytes", "sum"),
+             ("n_frames", "sum"), ("resized_w", "sum")])
+        g = g.rename_columns(["kind", "n", "sum_bytes", "sum_frames",
+                              "sum_rw"])
+        # spread the block's embedding sum over its kind rows is wrong;
+        # recompute per kind exactly:
+        kinds = batch.column("kind").to_numpy(zero_copy_only=False)
+        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+            batch.num_rows, -1) if batch.num_rows else np.empty((0, 1))
+        sums = {k: float(m[kinds == k].sum())
+                for k in np.unique(kinds)} if batch.num_rows else {}
+        return g.append_column("emb_sum", pa.array(
+            [sums[k] for k in g.column("kind").to_pylist()],
+            pa.float64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["kind"], [0, 0, 0, 0, 0.0])
+        a[0] += r["n"]
+        a[1] += r["sum_bytes"]
+        a[2] += r["sum_frames"]
+        a[3] += r["sum_rw"]
+        a[4] += r["emb_sum"]
+    kinds = sorted(agg)
+    return pa.table({
+        "kind": pa.array(kinds),
+        "n": pa.array([agg[k][0] for k in kinds], pa.int64()),
+        "sum_bytes": pa.array([agg[k][1] for k in kinds], pa.int64()),
+        "sum_frames": pa.array([agg[k][2] for k in kinds], pa.int64()),
+        "sum_rw": pa.array([agg[k][3] for k in kinds], pa.int64()),
+        "emb_sum": pa.array(
+            [(np.floor(v * 1e4 + 0.5) if v >= 0
+              else -np.floor(-v * 1e4 + 0.5)) / 1e4
+             for v in (agg[k][4] for k in kinds)], pa.float64()),
+    })
+
+
 def q_incremental_dedup(sf_dir: str):
     """Snapshot-incremental exact dedup: the md5 < 50 hash-half of the
     corpus plays the already-ingested snapshot; among the rest, keep
@@ -2007,6 +2063,7 @@ RAY_QUERIES = {
     "length_trim": q_length_trim,
     "heavy_tokens": q_heavy_tokens,
     "incremental_dedup": q_incremental_dedup,
+    "media_summary": q_media_summary,
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,

@@ -40,7 +40,12 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                # count-min estimates are deterministic (md5 hashes +
                # fixed multipliers); superset-of-exact guarded in
                # tests/test_sketch.py
-               "heavy_tokens": ["token", "est"]}
+               "heavy_tokens": ["token", "est"],
+               # the multimodal chain's fake kernels are deterministic
+               # per item (crc math independent of batching); this
+               # pins its per-kind aggregate projection
+               "media_summary": ["kind", "n", "sum_bytes",
+                                 "sum_frames", "sum_rw", "emb_sum"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
