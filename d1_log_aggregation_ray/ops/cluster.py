@@ -294,3 +294,79 @@ def semantic_dedup(ds: ray.data.Dataset, k: int = 10, iters: int = 5,
 
     return tagged.groupby("_part").map_groups(partition_scan,
                                               batch_format="pyarrow")
+
+
+def organize_embeddings(ds: ray.data.Dataset, k: int = 10,
+                        iters: int = 5, threshold: float = 0.4,
+                        d_out: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> ray.data.Dataset:
+    """The vector-side flagship composition (the curate_corpus analog
+    for embeddings): SemDeDup the corpus, then cluster AND
+    PCA-project the survivors — (id, cluster, pc1..pc{d_out}) ready
+    for topic-balanced sampling and reduced-space indexing.
+
+    Scale shape: semantic_dedup contributes its one exchange; the
+    survivor filter is a broadcast membership probe (survivor ids via
+    one ray.put — at corpus scale where survivors outgrow a broadcast,
+    swap in the hash co-partition semi-join, ops/relational.py); the
+    k-means fit, PCA moment fit AND the final assignment+projection
+    all run over ONE cached narrow materialization of the survivor
+    projection — two combiner passes plus a single output map, no
+    further shuffle, no joins (cluster and coordinates are computed in
+    the same final map, so they never need re-joining).
+
+    Fully integer-exact (both fits quantize once; see the module and
+    ops/projection.py docstrings), so the composition pins as a
+    golden cross-checked against the composed independent references.
+    """
+    from .projection import _fit_components, PCA_SCALE
+    from ..functions.parts import arrow_block_refs
+    surv = semantic_dedup(ds, k=k, iters=iters, threshold=threshold,
+                          id_col=id_col, vec_col=vec_col)
+    ids = np.sort(np.concatenate([
+        t.column(id_col).to_numpy(zero_copy_only=False)
+        for t in ray.get(arrow_block_refs(surv)) if t.num_rows]
+        or [np.empty(0, np.int64)]))
+    ids_ref = ray.put(ids)
+
+    def keep(batch: pa.Table, *, surv_ids) -> pa.Table:
+        s = ray.get(surv_ids) if isinstance(
+            surv_ids, ray.ObjectRef) else surv_ids
+        if batch.num_rows == 0 or len(s) == 0:
+            return batch.slice(0, 0)
+        key = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(s, key)
+        pos[pos == len(s)] = 0
+        return batch.filter(pa.array(s[pos] == key))
+
+    kept = ds.select_columns([id_col, vec_col]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"surv_ids": ids_ref})
+    mat, refs = _cached_blocks(kept, id_col, vec_col)
+    cent = _fit_centroids(refs, k, iters, id_col, vec_col)
+    mu, wq = _fit_components(refs, d_out, vec_col)
+    bref = ray.put((cent, mu, wq))
+    names = [f"pc{j + 1}" for j in range(d_out)]
+    inv = 1.0 / float(PCA_SCALE) ** 2
+
+    def final(batch: pa.Table, *, broadcast) -> pa.Table:
+        c, u, w = ray.get(broadcast) if isinstance(
+            broadcast, ray.ObjectRef) else broadcast
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 **{nm: pa.array([], pa.float64()) for nm in names}})
+        q = _quantize(batch, vec_col)
+        a = _assign(q, c)
+        p = (q - u[None, :]) @ w
+        return pa.table(
+            {id_col: pc.cast(batch.column(id_col), pa.int64()),
+             "cluster": pa.array(a),
+             **{nm: pa.array(p[:, j] * inv)
+                for j, nm in enumerate(names)}})
+
+    return mat.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"broadcast": bref})

@@ -1141,6 +1141,19 @@ def q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+def q_organize_embeddings(sf_dir: str):
+    """Vector-side flagship composition: SemDeDup -> survivor filter
+    -> k-means + PCA over ONE cached narrow projection -> one final
+    map emitting (vec_id, cluster, pc1..pc4) — no joins anywhere
+    (ops/cluster.organize_embeddings).  Integer-exact end to end, so
+    the golden pins from the composed independent references."""
+    from ..ops.cluster import organize_embeddings
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return organize_embeddings(ds)
+
+
 def q_media_summary(sf_dir: str):
     """Value-checkable projection of the multimodal chain: per-kind
     aggregates (doc counts, byte/frame/resize totals, a rounded
@@ -2064,6 +2077,7 @@ RAY_QUERIES = {
     "heavy_tokens": q_heavy_tokens,
     "incremental_dedup": q_incremental_dedup,
     "media_summary": q_media_summary,
+    "organize_embeddings": q_organize_embeddings,
     "mixture_sample": q_mixture_sample,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,

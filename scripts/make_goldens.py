@@ -184,6 +184,29 @@ def main() -> None:
                 f"semantic_dedup engine != reference at {sf}")
         out[sf]["semantic_dedup"] = sd_ref
         print(f"{sf} semantic_dedup: {len(sd_ref)} survivors")
+        # organize_embeddings pin: the composed independent references
+        # (semdedup survivors -> kmeans_reference + pca_reference over
+        # the survivor subset), cross-checked exactly vs the engine
+        from kmeans_reference import kmeans_reference
+        surv_ids = set(sd_ref)
+        keep = [i for i, v in enumerate(_ids) if int(v) in surv_ids]
+        sub_ids = [int(_ids[i]) for i in keep]
+        sub_emb = _emb[keep]
+        oe_lab = kmeans_reference(sub_ids, sub_emb, k=10, iters=5)
+        oe_pca = pca_reference(sub_ids, sub_emb, d_out=4)
+        oe_ref = {i: [int(oe_lab[i])] + oe_pca[i] for i in sub_ids}
+        oe_eng = {r["vec_id"]: [r["cluster"], r["pc1"], r["pc2"],
+                                r["pc3"], r["pc4"]]
+                  for r in RAY_QUERIES["organize_embeddings"](
+                      sf_dir).take_all()}
+        if oe_eng != oe_ref:
+            raise AssertionError(
+                f"organize_embeddings engine != reference at {sf}")
+        out[sf]["organize_embeddings"] = {
+            "columns": ["vec_id", "cluster", "pc1", "pc2", "pc3",
+                        "pc4"],
+            "rows": sorted([int(i)] + v for i, v in oe_ref.items())}
+        print(f"{sf} organize_embeddings: {len(oe_ref)} pinned rows")
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(out, f, indent=1)
