@@ -148,3 +148,56 @@ def test_semantic_dedup_matches_independent_reference():
     got = _semdedup_survivors(ray.data.from_arrow(t).repartition(5),
                               k=10, iters=5, threshold=0.4)
     assert got == ref
+
+
+def test_organize_embeddings_planted():
+    """Planted blobs + planted near-duplicates: the composition must
+    drop the near-copies (SemDeDup), keep one row per survivor, and
+    assign blob-mates to the same cluster with finite projections."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.cluster import organize_embeddings
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(3, 16)) * 5
+    rows, ids = [], []
+    for i in range(240):
+        c = i % 3
+        # wide enough that blob-mates stay below the 0.99 cosine
+        # dedup threshold (only the planted scaled copies exceed it)
+        rows.append(centers[c] + rng.normal(size=16) * 1.5)
+        ids.append(i)
+    # planted near-copies of vec 0 (cosine ~ 1): must be deduped
+    for j, i in enumerate(range(1000, 1005)):
+        rows.append(np.asarray(rows[0]) * (1.0 + 1e-4 * (j + 1)))
+        ids.append(i)
+    m = np.asarray(rows, dtype=np.float32)
+    offs = np.arange(len(ids) + 1, dtype=np.int32) * 16
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(m.reshape(-1)))})
+    out = organize_embeddings(
+        ray.data.from_arrow(t), k=3, iters=5, threshold=0.99,
+        d_out=2).to_pandas()
+    got_ids = set(out.vec_id)
+    assert not (got_ids & set(range(1000, 1005)))  # copies dropped
+    assert 0 in got_ids                            # original kept
+    assert len(out) == len(got_ids) == 240
+    # soft structure bound (Lloyd is a local optimum — the vector
+    # smoke accepts 8/10 blob recovery): on average a blob's majority
+    # cluster holds well over half its members
+    out["blob"] = out.vec_id % 3
+    share = np.mean([(g.cluster == g.cluster.mode()[0]).mean()
+                     for _, g in out.groupby("blob")])
+    assert share > 0.5
+    assert np.isfinite(out[["pc1", "pc2"]].to_numpy()).all()
+    # the hard guarantee: byte-identical at any parallelism
+    out2 = organize_embeddings(
+        ray.data.from_arrow(t).repartition(9), k=3, iters=5,
+        threshold=0.99, d_out=2).to_pandas()
+    a = out.drop(columns=["blob"]).sort_values(
+        "vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert (a == b).all().all()
