@@ -118,7 +118,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # large x large ANTI join (lapsed customers)
                      "cust_no_orders", "incremental_dedup",
                      # grouped standardization (aggregate-then-rejoin)
-                     "zscore_events", "organize_embeddings",
+                     "zscore_events", "window_distinct", "event_seq",
+                     "organize_embeddings",
                      "media_summary"]:
             samples[name] = []
             for r in range(reps):

@@ -954,6 +954,78 @@ def q_zscore_events(sf_dir: str):
                           id_col="event_id")
 
 
+def q_window_distinct(sf_dir: str):
+    """Distinct users per tumbling 1-hour window (the DAU-per-hour
+    metric): vectorized window-id derivation feeding the pair-dedup
+    combiner + hash-partition distinct count
+    (ops/relational.distinct_count)."""
+    from ..ops.relational import distinct_count
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column("ts").combine_chunks().is_valid())
+        ts = batch.column("ts").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        win = pa.array((ts // 3_600_000_000) * 3_600_000_000,
+                       pa.int64())
+        return pa.table({"window_start": win,
+                         "user_id": batch.column("user_id")})
+
+    win = ds.map_batches(add_window, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = distinct_count(win, key="window_start",
+                         distinct_col="user_id")
+    return out.map_batches(
+        lambda b: pa.table({
+            "window_start": b.column("window_start").cast(
+                pa.timestamp("us")),
+            "n_distinct": b.column("n_distinct")}),
+        batch_format="pyarrow")
+
+
+def q_event_seq(sf_dir: str):
+    """Per-user event sequence numbers (ROW_NUMBER within key by
+    time): one hash(key) exchange + one lexsort-and-segment-rank scan
+    per partition — the shuffle_shards rank pattern on an ordering
+    the data already defines."""
+    from ..functions.parts import hash_parts, key_parts
+    P = hash_parts()
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column("ts").combine_chunks().is_valid())
+        u = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(key_parts(u, P)),
+            "u": pa.array(u),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "t": batch.column("ts").combine_chunks().cast(pa.int64()),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "u" not in group.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.int64())})
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        us, es = u[order], e[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        seq = (np.arange(len(us), dtype=np.int64)
+               - np.repeat(starts, np.diff(np.r_[starts, len(us)]))
+               + 1)
+        return pa.table({"event_id": pa.array(es),
+                         "seq": pa.array(seq)})
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        "_part").map_groups(rank, batch_format="pyarrow")
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -1979,6 +2051,19 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
               ON a.user_id = b.user_id AND a.ts > b.ts""",
 
+        "window_distinct": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events WHERE ts IS NOT NULL GROUP BY 1""",
+
+        "event_seq": """
+            SELECT event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        AS BIGINT) AS seq
+            FROM events WHERE ts IS NOT NULL""",
+
         "tumbling_counts": """
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
@@ -2083,6 +2168,8 @@ RAY_QUERIES = {
     "top_orders": q_top_orders,
     "cust_no_orders": q_cust_no_orders,
     "zscore_events": q_zscore_events,
+    "window_distinct": q_window_distinct,
+    "event_seq": q_event_seq,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,
