@@ -21,6 +21,11 @@ Scale shape (100 TB corpus):
     (N, avgdl, idf) broadcast; each block contributes a local top-k,
     and the driver merges k-row partials (the brute_force_topk shape).
     No shuffle anywhere.
+  - Caveat for UBIQUITOUS query terms ("the"): the candidate stream
+    approaches corpus row count — still only (2+m) int64 columns per
+    row, cached as spillable object-store blocks, but if that bound
+    matters, drop the materialize and run two passes over the parquet
+    read (stats scan, then scoring scan) — same math, zero caching.
 
 Oracle alignment: scores are computed in the exact association order
 the SQL oracle writes (idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)))
