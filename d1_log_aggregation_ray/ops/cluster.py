@@ -321,7 +321,11 @@ def organize_embeddings(ds: ray.data.Dataset, k: int = 10,
     """
     from .projection import _fit_components, PCA_SCALE
     from ..functions.parts import arrow_block_refs
-    surv = semantic_dedup(ds, k=k, iters=iters, threshold=threshold,
+    # ONE pass over the input lineage: the narrow raw projection is
+    # cached once and feeds both the SemDeDup stage and the survivor
+    # filter (a derived input would otherwise execute twice)
+    narrow = ds.select_columns([id_col, vec_col]).materialize()
+    surv = semantic_dedup(narrow, k=k, iters=iters, threshold=threshold,
                           id_col=id_col, vec_col=vec_col)
     ids = np.sort(np.concatenate([
         t.column(id_col).to_numpy(zero_copy_only=False)
@@ -340,7 +344,7 @@ def organize_embeddings(ds: ray.data.Dataset, k: int = 10,
         pos[pos == len(s)] = 0
         return batch.filter(pa.array(s[pos] == key))
 
-    kept = ds.select_columns([id_col, vec_col]).map_batches(
+    kept = narrow.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"surv_ids": ids_ref})
     mat, refs = _cached_blocks(kept, id_col, vec_col)
