@@ -68,6 +68,34 @@ out["shuffle_sec"] = round(time.time() - t0, 3)
 sh.sort(key=lambda r: r["doc_id"])
 out["shuffle_md5"] = md5_rows(sh, ["doc_id", "shard_id", "pos"])
 
+from d1_log_aggregation_ray.ops.cluster import organize_embeddings
+t0 = time.time()
+oe = organize_embeddings(ray.data.read_parquet(
+    %(data)r + "/emb.parquet"), k=16, iters=3, threshold=0.95,
+    d_out=4).take_all()
+out["organize_sec"] = round(time.time() - t0, 3)
+oe.sort(key=lambda r: r["vec_id"])
+out["organize_rows"] = len(oe)
+out["organize_md5"] = md5_rows(
+    oe, ["vec_id", "cluster", "pc1", "pc2", "pc3", "pc4"])
+
+import pyarrow.compute as pc_
+import pyarrow as pa_
+from d1_log_aggregation_ray.ops.dedup import incremental_exact_dedup
+from d1_log_aggregation_ray.functions.hashing import md5_lower64_array
+import numpy as np
+def _tag(b):
+    h = md5_lower64_array(pc_.cast(b.column("doc_id"), pa_.string()))
+    return b.append_column("is_prior", pa_.array(h %% np.uint64(100) < 50))
+t0 = time.time()
+inc = incremental_exact_dedup(ray.data.read_parquet(
+    %(data)r + "/docs.parquet").map_batches(
+    _tag, batch_format="pyarrow")).take_all()
+out["incdedup_sec"] = round(time.time() - t0, 3)
+out["incdedup_rows"] = len(inc)
+inc.sort(key=lambda r: r["doc_id"])
+out["incdedup_md5"] = md5_rows(inc, ["doc_id"])
+
 print("RESULT " + json.dumps(out))
 ray.shutdown()
 """
@@ -114,13 +142,20 @@ def run(n_cpus: int) -> dict:
 def main() -> None:
     gen()
     lo, hi = run(8), run(32)
-    for k in ("pca_md5", "shuffle_md5", "bm25_top"):
+    for k in ("pca_md5", "shuffle_md5", "bm25_top", "organize_md5",
+              "incdedup_md5"):
         assert lo[k] == hi[k], f"{k} differs across parallelism!"
     print(json.dumps({
         "n": N,
         "pca_sec": {"8": lo["pca_sec"], "32": hi["pca_sec"]},
         "bm25_sec": {"8": lo["bm25_sec"], "32": hi["bm25_sec"]},
         "shuffle_sec": {"8": lo["shuffle_sec"], "32": hi["shuffle_sec"]},
+        "organize_sec": {"8": lo["organize_sec"],
+                         "32": hi["organize_sec"]},
+        "organize_rows": lo["organize_rows"],
+        "incdedup_sec": {"8": lo["incdedup_sec"],
+                         "32": hi["incdedup_sec"]},
+        "incdedup_rows": lo["incdedup_rows"],
         "identical_across_levels": True,
         "bm25_top1": lo["bm25_top"][0]}))
 
