@@ -137,3 +137,117 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     return narrow.map_batches(rebuild, batch_format="pyarrow",
                               zero_copy_batch=True,
                               fn_kwargs={"dup_set": dup_ref})
+
+
+_EMPTY_SPAN_OUT = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "text_clean": pa.array([], pa.string()),
+                            "n_tokens": pa.array([], pa.int64()),
+                            "n_removed": pa.array([], pa.int64())})
+
+
+def strip_dup_spans(ds: ray.data.Dataset, n: int = 8,
+                    threshold: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Corpus-wide duplicated-SPAN removal (the token-window sibling
+    of line_dedup, after Lee et al.'s dedup-spans observation): every
+    token covered by a word n-gram appearing in >= threshold DISTINCT
+    documents is boilerplate and is removed; surviving tokens re-join
+    with ' ' in original order.  Returns (doc_id, text_clean,
+    n_tokens, n_removed) per non-null-text document.
+
+    Scale shape — the line_dedup recipe keyed on gram hashes:
+      - Pass A: per-batch distinct (gram-hash, doc) pairs collapse to
+        (gram-hash, doc-count) partials (a doc is wholly in one
+        batch), merged by the hash-partition aggregate.  One exchange,
+        8 bytes per distinct gram per batch.
+      - The duplicated gram set broadcasts once; at full corpus scale
+        swap in the Bloom variant (ops/decontam.py) or a semi-join on
+        the gram hash — pass A is already keyed for it.
+      - Pass B: one scan — recompute gram hashes (ops/decontam.py's
+        shifted-slice multiply-add), searchsorted membership, then a
+        +1/-1 difference array + cumsum marks covered tokens and the
+        vectorized list rebuild re-joins survivors.  No shuffle.
+    """
+    from ..stages.aggregate import hash_partition_aggregate
+    from .decontam import _gram_hashes
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ids, gh = _gram_hashes(batch, id_col, text_col, n)
+        if not len(gh):
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        # distinct (gram, doc) pairs -> docs-per-gram within the batch
+        order = np.lexsort((ids, gh))
+        g, d = gh[order], ids[order]
+        first = np.r_[True, (g[1:] != g[:-1]) | (d[1:] != d[:-1])]
+        gu, nd = np.unique(g[first], return_counts=True)
+        return pa.table({"gh": pa.array(gu.view(np.int64)),
+                         "nd": pa.array(nd.astype(np.int64))})
+
+    counts = hash_partition_aggregate(
+        narrow.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["gh"], [("nd", "sum")], rename={"nd_sum": "nd"})
+    dup_only = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("nd"), pa.scalar(threshold, pa.int64())))
+                   .select(["gh"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    parts = [t.column("gh").to_numpy(zero_copy_only=False)
+             for t in ray.get(arrow_block_refs(dup_only))
+             if "gh" in t.schema.names]
+    dup = (np.sort(np.concatenate(parts).astype(np.int64).view(
+        np.uint64)) if parts else np.empty(0, np.uint64))
+    dup_ref = ray.put(dup)
+
+    def rebuild(batch: pa.Table, *, dup_set) -> pa.Table:
+        dset = ray.get(dup_set) if isinstance(
+            dup_set, ray.ObjectRef) else dup_set
+        batch = batch.filter(batch.column(text_col).is_valid())
+        if batch.num_rows == 0:
+            return _EMPTY_SPAN_OUT
+        text = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = len(flat)
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if total >= n and len(dset):
+            from ..functions.hashing import md5_lower64_array
+            from .decontam import _B
+            h = md5_lower64_array(flat)
+            L = total - n + 1
+            gh = np.zeros(L, dtype=np.uint64)
+            mult = np.uint64(1)
+            with np.errstate(over="ignore"):
+                for j in range(n - 1, -1, -1):
+                    gh += h[j:L + j] * mult
+                    mult = mult * _B
+            valid = parent[:L] == parent[n - 1:]
+            pos = np.searchsorted(dset, gh)
+            pos[pos == len(dset)] = 0
+            hit = valid & (dset[pos] == gh)
+            starts = np.flatnonzero(hit)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + n, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        keep = ~covered
+        kept_counts = np.bincount(
+            parent[keep], minlength=batch.num_rows).astype(np.int64)
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      flat.filter(pa.array(keep)))
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "text_clean": pc.binary_join(la, " "),
+            "n_tokens": n_tok,
+            "n_removed": pc.subtract(n_tok, pa.array(kept_counts))})
+
+    return narrow.map_batches(rebuild, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_kwargs={"dup_set": dup_ref})

@@ -1282,6 +1282,15 @@ def q_media_summary(sf_dir: str):
     })
 
 
+def q_strip_dup_spans(sf_dir: str):
+    """Corpus-wide duplicated-span (token-window boilerplate) removal
+    — the token sibling of line_dedup: one gram-hash counting
+    exchange, broadcast dup set, vectorized cover-mask rebuild
+    (ops/lines.strip_dup_spans)."""
+    from ..ops.lines import strip_dup_spans
+    return strip_dup_spans(_docs(sf_dir), n=8)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Snapshot-incremental exact dedup: the md5 < 50 hash-half of the
     corpus plays the already-ingested snapshot; among the rest, keep
@@ -1873,6 +1882,43 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "strip_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+              SELECT doc_id, i,
+                     list_aggregate(w[i:i+7], 'string_agg', ' ') AS gram
+              FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+            ), gc AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd
+              FROM grams GROUP BY gram
+            ), dup AS (
+              SELECT gram FROM gc WHERE nd >= 2
+            ), cover AS (
+              SELECT DISTINCT g.doc_id, u.j
+              FROM grams g JOIN dup d USING (gram),
+                   UNNEST(range(g.i, g.i + 8)) AS u(j)
+            ), flat AS (
+              SELECT doc_id, w[i] AS tok, i AS j
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), kept AS (
+              SELECT f.doc_id,
+                     string_agg(f.tok, ' ' ORDER BY f.j) AS text_clean,
+                     count(*) AS n_kept
+              FROM flat f
+              WHERE NOT EXISTS (SELECT 1 FROM cover c
+                                WHERE c.doc_id = f.doc_id
+                                  AND c.j = f.j)
+              GROUP BY f.doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(k.text_clean, '') AS text_clean,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(len(t.w) - COALESCE(k.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM toks t LEFT JOIN kept k USING (doc_id)""",
+
         "incremental_dedup": """
             WITH tagged AS (
               SELECT doc_id, text,
@@ -2161,6 +2207,7 @@ RAY_QUERIES = {
     "length_trim": q_length_trim,
     "heavy_tokens": q_heavy_tokens,
     "incremental_dedup": q_incremental_dedup,
+    "strip_dup_spans": q_strip_dup_spans,
     "media_summary": q_media_summary,
     "organize_embeddings": q_organize_embeddings,
     "mixture_sample": q_mixture_sample,

@@ -528,3 +528,44 @@ def test_curate_corpus_decontamination_drops_hit_docs():
     # doc 3 is benchmark (excluded); doc 0 shares its 8-grams -> dropped;
     # doc 4 is clean -> survives
     assert set(out["doc_id"]) == {4}
+
+
+def test_strip_dup_spans_planted():
+    """Planted boilerplate 8-gram shared by two docs must vanish from
+    both; unique text survives; short docs untouched; a doc made
+    entirely of boilerplate survives as ''."""
+    import ray.data
+    from d1_log_aggregation_ray.ops.lines import strip_dup_spans
+
+    boiler = " ".join(f"b{j}" for j in range(8))
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "u0 u1 " + boiler + " u2",
+            boiler + " z0 z1 z2 z3 z4 z5 z6 z7",
+            "short doc",                       # < 8 tokens: untouched
+            boiler,                            # all boilerplate -> ''
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "text": pa.array(rows["text"])}))
+    out = {r["doc_id"]: r for r in strip_dup_spans(
+        ds, n=8).take_all()}
+    assert out[0]["text_clean"] == "u0 u1 u2"
+    assert out[0]["n_removed"] == 8
+    # doc 1: the unique z-tail contains its own 8-gram but it is
+    # unique to doc 1 -> kept; only the shared gram's cover drops
+    assert out[1]["text_clean"] == "z0 z1 z2 z3 z4 z5 z6 z7"
+    assert out[2]["text_clean"] == "short doc"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == ""
+    assert out[3]["n_removed"] == 8
+    # parallelism independence
+    out2 = {r["doc_id"]: r for r in strip_dup_spans(
+        ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "text": pa.array(rows["text"])})).repartition(4),
+        n=8).take_all()}
+    assert all(out[k]["text_clean"] == out2[k]["text_clean"]
+               for k in out)
