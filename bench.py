@@ -117,7 +117,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "length_trim", "heavy_tokens",
                      # large x large ANTI join (lapsed customers)
                      "cust_no_orders", "incremental_dedup",
-                     "strip_dup_spans",
+                     "strip_dup_spans", "weighted_sample",
                      # grouped standardization (aggregate-then-rejoin)
                      "zscore_events", "window_distinct", "event_seq",
                      "organize_embeddings",

@@ -1282,6 +1282,33 @@ def q_media_summary(sf_dir: str):
     })
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sampling (after the weighted
+    stream-sampling family, e.g. EDBT'23 weighted sampling over
+    joins): keep each doc with p = min(1, n_chars/1000) via the
+    md5-threshold mechanism — longer docs proportionally likelier,
+    map-only, resume-stable, exactly SQL-reproducible."""
+    from ..functions.hashing import md5_lower64_array
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = md5_lower64_array(pc.binary_join_element_wise(
+            pa.scalar("w"), pc.cast(batch.column("doc_id"),
+                                    pa.string()), ":")) \
+            % np.uint64(1_000_000)
+        nc = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        thr = np.floor(1_000_000 * np.minimum(1.0, nc / 1000.0)) \
+            .astype(np.uint64)
+        out = batch.filter(pa.array(h < thr))
+        return pa.table({
+            "doc_id": pc.cast(out.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(out.column("n_chars"), pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_strip_dup_spans(sf_dir: str):
     """Corpus-wide duplicated-span (token-window boilerplate) removal
     — the token sibling of line_dedup: one gram-hash counting
@@ -1882,6 +1909,12 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE md5_number_lower('w:' || CAST(doc_id AS VARCHAR))
+                  % 1000000
+                < FLOOR(1000000 * LEAST(1.0, n_chars / 1000.0))""",
+
         "strip_dup_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w
@@ -2208,6 +2241,7 @@ RAY_QUERIES = {
     "heavy_tokens": q_heavy_tokens,
     "incremental_dedup": q_incremental_dedup,
     "strip_dup_spans": q_strip_dup_spans,
+    "weighted_sample": q_weighted_sample,
     "media_summary": q_media_summary,
     "organize_embeddings": q_organize_embeddings,
     "mixture_sample": q_mixture_sample,
