@@ -121,7 +121,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # grouped standardization (aggregate-then-rejoin)
                      "zscore_events", "window_distinct", "event_seq",
                      "organize_embeddings",
-                     "media_summary"]:
+                     "media_summary",
+                     # per-conv bucket scans: SFT pair extraction,
+                     # conversation rollups, role-protocol validation
+                     "sft_pairs", "conv_stats", "role_violations"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

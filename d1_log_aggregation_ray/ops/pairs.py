@@ -1,0 +1,159 @@
+"""Per-conversation sequential ops over transcript buckets: SFT
+prompt/response pair extraction, conversation-level stats, and role-
+alternation validation.
+
+All three are SHUFFLE-FREE: they run as one vectorized scan per
+conv-hash bucket under the same whole-bucket partitioning contract as
+the repeat-visit window (stages/window.bucket_window_scan) — convs
+never span buckets, so per-conv state never crosses a block boundary
+and the only data movement is the parquet read itself.  At 100 TB the
+bucket count scales with the corpus while each scan stays a sort +
+O(n) pass of numpy kernels.
+
+Reference provenance: the pairing walk generalizes the reference's
+order-dependent per-key scan (LogEntrySolrItem.java:444-474 runs
+sequential window state per ipAddress+pid after relying on entryId
+order); conv_stats mirrors its per-harvest throughput/max-ts
+aggregates (LogHarvesterTask.java:342-344,512-523) at conversation
+granularity; the alternation check is the `isLaterOrSameAsLatestCachedTime`
+ordering sentinel (ReadEventCounterCache.java:150-160) recast as a
+per-conv protocol validator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PAIRS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("prompt", pa.string()), ("response", pa.string())])
+
+_STATS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("n_assistant", pa.int64()), ("n_tool_calls", pa.int64()),
+    ("n_chars", pa.int64()), ("dur_us", pa.int64())])
+
+_VIOL_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_violations", pa.int64())])
+
+
+def _valid_sorted(batch: pa.Table) -> pa.Table:
+    """M2 validity filter + stable (conv_id, turn_idx) order."""
+    conv = batch.column("conv_id")
+    ok = pc.and_kleene(conv.is_valid(), pc.not_equal(conv, pa.scalar("")))
+    batch = batch.filter(pc.fill_null(ok, False))
+    return batch.combine_chunks().sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _segments(batch: pa.Table):
+    """(dictionary indices, segment-start row index per row)."""
+    gidx = np.asarray(
+        batch.column("conv_id").combine_chunks().dictionary_encode().indices)
+    n = len(gidx)
+    idx = np.arange(n, dtype=np.int64)
+    is_start = np.r_[True, gidx[1:] != gidx[:-1]]
+    seg_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+    return gidx, seg_start, is_start
+
+
+def sft_pairs_scan(batch: pa.Table) -> pa.Table:
+    """Pair each assistant turn with the nearest PRECEDING user turn in
+    its conversation (the SFT prompt/response extraction).  Assistant
+    turns with no prior user turn are dropped.  Vectorized: one
+    maximum.accumulate carries the last-seen user row index forward;
+    a carry from the previous conversation is always < this row's
+    segment start, so the seg_start comparison resets it exactly.
+    """
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    _, seg_start, _ = _segments(batch)
+    role = batch.column("role")
+    is_user = pc.fill_null(pc.equal(role, "user"), False).to_numpy(
+        zero_copy_only=False)
+    is_asst = pc.fill_null(pc.equal(role, "assistant"), False).to_numpy(
+        zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    last_user = np.maximum.accumulate(np.where(is_user, idx, -1))
+    keep = is_asst & (last_user >= seg_start)
+    resp_i = idx[keep]
+    prom_i = last_user[keep]
+    text = batch.column("text")
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(resp_i)),
+        "turn_idx": batch.column("turn_idx").take(pa.array(resp_i)),
+        "prompt": text.take(pa.array(prom_i)),
+        "response": text.take(pa.array(resp_i)),
+    }).cast(_PAIRS_SCHEMA)
+
+
+def conv_stats_scan(batch: pa.Table) -> pa.Table:
+    """Per-conversation rollup: turn count, assistant-turn count,
+    tool-call count (tool non-null and non-blank), total text chars
+    (nulls count 0), and wall duration in microseconds over non-null
+    timestamps (NULL when the conv has < 1 valid ts).  One reduceat
+    pass per statistic."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _STATS_SCHEMA.empty_table()
+    _, _, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+
+    def seg_sum(vals: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(vals, starts)
+
+    role = batch.column("role")
+    is_asst = pc.fill_null(pc.equal(role, "assistant"), False).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tool = batch.column("tool")
+    has_tool = pc.fill_null(
+        pc.and_kleene(tool.is_valid(), pc.not_equal(tool, pa.scalar(""))),
+        False).to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = pc.fill_null(pc.utf8_length(batch.column("text")).cast(
+        pa.int64()), 0).to_numpy(zero_copy_only=False)
+
+    ts = batch.column("ts").combine_chunks()
+    ts_ok = ts.is_valid().to_numpy(zero_copy_only=False)
+    ts_us = ts.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    big = np.int64(2**62)
+    tmin = np.minimum.reduceat(np.where(ts_ok, ts_us, big), starts)
+    tmax = np.maximum.reduceat(np.where(ts_ok, ts_us, -big), starts)
+    any_ts = seg_sum(ts_ok.astype(np.int64)) > 0
+    dur = pa.array(np.where(any_ts, tmax - tmin, 0), pa.int64(),
+                   mask=~any_ts)
+
+    counts = np.diff(np.r_[starts, n]).astype(np.int64)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(starts)),
+        "n_turns": pa.array(counts),
+        "n_assistant": pa.array(seg_sum(is_asst)),
+        "n_tool_calls": pa.array(seg_sum(has_tool)),
+        "n_chars": pa.array(seg_sum(chars)),
+        "dur_us": dur,
+    }).cast(_STATS_SCHEMA)
+
+
+def role_violations_scan(batch: pa.Table) -> pa.Table:
+    """Per-conversation count of adjacent same-role turn pairs in
+    turn_idx order (protocol-alternation violations; the ordering-
+    sentinel analog).  A violation is attributed to the later turn."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _VIOL_SCHEMA.empty_table()
+    gidx, _, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+    ridx = np.asarray(
+        batch.column("role").combine_chunks().dictionary_encode().indices)
+    viol = np.zeros(n, dtype=np.int64)
+    viol[1:] = ((gidx[1:] == gidx[:-1]) & (ridx[1:] == ridx[:-1])).astype(
+        np.int64)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(starts)),
+        "n_violations": pa.array(np.add.reduceat(viol, starts)),
+    }).cast(_VIOL_SCHEMA)

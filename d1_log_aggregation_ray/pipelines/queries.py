@@ -1026,6 +1026,42 @@ def q_event_seq(sf_dir: str):
         "_part").map_groups(rank, batch_format="pyarrow")
 
 
+def _bucket_scan(sf_dir: str, scan_fn) -> ray.data.Dataset:
+    """Shuffle-free whole-bucket scan (the repeat_visit shape): one
+    task per conv-hash bucket, vectorized per-conv segments inside."""
+    fx = _fx(sf_dir)
+    return read_transcripts(fx, one_block_per_bucket=True).map_batches(
+        scan_fn, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True, num_cpus=1.01)
+
+
+def q_sft_pairs(sf_dir: str):
+    """SFT prompt/response pair extraction: each assistant turn paired
+    with the nearest preceding user turn in its conversation — a
+    per-conv order-dependent walk (the W1 scan shape) producing
+    training pairs.  Shuffle-free under the whole-bucket contract."""
+    from ..ops.pairs import sft_pairs_scan
+    return _bucket_scan(sf_dir, sft_pairs_scan)
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation rollup (turns, assistant turns, tool calls,
+    chars, wall duration): the reference's per-harvest throughput /
+    max-ts aggregates (LogHarvesterTask.java:342-344,512-523) at conv
+    granularity, computed bucket-locally with reduceat — no groupby
+    exchange because convs never span buckets."""
+    from ..ops.pairs import conv_stats_scan
+    return _bucket_scan(sf_dir, conv_stats_scan)
+
+
+def q_role_violations(sf_dir: str):
+    """Role-alternation protocol validation per conversation: counts
+    adjacent same-role turn pairs in turn order (the ordering-sentinel
+    analog, ReadEventCounterCache.java:150-160)."""
+    from ..ops.pairs import role_violations_scan
+    return _bucket_scan(sf_dir, role_violations_scan)
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -2143,6 +2179,44 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS seq
             FROM events WHERE ts IS NOT NULL""",
 
+        "sft_pairs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text FROM {TP} WHERE {VALID}
+            ), m AS (
+              SELECT conv_id, turn_idx, role, text,
+                     MAX(CASE WHEN role = 'user' THEN turn_idx END) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pidx
+              FROM t)
+            SELECT m.conv_id, m.turn_idx, u.text AS prompt,
+                   m.text AS response
+            FROM m JOIN t u
+              ON u.conv_id = m.conv_id AND u.turn_idx = m.pidx
+            WHERE m.role = 'assistant' AND m.pidx IS NOT NULL""",
+
+        "conv_stats": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(SUM(CASE WHEN tool IS NOT NULL AND tool <> ''
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+                   CAST(datediff('microsecond', min(ts), max(ts))
+                        AS BIGINT) AS dur_us
+            FROM {TP} WHERE {VALID} GROUP BY conv_id""",
+
+        "role_violations": f"""
+            WITH l AS (
+              SELECT conv_id, role,
+                     LAG(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM {TP} WHERE {VALID})
+            SELECT conv_id,
+                   CAST(SUM(CASE WHEN role = prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM l GROUP BY conv_id""",
+
         "tumbling_counts": """
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
@@ -2251,6 +2325,9 @@ RAY_QUERIES = {
     "zscore_events": q_zscore_events,
     "window_distinct": q_window_distinct,
     "event_seq": q_event_seq,
+    "sft_pairs": q_sft_pairs,
+    "conv_stats": q_conv_stats,
+    "role_violations": q_role_violations,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,

@@ -1,0 +1,97 @@
+"""Unit tests for the per-conversation bucket-scan ops (ops/pairs.py):
+SFT pair extraction, conversation stats, role-alternation violations.
+Pure-function tests over hand-built Arrow tables — no Ray needed."""
+
+import numpy as np
+import pyarrow as pa
+
+from d1_log_aggregation_ray.ops.pairs import (conv_stats_scan,
+                                              role_violations_scan,
+                                              sft_pairs_scan)
+
+
+def _t(rows):
+    cols = list(zip(*rows))
+    return pa.table({
+        "conv_id": pa.array(cols[0], pa.string()),
+        "turn_idx": pa.array(cols[1], pa.int32()),
+        "role": pa.array(cols[2], pa.string()),
+        "text": pa.array(cols[3], pa.string()),
+        "tool": pa.array(cols[4], pa.string()),
+        "ts": pa.array(cols[5], pa.timestamp("us")),
+    })
+
+
+BASE = _t([
+    # conv a: user -> assistant -> user -> tool -> assistant
+    ("a", 0, "user", "q1", None, 1_000_000),
+    ("a", 1, "assistant", "r1", None, 2_000_000),
+    ("a", 2, "user", "q2", None, 3_000_000),
+    ("a", 3, "tool", "t", "search", 4_000_000),
+    ("a", 4, "assistant", "r2", None, 9_000_000),
+    # conv b: assistant first (no prior user -> dropped), then pair
+    ("b", 0, "assistant", "orphan", None, None),
+    ("b", 1, "user", "q3", None, 5_000_000),
+    ("b", 2, "assistant", None, "calc", 5_500_000),
+    # corrupt rows: filtered
+    (None, 0, "user", "bad", None, 1),
+    ("", 1, "user", "bad", None, 2),
+])
+
+
+def test_sft_pairs_semantics():
+    # feed shuffled to prove the scan imposes its own order
+    shuf = BASE.take(pa.array([7, 2, 9, 0, 5, 4, 8, 1, 6, 3]))
+    out = sft_pairs_scan(shuf).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "a", "b"]
+    assert out.column("turn_idx").to_pylist() == [1, 4, 2]
+    # r2 pairs with the NEAREST preceding user (q2), skipping the tool turn
+    assert out.column("prompt").to_pylist() == ["q1", "q2", "q3"]
+    assert out.column("response").to_pylist() == ["r1", "r2", None]
+
+
+def test_conv_stats_semantics():
+    out = conv_stats_scan(BASE).sort_by([("conv_id", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "b"]
+    assert out.column("n_turns").to_pylist() == [5, 3]
+    assert out.column("n_assistant").to_pylist() == [2, 2]
+    assert out.column("n_tool_calls").to_pylist() == [1, 1]
+    # null text counts 0 chars
+    assert out.column("n_chars").to_pylist() == [
+        len("q1r1q2tr2"), len("orphanq3")]
+    # duration over valid ts only (b's orphan row has null ts)
+    assert out.column("dur_us").to_pylist() == [8_000_000, 500_000]
+
+
+def test_conv_stats_null_duration():
+    t = _t([("z", 0, "user", "x", None, None)])
+    out = conv_stats_scan(t)
+    assert out.column("dur_us").to_pylist() == [None]
+
+
+def test_role_violations():
+    t = _t([
+        ("a", 0, "user", "x", None, 1),
+        ("a", 1, "user", "x", None, 2),       # violation
+        ("a", 2, "assistant", "x", None, 3),
+        ("a", 3, "assistant", "x", None, 4),  # violation
+        ("b", 0, "user", "x", None, 5),
+        ("b", 1, "assistant", "x", None, 6),
+        # boundary: b ends 'assistant', c starts 'assistant' -> NOT a violation
+        ("c", 0, "assistant", "x", None, 7),
+    ])
+    out = role_violations_scan(t).sort_by([("conv_id", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "b", "c"]
+    assert out.column("n_violations").to_pylist() == [2, 0, 0]
+
+
+def test_empty_inputs_are_schema_stable():
+    empty = BASE.slice(0, 0)
+    for fn in (sft_pairs_scan, conv_stats_scan, role_violations_scan):
+        out = fn(empty)
+        assert out.num_rows == 0
+        assert len(out.schema) > 0
+    # all-corrupt input also hits the typed-empty path
+    bad = BASE.filter(pa.compute.is_null(BASE.column("conv_id")))
+    assert sft_pairs_scan(bad).num_rows == 0
