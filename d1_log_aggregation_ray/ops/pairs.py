@@ -38,6 +38,17 @@ _STATS_SCHEMA = pa.schema([
 _VIOL_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("n_violations", pa.int64())])
 
+_LAT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("latency_us", pa.int64())])
+
+_TRANS_SCHEMA = pa.schema([
+    ("from_tool", pa.string()), ("to_tool", pa.string()),
+    ("n", pa.int64())])
+
+_CONVFP_SCHEMA = pa.schema([
+    ("fp", pa.binary(16)), ("conv_id", pa.string())])
+
 
 def _valid_sorted(batch: pa.Table) -> pa.Table:
     """M2 validity filter + stable (conv_id, turn_idx) order."""
@@ -136,6 +147,90 @@ def conv_stats_scan(batch: pa.Table) -> pa.Table:
         "n_chars": pa.array(seg_sum(chars)),
         "dur_us": dur,
     }).cast(_STATS_SCHEMA)
+
+
+def turn_latency_scan(batch: pa.Table) -> pa.Table:
+    """Assistant response latency: for each assistant turn with a
+    preceding user turn in its conversation, ts(assistant) − ts(user)
+    in microseconds (NULL when either timestamp is NULL).  Same
+    carry-forward walk as the SFT pairing."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _LAT_SCHEMA.empty_table()
+    _, seg_start, _ = _segments(batch)
+    role = batch.column("role")
+    is_user = pc.fill_null(pc.equal(role, "user"), False).to_numpy(
+        zero_copy_only=False)
+    is_asst = pc.fill_null(pc.equal(role, "assistant"), False).to_numpy(
+        zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    last_user = np.maximum.accumulate(np.where(is_user, idx, -1))
+    keep = is_asst & (last_user >= seg_start)
+    resp_i = pa.array(idx[keep])
+    prom_i = pa.array(last_user[keep])
+    ts_us = batch.column("ts").combine_chunks().cast(pa.int64())
+    lat = pc.subtract(ts_us.take(resp_i), ts_us.take(prom_i))
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(resp_i),
+        "turn_idx": batch.column("turn_idx").take(resp_i),
+        "latency_us": lat,
+    }).cast(_LAT_SCHEMA)
+
+
+def tool_transitions_scan(batch: pa.Table) -> pa.Table:
+    """PARTIAL per-bucket tool-bigram counts: over turns that carry a
+    tool (non-null, non-blank) in turn order within each conversation,
+    count (previous tool → tool) transitions.  Emits a tiny
+    (from_tool, to_tool, n) partial per bucket — the caller sums
+    partials in one small exchange (tool-vocabulary² keys, not rows)."""
+    batch = _valid_sorted(batch)
+    tool = batch.column("tool")
+    ok = pc.fill_null(
+        pc.and_kleene(tool.is_valid(), pc.not_equal(tool, pa.scalar(""))),
+        False)
+    batch = batch.filter(ok)
+    n = batch.num_rows
+    if n < 2:
+        return _TRANS_SCHEMA.empty_table()
+    gidx, _, _ = _segments(batch)
+    idx = np.arange(n, dtype=np.int64)
+    same = gidx[1:] == gidx[:-1]
+    from_i = pa.array(idx[:-1][same])
+    to_i = pa.array(idx[1:][same])
+    tool = batch.column("tool").combine_chunks()
+    local = pa.table({"from_tool": tool.take(from_i),
+                      "to_tool": tool.take(to_i)})
+    agg = local.group_by(["from_tool", "to_tool"]).aggregate(
+        [([], "count_all")])
+    return agg.rename_columns(
+        ["n" if c == "count_all" else c for c in agg.column_names]).cast(
+        _TRANS_SCHEMA)
+
+
+def conv_fingerprint_scan(batch: pa.Table) -> pa.Table:
+    """Conversation-level content fingerprint: assemble each conv's
+    full transcript (`role:text` pieces joined by newline in turn
+    order — the DuckDB `string_agg(..., chr(10) ORDER BY turn_idx)`
+    formulation) entirely via Arrow list kernels, then 128-bit md5.
+    Only 16-byte fingerprints + conv ids ride the dedup exchange,
+    never transcript text."""
+    from ..functions.hashing import md5_bytes_array
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _CONVFP_SCHEMA.empty_table()
+    _, _, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+    pieces = pc.binary_join_element_wise(
+        pc.fill_null(batch.column("role"), "").combine_chunks(),
+        pc.fill_null(batch.column("text"), "").combine_chunks(), ":")
+    offsets = pa.array(np.r_[starts, n].astype(np.int32))
+    full = pc.binary_join(pa.ListArray.from_arrays(offsets, pieces), "\n")
+    return pa.table({
+        "fp": md5_bytes_array(full),
+        "conv_id": batch.column("conv_id").take(pa.array(starts)),
+    }).cast(_CONVFP_SCHEMA)
 
 
 def role_violations_scan(batch: pa.Table) -> pa.Table:

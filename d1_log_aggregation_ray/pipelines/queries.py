@@ -1062,6 +1062,41 @@ def q_role_violations(sf_dir: str):
     return _bucket_scan(sf_dir, role_violations_scan)
 
 
+def q_turn_latency(sf_dir: str):
+    """Assistant response latency per turn: ts(assistant) − ts(nearest
+    preceding user turn) in microseconds, per conversation — the SFT
+    pairing walk applied to timestamps.  Shuffle-free bucket scan."""
+    from ..ops.pairs import turn_latency_scan
+    return _bucket_scan(sf_dir, turn_latency_scan)
+
+
+def q_tool_transitions(sf_dir: str):
+    """Tool-usage bigram counts (prev tool → tool within a conversation
+    in turn order): per-bucket partial counts, then ONE small exchange
+    of tool-vocabulary² partial rows summed by hash partition — the
+    combine-before-shuffle house pattern."""
+    from ..ops.pairs import tool_transitions_scan
+    from ..stages.aggregate import hash_partition_aggregate
+    partials = _bucket_scan(sf_dir, tool_transitions_scan)
+    return hash_partition_aggregate(
+        partials, ["from_tool", "to_tool"], [("n", "sum")],
+        rename={"n_sum": "n"})
+
+
+def q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup: assemble each conv's full
+    transcript bucket-locally (Arrow list-join kernels), 128-bit md5
+    fingerprint, then keep min(conv_id) per fingerprint via a
+    hash-partition aggregate — only (16-byte fp, conv_id) pairs cross
+    the exchange, never transcript text."""
+    from ..ops.pairs import conv_fingerprint_scan
+    from ..stages.aggregate import hash_partition_aggregate
+    fps = _bucket_scan(sf_dir, conv_fingerprint_scan)
+    return hash_partition_aggregate(
+        fps, ["fp"], [("conv_id", "min")],
+        rename={"conv_id_min": "conv_id"}).select_columns(["conv_id"])
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -2206,6 +2241,44 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS dur_us
             FROM {TP} WHERE {VALID} GROUP BY conv_id""",
 
+        "turn_latency": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, ts FROM {TP} WHERE {VALID}
+            ), m AS (
+              SELECT conv_id, turn_idx, role, ts,
+                     MAX(CASE WHEN role = 'user' THEN turn_idx END) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pidx
+              FROM t)
+            SELECT m.conv_id, m.turn_idx,
+                   CAST(datediff('microsecond', u.ts, m.ts) AS BIGINT)
+                     AS latency_us
+            FROM m JOIN t u
+              ON u.conv_id = m.conv_id AND u.turn_idx = m.pidx
+            WHERE m.role = 'assistant' AND m.pidx IS NOT NULL""",
+
+        "tool_transitions": f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx, tool FROM {TP}
+              WHERE {VALID} AND tool IS NOT NULL AND tool <> ''
+            ), l AS (
+              SELECT tool,
+                     LAG(tool) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM f)
+            SELECT prev AS from_tool, tool AS to_tool, count(*) AS n
+            FROM l WHERE prev IS NOT NULL GROUP BY prev, tool""",
+
+        "conv_dedup": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     string_agg(COALESCE(role, '') || ':' ||
+                                COALESCE(text, ''), chr(10)
+                                ORDER BY turn_idx) AS full_text
+              FROM {TP} WHERE {VALID} GROUP BY conv_id)
+            SELECT min(conv_id) AS conv_id FROM c GROUP BY full_text""",
+
         "role_violations": f"""
             WITH l AS (
               SELECT conv_id, role,
@@ -2328,6 +2401,9 @@ RAY_QUERIES = {
     "sft_pairs": q_sft_pairs,
     "conv_stats": q_conv_stats,
     "role_violations": q_role_violations,
+    "turn_latency": q_turn_latency,
+    "tool_transitions": q_tool_transitions,
+    "conv_dedup": q_conv_dedup,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,

@@ -5,9 +5,12 @@ Pure-function tests over hand-built Arrow tables — no Ray needed."""
 import numpy as np
 import pyarrow as pa
 
-from d1_log_aggregation_ray.ops.pairs import (conv_stats_scan,
+from d1_log_aggregation_ray.ops.pairs import (conv_fingerprint_scan,
+                                              conv_stats_scan,
                                               role_violations_scan,
-                                              sft_pairs_scan)
+                                              sft_pairs_scan,
+                                              tool_transitions_scan,
+                                              turn_latency_scan)
 
 
 def _t(rows):
@@ -86,9 +89,68 @@ def test_role_violations():
     assert out.column("n_violations").to_pylist() == [2, 0, 0]
 
 
+def test_turn_latency():
+    # shuffled input; latency is vs NEAREST preceding user turn
+    shuf = BASE.take(pa.array([7, 2, 9, 0, 5, 4, 8, 1, 6, 3]))
+    out = turn_latency_scan(shuf).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "a", "b"]
+    assert out.column("turn_idx").to_pylist() == [1, 4, 2]
+    # a.4 pairs with q2 at ts=3s (skipping the tool turn): 9s - 3s
+    assert out.column("latency_us").to_pylist() == [
+        1_000_000, 6_000_000, 500_000]
+    # b.0 (assistant with no prior user) is absent, not null
+
+
+def test_turn_latency_null_ts():
+    t = _t([
+        ("z", 0, "user", "q", None, None),
+        ("z", 1, "assistant", "r", None, 7),
+    ])
+    out = turn_latency_scan(t)
+    assert out.column("latency_us").to_pylist() == [None]
+
+
+def test_tool_transitions():
+    t = _t([
+        ("a", 0, "user", "x", None, 1),
+        ("a", 1, "tool", "x", "search", 2),
+        ("a", 2, "assistant", "x", "", 3),      # blank tool: skipped
+        ("a", 3, "tool", "x", "calc", 4),       # search -> calc
+        ("a", 4, "tool", "x", "calc", 5),       # calc -> calc
+        ("b", 0, "tool", "x", "calc", 6),       # new conv: no bigram
+        ("b", 1, "tool", "x", "search", 7),     # calc -> search
+    ])
+    out = tool_transitions_scan(t).sort_by(
+        [("from_tool", "ascending"), ("to_tool", "ascending")])
+    assert out.column("from_tool").to_pylist() == ["calc", "calc", "search"]
+    assert out.column("to_tool").to_pylist() == ["calc", "search", "calc"]
+    assert out.column("n").to_pylist() == [1, 1, 1]
+
+
+def test_conv_fingerprint_order_invariant_and_distinct():
+    shuf = BASE.take(pa.array([7, 2, 9, 0, 5, 4, 8, 1, 6, 3]))
+    a = conv_fingerprint_scan(BASE).sort_by([("conv_id", "ascending")])
+    b = conv_fingerprint_scan(shuf).sort_by([("conv_id", "ascending")])
+    assert a.equals(b)
+    assert a.column("conv_id").to_pylist() == ["a", "b"]
+    fps = a.column("fp").to_pylist()
+    assert fps[0] != fps[1] and all(len(f) == 16 for f in fps)
+    # identical transcript content => identical fingerprint
+    dup = BASE.filter(pa.compute.equal(BASE.column("conv_id"), "a"))
+    dup = dup.set_column(0, "conv_id",
+                         pa.array(["a2"] * dup.num_rows, pa.string()))
+    both = conv_fingerprint_scan(pa.concat_tables([BASE, dup]))
+    got = dict(zip(both.column("conv_id").to_pylist(),
+                   both.column("fp").to_pylist()))
+    assert got["a"] == got["a2"] != got["b"]
+
+
 def test_empty_inputs_are_schema_stable():
     empty = BASE.slice(0, 0)
-    for fn in (sft_pairs_scan, conv_stats_scan, role_violations_scan):
+    for fn in (sft_pairs_scan, conv_stats_scan, role_violations_scan,
+               turn_latency_scan, tool_transitions_scan,
+               conv_fingerprint_scan):
         out = fn(empty)
         assert out.num_rows == 0
         assert len(out.schema) > 0
