@@ -233,6 +233,37 @@ def conv_fingerprint_scan(batch: pa.Table) -> pa.Table:
     }).cast(_CONVFP_SCHEMA)
 
 
+_CUM_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("cum_chars", pa.int64())])
+
+
+def cum_chars_scan(batch: pa.Table) -> pa.Table:
+    """Running character total per conversation: for each turn,
+    sum(length(text)) over this and all earlier turns of its conv in
+    turn_idx order (NULL text counts 0) — the cumulative-window
+    operator (SQL `SUM(...) OVER (PARTITION BY conv_id ORDER BY
+    turn_idx ROWS UNBOUNDED PRECEDING)`), shuffle-free under the
+    bucket contract.  One global cumsum; per-segment rebase via the
+    exclusive prefix at each row's segment start."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _CUM_SCHEMA.empty_table()
+    _, seg_start, _ = _segments(batch)
+    ln = pc.fill_null(
+        pc.utf8_length(batch.column("text")), 0).combine_chunks().cast(
+        pa.int64()).to_numpy(zero_copy_only=False)
+    cs = np.cumsum(ln)
+    excl = cs - ln                       # exclusive prefix sum
+    cum = cs - excl[seg_start]
+    return pa.table({
+        "conv_id": batch.column("conv_id"),
+        "turn_idx": batch.column("turn_idx"),
+        "cum_chars": pa.array(cum),
+    }).cast(_CUM_SCHEMA)
+
+
 def role_violations_scan(batch: pa.Table) -> pa.Table:
     """Per-conversation count of adjacent same-role turn pairs in
     turn_idx order (protocol-alternation violations; the ordering-

@@ -574,3 +574,128 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
 
     return tagged.groupby("_part").map_groups(
         scan, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
+                      qs: list[float]) -> ray.data.Dataset:
+    """EXACT per-key quantiles of an integer-valued column via a
+    (key, value)-histogram exchange — value_quantiles generalized to
+    grouped form, fully distributed (no driver merge: every (key,
+    value) count for a key lands in that key's hash partition, so the
+    cumsum pick happens inside the partition scan).
+
+    Per-batch combiner collapses each block to (key, value, count)
+    rows; the exchange volume is O(keys x distinct values per key x
+    blocks), never O(rows).  Semantics == DuckDB ``quantile_disc`` per
+    group: element at 0-based rank max(ceil(q*n) - 1, 0) of the
+    group's sorted multiset; NULL keys and NULL values are skipped.
+
+    Output: one row per (key, q): (key_col, q float64, value int64).
+    """
+    from ..stages.aggregate import add_part_column
+    qs = [float(q) for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      "v": batch.column(val_col)})
+        keep = pc.and_(t.column(key_col).is_valid(),
+                       t.column("v").is_valid())
+        t = t.filter(keep)
+        agg = t.group_by([key_col, "v"]).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["c" if c == "count_all" else c for c in agg.column_names])
+
+    empty = pa.schema([(key_col, pa.string()), ("q", pa.float64()),
+                       ("value", pa.int64())]).empty_table()
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_part"])
+             .group_by([key_col, "v"]).aggregate([("c", "sum")]))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key_col, "ascending"), ("v", "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c_sum").to_numpy(zero_copy_only=False)
+        codes = np.asarray(
+            t.column(key_col).combine_chunks().dictionary_encode().indices)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cumg = np.cumsum(c)                      # global, nondecreasing
+        base = np.r_[0, cumg[:-1]][starts]       # excl. prefix at seg start
+        ends = np.r_[starts[1:], len(c)]
+        ntot = cumg[ends - 1] - base             # rows per key
+        keys_first = t.column(key_col).take(pa.array(starts))
+        outs = []
+        for q in qs:
+            rank = np.maximum(np.ceil(q * ntot) - 1, 0).astype(np.int64)
+            # first global j with cumg[j] > base + rank (c > 0 keeps
+            # cumg strictly increasing within a segment)
+            j = np.searchsorted(cumg, base + rank, side="right")
+            outs.append(pa.table({
+                key_col: keys_first,
+                "q": pa.array(np.full(len(starts), q)),
+                "value": pa.array(v[j]),
+            }))
+        return pa.concat_tables(outs).sort_by(
+            [(key_col, "ascending"), ("q", "ascending")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_part_column, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         fn_kwargs={"key": key_col,
+                                    "n_parts": _asof_parts()})
+            .groupby("_part").map_groups(scan, batch_format="pyarrow"))
+
+
+def grouped_mode(ds: ray.data.Dataset, key_col: str, val_col: str,
+                 out_val: str = "top_value",
+                 out_n: str = "n") -> ray.data.Dataset:
+    """Per-key mode (most frequent value, ties broken by smallest
+    value) with deterministic output — the argmax-per-group operator.
+
+    Per-batch combiner collapses blocks to (key, value, count); one
+    hash-partition exchange on the key; the winner pick is a single
+    vectorized pass per partition (sort by key asc, count desc, value
+    asc; keep segment heads).  NULL keys/values are skipped.
+
+    Output: (key_col, out_val, out_n int64), one row per key.
+    """
+    from ..stages.aggregate import add_part_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      val_col: batch.column(val_col)})
+        keep = pc.and_(t.column(key_col).is_valid(),
+                       t.column(val_col).is_valid())
+        t = t.filter(keep)
+        agg = t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["c" if c == "count_all" else c for c in agg.column_names])
+
+    empty = pa.schema([(key_col, pa.string()), (out_val, pa.string()),
+                       (out_n, pa.int64())]).empty_table()
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_part"])
+             .group_by([key_col, val_col]).aggregate([("c", "sum")]))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key_col, "ascending"), ("c_sum", "descending"),
+                       (val_col, "ascending")])
+        codes = np.asarray(
+            t.column(key_col).combine_chunks().dictionary_encode().indices)
+        heads = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        t = t.take(pa.array(heads))
+        return pa.table({
+            key_col: t.column(key_col),
+            out_val: t.column(val_col),
+            out_n: pc.cast(t.column("c_sum"), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_part_column, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         fn_kwargs={"key": key_col,
+                                    "n_parts": _asof_parts()})
+            .groupby("_part").map_groups(scan, batch_format="pyarrow"))

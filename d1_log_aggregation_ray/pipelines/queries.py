@@ -1097,6 +1097,126 @@ def q_conv_dedup(sf_dir: str):
         rename={"conv_id_min": "conv_id"}).select_columns(["conv_id"])
 
 
+def q_cum_chars(sf_dir: str):
+    """Cumulative character count per conversation in turn order (the
+    running-sum window function), shuffle-free bucket scan."""
+    from ..ops.pairs import cum_chars_scan
+    return _bucket_scan(sf_dir, cum_chars_scan)
+
+
+def q_role_length_quantiles(sf_dir: str):
+    """Per-role exact text-length quantiles (median + p90) via the
+    grouped (key, value)-histogram exchange — the grouped-quantile
+    operator a curation pipeline needs for per-slice length gates."""
+    from ..ops.relational import grouped_quantiles
+    fx = _fx(sf_dir)
+    ds = read_transcripts(fx, columns=["conv_id", "role", "text"])
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id")
+        keep = pc.and_kleene(
+            pc.and_kleene(conv.is_valid(), pc.not_equal(conv, "")),
+            pc.and_kleene(batch.column("role").is_valid(),
+                          batch.column("text").is_valid()))
+        batch = batch.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "role": batch.column("role"),
+            "len": pc.cast(pc.utf8_length(batch.column("text")),
+                           pa.int64()),
+        })
+
+    lens = ds.map_batches(lengths, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return grouped_quantiles(lens, "role", "len", [0.5, 0.9])
+
+
+def q_top_tool_per_conv(sf_dir: str):
+    """Most-used tool per conversation (mode with smallest-value tie
+    break) — the argmax-per-group operator: per-batch (conv, tool)
+    count combiner, one hash-partition exchange, vectorized winner
+    pick per partition."""
+    from ..ops.relational import grouped_mode
+    fx = _fx(sf_dir)
+    ds = read_transcripts(fx, columns=["conv_id", "tool"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id")
+        tool = batch.column("tool")
+        keep = pc.and_kleene(
+            pc.and_kleene(conv.is_valid(), pc.not_equal(conv, "")),
+            pc.and_kleene(tool.is_valid(), pc.not_equal(tool, "")))
+        return batch.filter(pc.fill_null(keep, False))
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_mode(cleaned, "conv_id", "tool", out_val="top_tool")
+
+
+def q_rollup_counts(sf_dir: str):
+    """Turn counts by (role, tool) with ROLLUP subtotals (grouping
+    sets): leaf counts combine per batch, merge in one hash-partition
+    exchange keyed on role (so each role's subtotal is derivable
+    inside its partition scan); only the vocabulary-bounded
+    leaf+subtotal table reaches the driver, where the single grand-
+    total row is appended (the value_quantiles bounded-collect
+    precedent).  NULL markers follow SQL ROLLUP: tool IS NULL on role
+    subtotals, both NULL on the grand total; real NULL tools are
+    folded to '' first (as the oracle does) so markers are
+    unambiguous."""
+    from ..functions.parts import arrow_block_refs
+    from ..stages.aggregate import add_part_column, hash_parts
+    fx = _fx(sf_dir)
+    ds = read_transcripts(fx, columns=["conv_id", "role", "tool"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id")
+        keep = pc.fill_null(
+            pc.and_kleene(conv.is_valid(), pc.not_equal(conv, "")), False)
+        batch = batch.filter(keep)
+        t = pa.table({
+            "role": pc.fill_null(batch.column("role"), ""),
+            "tool": pc.fill_null(batch.column("tool"), ""),
+        })
+        agg = t.group_by(["role", "tool"]).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["c" if c == "count_all" else c for c in agg.column_names])
+
+    _empty = pa.schema([("role", pa.string()), ("tool", pa.string()),
+                        ("n", pa.int64())]).empty_table()
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_part"])
+             .group_by(["role", "tool"]).aggregate([("c", "sum")]))
+        if t.num_rows == 0:
+            return _empty
+        leaf = pa.table({"role": t.column("role"), "tool": t.column("tool"),
+                         "n": pc.cast(t.column("c_sum"), pa.int64())})
+        sub = t.group_by(["role"]).aggregate([("c_sum", "sum")])
+        subt = pa.table({
+            "role": sub.column("role"),
+            "tool": pa.array([None] * sub.num_rows, pa.string()),
+            "n": pc.cast(sub.column("c_sum_sum"), pa.int64())})
+        return pa.concat_tables([leaf, subt])
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(add_part_column, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_kwargs={"key": "role",
+                                     "n_parts": hash_parts()})
+             .groupby("_part").map_groups(scan, batch_format="pyarrow"))
+    blocks = [t for t in ray.get(arrow_block_refs(parts)) if t.num_rows]
+    if not blocks:
+        return _empty
+    out = pa.concat_tables([b.cast(_empty.schema) for b in blocks])
+    total = pc.sum(
+        out.filter(out.column("tool").is_valid()).column("n")).as_py() or 0
+    grand = pa.table({"role": pa.array([None], pa.string()),
+                      "tool": pa.array([None], pa.string()),
+                      "n": pa.array([total], pa.int64())})
+    return pa.concat_tables([out, grand])
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -2279,6 +2399,46 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM {TP} WHERE {VALID} GROUP BY conv_id)
             SELECT min(conv_id) AS conv_id FROM c GROUP BY full_text""",
 
+        "cum_chars": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(SUM(COALESCE(length(text), 0)) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_chars
+            FROM {TP} WHERE {VALID}""",
+
+        "role_length_quantiles": f"""
+            WITH t AS (
+              SELECT role, length(text) AS len FROM {TP}
+              WHERE {VALID} AND role IS NOT NULL AND text IS NOT NULL)
+            SELECT role, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(len, 0.5) AS BIGINT) AS value
+            FROM t GROUP BY role
+            UNION ALL
+            SELECT role, CAST(0.9 AS DOUBLE) AS q,
+                   CAST(quantile_disc(len, 0.9) AS BIGINT) AS value
+            FROM t GROUP BY role""",
+
+        "top_tool_per_conv": f"""
+            WITH c AS (
+              SELECT conv_id, tool, count(*) AS n FROM {TP}
+              WHERE {VALID} AND tool IS NOT NULL AND tool <> ''
+              GROUP BY conv_id, tool
+            ), r AS (
+              SELECT conv_id, tool, n,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY n DESC, tool ASC) AS rn
+              FROM c)
+            SELECT conv_id, tool AS top_tool, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1""",
+
+        "rollup_counts": f"""
+            SELECT role, tool, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT COALESCE(role, '') AS role,
+                         COALESCE(tool, '') AS tool
+                  FROM {TP} WHERE {VALID})
+            GROUP BY ROLLUP(role, tool)""",
+
         "role_violations": f"""
             WITH l AS (
               SELECT conv_id, role,
@@ -2404,6 +2564,10 @@ RAY_QUERIES = {
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
     "conv_dedup": q_conv_dedup,
+    "cum_chars": q_cum_chars,
+    "role_length_quantiles": q_role_length_quantiles,
+    "top_tool_per_conv": q_top_tool_per_conv,
+    "rollup_counts": q_rollup_counts,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "token_rarity": q_token_rarity,

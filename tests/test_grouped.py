@@ -1,0 +1,98 @@
+"""grouped_quantiles and grouped_mode must match pandas oracles exactly
+(including quantile_disc rank semantics, mode tie-breaks, and NULL
+skipping); cum_chars_scan is pure-arrow tested for per-segment rebasing
+and NULL-text zeroing."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from d1_log_aggregation_ray.ops.pairs import cum_chars_scan
+from d1_log_aggregation_ray.ops.relational import (grouped_mode,
+                                                   grouped_quantiles)
+
+
+def _ds(t: pa.Table) -> ray.data.Dataset:
+    # many small blocks so partials genuinely merge across batches
+    return ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_size=500, batch_format="pyarrow")
+
+
+def test_grouped_quantiles_matches_quantile_disc():
+    rng = np.random.RandomState(11)
+    n = 10_000
+    keys = [f"k{v}" for v in rng.randint(0, 40, n)]
+    vals = rng.randint(0, 300, n).astype(np.int64)
+    mask = rng.rand(n) < 0.03  # some NULL values must be skipped
+    t = pa.table({"k": pa.array(keys),
+                  "v": pa.array(vals, mask=mask)})
+    qs = [0.25, 0.5, 0.9]
+    got = grouped_quantiles(_ds(t), "k", "v", qs).to_pandas()
+
+    df = t.to_pandas().dropna(subset=["v"])
+    rows = []
+    for k, g in df.groupby("k"):
+        s = np.sort(g["v"].to_numpy().astype(np.int64))
+        for q in qs:
+            rank = max(math.ceil(q * len(s)) - 1, 0)
+            rows.append((k, float(q), int(s[rank])))
+    want = pd.DataFrame(rows, columns=["k", "q", "value"])
+    got = got.sort_values(["k", "q"]).reset_index(drop=True)
+    want = want.sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_mode_tie_breaks_to_smallest_value():
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2 + [None]),
+        "v": pa.array(["y", "x", "y", "x",      # a: tie 2-2 -> x
+                       "z", "z", "w",           # b: z wins 2-1
+                       "q", None,               # c: q (null skipped)
+                       "v"]),                   # null key skipped
+    })
+    got = grouped_mode(_ds(t), "k", "v").to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    want = pd.DataFrame({"k": ["a", "b", "c"],
+                         "top_value": ["x", "z", "q"],
+                         "n": [2, 2, 1]})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_mode_matches_pandas():
+    rng = np.random.RandomState(3)
+    n = 8_000
+    t = pa.table({
+        "k": pa.array([f"c{v}" for v in rng.randint(0, 500, n)]),
+        "v": pa.array([f"t{v}" for v in rng.randint(0, 12, n)]),
+    })
+    got = grouped_mode(_ds(t), "k", "v").to_pandas()
+    df = t.to_pandas()
+    cnt = df.groupby(["k", "v"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(["k", "n", "v"],
+                          ascending=[True, False, True], kind="mergesort")
+    want = cnt.groupby("k").head(1).reset_index(drop=True)
+    got = got.sort_values("k").reset_index(drop=True).rename(
+        columns={"top_value": "v"})[["k", "v", "n"]]
+    pd.testing.assert_frame_equal(got, want[["k", "v", "n"]])
+
+
+def test_cum_chars_scan():
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b", "", None]),
+        "turn_idx": pa.array([2, 0, 1, 1, 0, 0, 0], pa.int32()),
+        "role": pa.array(["u"] * 7),
+        "text": pa.array(["dd", "abc", None, "xy", "z", "ignored", "me"]),
+        "tool": pa.array([None] * 7, pa.string()),
+        "ts": pa.array([0] * 7, pa.timestamp("us")),
+    })
+    out = cum_chars_scan(t)
+    assert out.column("conv_id").to_pylist() == ["a", "a", "a", "b", "b"]
+    assert out.column("turn_idx").to_pylist() == [0, 1, 2, 0, 1]
+    # a: 3, 3+0 (null), 3+0+2; b rebased: 1, 1+2
+    assert out.column("cum_chars").to_pylist() == [3, 3, 5, 1, 3]
+    empty = cum_chars_scan(t.slice(0, 0))
+    assert empty.num_rows == 0 and len(empty.schema) == 3
