@@ -257,3 +257,61 @@ def brute_force_multi_topk(ds: ray.data.Dataset, queries: np.ndarray,
             "score": pa.array(sc[sel][order]),
         }))
     return pa.concat_tables(outs)
+
+
+def hard_negative_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                       q_labels: np.ndarray, k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> pa.Table:
+    """Hard-negative mining for contrastive training: per query, the
+    exact cosine top-k among vectors whose label DIFFERS from the
+    query's (the most-confusable out-of-class neighbors).  Returns
+    (q_idx, id, score), k per query, sorted by (q_idx, -score, id).
+
+    Same scale shape as brute_force_multi_topk — the (Q, d) query
+    matrix + Q labels broadcast once via ray.put, per-batch matmul,
+    same-label columns masked to -inf BEFORE the local top-k, driver
+    merge sees Q*k rows per batch."""
+    qm = _normalize(queries.astype(np.float64))
+    ql = np.asarray(q_labels)
+    ref = ray.put((qm, ql))
+    nq = qm.shape[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv, qlab = ray.get(ref)
+        m = _normalize(_as_matrix(batch, vec_col))
+        scores = m @ qv.T                          # (rows, Q)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        # mask in-class rows per query (broadcasted equality)
+        scores[labels[:, None] == qlab[None, :]] = -np.inf
+        ids = batch.column(id_col).to_numpy()
+        kk = min(k, len(ids))
+        out_q = np.repeat(np.arange(qv.shape[0], dtype=np.int64), kk)
+        picks = np.empty(qv.shape[0] * kk, dtype=np.int64)
+        for qi in range(qv.shape[0]):
+            picks[qi * kk:(qi + 1) * kk] = np.lexsort(
+                (ids, -scores[:, qi]))[:kk]
+        t = pa.table({
+            "q_idx": pa.array(out_q),
+            id_col: pa.array(ids[picks]),
+            "score": pa.array(scores[picks, out_q]),
+        })
+        return t.filter(pa.array(np.isfinite(
+            scores[picks, out_q])))           # drop masked placeholders
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    qi = np.array([r["q_idx"] for r in local], dtype=np.int64)
+    ids = np.array([r[id_col] for r in local])
+    sc = np.array([r["score"] for r in local])
+    outs = []
+    for q in range(nq):
+        sel = qi == q
+        order = np.lexsort((ids[sel], -sc[sel]))[:k]
+        outs.append(pa.table({
+            "q_idx": pa.array(np.full(len(order), q, np.int64)),
+            id_col: pa.array(ids[sel][order]),
+            "score": pa.array(sc[sel][order]),
+        }))
+    return pa.concat_tables(outs)

@@ -1629,6 +1629,78 @@ def q_pca_project(sf_dir: str):
     return pca_project(ds, d_out=4)
 
 
+#: ordered funnel steps over the events stream (first-occurrence strict
+#: funnel — see ops/funnel.funnel_counts)
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered-step funnel: users reaching view -> click -> purchase by
+    strictly-increasing first-occurrence times (the classic telemetry
+    rollup; per-user journeys co-located by one hash exchange, per-step
+    vectorized scan)."""
+    from ..ops.funnel import funnel_counts
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, _FUNNEL_STEPS)
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix: first-active-day cohorts x day offsets
+    (distinct-day combiner before the exchange, hash-partition merge of
+    (cohort, offset) cells — never collected on the driver)."""
+    from ..ops.funnel import retention_counts
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return retention_counts(ds)
+
+
+def q_session_ids(sf_dir: str):
+    """Event-level session assignment (gaps-and-islands row numbering):
+    every event tagged with its user's 1-based session sequence — the
+    row-level companion of the sessionize aggregate."""
+    from ..ops.funnel import session_ids
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return session_ids(ds)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Scalar int8 quantization of the embedding column (range pass +
+    streaming quantize pass), value-gated via per-vector integer
+    digests (sum, sum-of-squares of the codes) so the BIGINT compare
+    vs the SQL oracle is exact."""
+    from ..ops.quantize import quantize_digest
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return quantize_digest(ds)
+
+
+#: hard-negative mining operating point: query ids + per-query top-k
+_HARDNEG_QIDS = [0, 1, 2, 3, 4]
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: per query vector,
+    the exact cosine top-10 among OUT-OF-CLASS vectors (label differs),
+    one corpus scan, labels masked before the local top-k."""
+    from ..ops.similarity import hard_negative_topk
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    qids = _HARDNEG_QIDS
+    idx = [pc.index(t.column("vec_id"), q).as_py() for q in qids]
+    qm = np.stack([np.asarray(t.column("embedding")[i].as_py(),
+                              dtype=np.float64) for i in idx])
+    qlab = np.array([t.column("label")[i].as_py() for i in idx])
+    ds = ray.data.read_parquet(path,
+                               columns=["vec_id", "embedding", "label"])
+    qset = pa.array(qids, pa.int64())
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(
+            pc.cast(b.column("vec_id"), pa.int64()), value_set=qset))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    res = hard_negative_topk(ds, qm, qlab, k=10)
+    return res.select(["q_idx", "vec_id"])
+
+
 def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     """Pinned-golden oracles for the deterministic-but-not-SQL dedup
     families (see scripts/make_goldens.py): the committed survivor id
@@ -2493,6 +2565,91 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type""",
 
+        "funnel_counts": f"""
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = '{_FUNNEL_STEPS[0]}'
+                AND ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+                AND e.ts IS NOT NULL AND e.ts > t1.t
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+                AND e.ts IS NOT NULL AND e.ts > t2.t
+              GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step,
+                   '{_FUNNEL_STEPS[0]}' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_users FROM t1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}',
+                   CAST(count(*) AS BIGINT) FROM t2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}',
+                   CAST(count(*) AS BIGINT) FROM t3""",
+
+        "retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+            SELECT make_timestamp(f.d0 * 86400000000) AS cohort_day,
+                   CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2""",
+
+        "session_ids": """
+            SELECT event_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_seq
+            FROM (SELECT user_id, event_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events WHERE ts IS NOT NULL)""",
+
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT CAST(min(u) AS DOUBLE) AS gmin,
+                     CAST(max(u) AS DOUBLE) AS gmax
+              FROM (SELECT unnest(embedding) AS u FROM embeddings))
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) - s.gmin) * 255.0
+                                     / (s.gmax - s.gmin)) AS BIGINT)))
+                        AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) - s.gmin) * 255.0
+                                     / (s.gmax - s.gmin)) AS BIGINT)),
+                     q -> q * q)) AS BIGINT) AS q_l2
+            FROM embeddings, s""",
+
+        "hard_negatives": f"""
+            SELECT q_idx, vec_id FROM (
+              SELECT q.rn - 1 AS q_idx, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding,
+                                                       q.embedding) DESC,
+                                e.vec_id) AS rn
+              FROM embeddings e,
+                   (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM embeddings
+                    WHERE vec_id IN ({', '.join(map(str, _HARDNEG_QIDS))})) q
+              WHERE e.vec_id NOT IN ({', '.join(map(str, _HARDNEG_QIDS))})
+                AND e.label <> q.label)
+            WHERE rn <= 10""",
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -2584,4 +2741,9 @@ RAY_QUERIES = {
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
     "media_decode": q_media_decode,
+    "funnel_counts": q_funnel_counts,
+    "retention": q_retention,
+    "session_ids": q_session_ids,
+    "quantize_embeddings": q_quantize_embeddings,
+    "hard_negatives": q_hard_negatives,
 }
