@@ -124,7 +124,16 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "media_summary",
                      # per-conv bucket scans: SFT pair extraction,
                      # conversation rollups, role-protocol validation
-                     "sft_pairs", "conv_stats", "role_violations"]:
+                     "sft_pairs", "conv_stats", "role_violations",
+                     # turn-pair scans + conversation-level dedup
+                     "turn_latency", "tool_transitions", "conv_dedup",
+                     # grouped quantiles/mode, rollups, window cumsum
+                     "role_length_quantiles", "top_tool_per_conv",
+                     "rollup_counts", "cum_chars",
+                     # events-stream telemetry rollups
+                     "funnel_counts", "retention", "session_ids",
+                     # embedding compression + contrastive mining
+                     "quantize_embeddings", "hard_negatives"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
