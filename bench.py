@@ -133,7 +133,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # events-stream telemetry rollups
                      "funnel_counts", "retention", "session_ids",
                      # embedding compression + contrastive mining
-                     "quantize_embeddings", "hard_negatives"]:
+                     "quantize_embeddings", "hard_negatives",
+                     # prefix-fork conversation dedup
+                     "fork_dedup"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

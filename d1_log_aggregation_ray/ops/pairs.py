@@ -283,3 +283,93 @@ def role_violations_scan(batch: pa.Table) -> pa.Table:
         "conv_id": batch.column("conv_id").take(pa.array(starts)),
         "n_violations": pa.array(np.add.reduceat(viol, starts)),
     }).cast(_VIOL_SCHEMA)
+
+
+_FORK_SCHEMA = pa.schema([
+    ("part", pa.int64()), ("pfp", pa.string()), ("depth", pa.int64()),
+    ("n_turns", pa.int64()), ("conv_id", pa.string())])
+
+_FORK_OUT_SCHEMA = pa.schema([("conv_id", pa.string())])
+
+
+def prefix_chain_scan(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Chained per-conversation prefix fingerprints for fork dedup:
+    h_k = md5hex(h_{k-1} + US + "role:text"_k) with h_0 = "" — one
+    32-hex fingerprint per (conv, depth), LINEAR in transcript bytes
+    (no cumulative-prefix materialization).  Emits one row per turn:
+    (part, pfp, depth, n_turns, conv_id), where part is derived from
+    the digest itself so the dedup exchange needs no second hash.
+
+    md5 chaining is inherently per-item AND sequential within a conv
+    (each digest feeds the next), so this is the one scan in the
+    family with a per-row python loop — the same irreducible ~1 us/row
+    md5 cost as the exact-dedup fingerprint path, with the rest of the
+    row assembly staying in Arrow.  DuckDB-equivalent formulation: a
+    recursive CTE chaining md5(concat(h, chr(31), piece)) over depth.
+    """
+    import hashlib
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _FORK_SCHEMA.empty_table()
+    gidx, seg_start, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+    seg = np.cumsum(is_start) - 1
+    depth = np.arange(n, dtype=np.int64) - seg_start + 1
+    seg_len = np.diff(np.r_[starts, n])
+    n_turns = seg_len[seg]
+    pieces = pc.binary_join_element_wise(
+        pc.fill_null(batch.column("role"), "").combine_chunks(),
+        pc.fill_null(batch.column("text"), "").combine_chunks(), ":")
+    piece_py = pieces.to_pylist()
+    md5 = hashlib.md5
+    hs = [""] * n
+    parts = np.empty(n, dtype=np.int64)
+    prev = ""
+    P = n_parts
+    for i in range(n):
+        if is_start[i]:
+            prev = ""
+        d = md5((prev + "\x1f" + piece_py[i]).encode("utf-8"))
+        prev = d.hexdigest()
+        hs[i] = prev
+        parts[i] = int.from_bytes(d.digest()[8:], "little") % P
+    return pa.table({
+        "part": pa.array(parts),
+        "pfp": pa.array(hs, pa.string()),
+        "depth": pa.array(depth),
+        "n_turns": pa.array(n_turns),
+        "conv_id": batch.column("conv_id"),
+    }).cast(_FORK_SCHEMA)
+
+
+def fork_dedup_partition(group: pa.Table) -> pa.Table:
+    """Survivor scan for one fingerprint partition: group rows by pfp
+    (all rows of a group share the same depth — equal chains encode
+    equal-length prefixes); a conversation's FULL row (depth ==
+    n_turns) survives iff no other conv extends past it in this group
+    (max n_turns == depth) and it is the min-conv_id full row (exact
+    duplicates keep-first).  A conv that is a proper prefix of another
+    is dropped; the extension is judged in its own full-hash group, so
+    prefix chains A < B < C keep only C."""
+    if group.num_rows == 0:
+        return _FORK_OUT_SCHEMA.empty_table()
+    g = group.sort_by([("pfp", "ascending"), ("conv_id", "ascending")])
+    enc = np.asarray(
+        g.column("pfp").combine_chunks().dictionary_encode().indices)
+    depth = g.column("depth").to_numpy(zero_copy_only=False)
+    nt = g.column("n_turns").to_numpy(zero_copy_only=False)
+    n = len(enc)
+    is_start = np.r_[True, enc[1:] != enc[:-1]]
+    seg = np.cumsum(is_start) - 1
+    nseg = int(seg[-1]) + 1
+    maxn = np.zeros(nseg, dtype=np.int64)
+    np.maximum.at(maxn, seg, nt)
+    full = nt == depth
+    idx = np.arange(n, dtype=np.int64)
+    first_full = np.full(nseg, n, dtype=np.int64)
+    np.minimum.at(first_full, seg[full], idx[full])
+    surv = full & (nt == maxn[seg]) & (idx == first_full[seg])
+    return pa.table({
+        "conv_id": g.column("conv_id").filter(pa.array(surv)),
+    }).cast(_FORK_OUT_SCHEMA)

@@ -6,6 +6,7 @@ sf-scale oracle parity tests can't isolate."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 import ray.data
@@ -136,3 +137,54 @@ def test_quantize_empty_dataset_raises():
     ds = _emb_ds([]).filter(lambda r: False)
     with pytest.raises(ValueError):
         global_minmax(ds)
+
+
+def _conv_table(convs):
+    """convs: dict conv_id -> list of (role, text) in turn order."""
+    cid, tix, role, text = [], [], [], []
+    for c, turns in convs.items():
+        for i, (r, t) in enumerate(turns):
+            cid.append(c); tix.append(i); role.append(r); text.append(t)
+    return pa.table({"conv_id": pa.array(cid, pa.string()),
+                     "turn_idx": pa.array(tix, pa.int32()),
+                     "role": pa.array(role, pa.string()),
+                     "text": pa.array(text, pa.string())})
+
+
+def test_fork_dedup_planted():
+    from d1_log_aggregation_ray.ops.pairs import (fork_dedup_partition,
+                                                  prefix_chain_scan)
+    convs = {
+        # chain a < b < c: only c survives
+        "a": [("user", "hi"), ("assistant", "yo")],
+        "b": [("user", "hi"), ("assistant", "yo"), ("user", "more")],
+        "c": [("user", "hi"), ("assistant", "yo"), ("user", "more"),
+              ("assistant", "done")],
+        # exact duplicates: keep min conv_id
+        "d1": [("user", "same"), ("assistant", "same2")],
+        "d2": [("user", "same"), ("assistant", "same2")],
+        # unrelated conv survives; shares first turn with a/b/c but
+        # diverges at turn 2 -> NOT a prefix
+        "e": [("user", "hi"), ("assistant", "different")],
+    }
+    chains = prefix_chain_scan(_conv_table(convs), n_parts=4)
+    survivors = set()
+    for p in range(4):
+        g = chains.filter(pc.equal(chains.column("part"), p))
+        survivors |= set(
+            fork_dedup_partition(g).column("conv_id").to_pylist())
+    assert survivors == {"c", "d1", "e"}
+
+
+def test_fork_dedup_turn_boundary():
+    # a's single turn text equals b's two texts joined -- must NOT be
+    # treated as a prefix (the chain hashes per-turn, not per-char)
+    from d1_log_aggregation_ray.ops.pairs import (fork_dedup_partition,
+                                                  prefix_chain_scan)
+    convs = {
+        "a": [("user", "x\x1fuser:y")],
+        "b": [("user", "x"), ("user", "y"), ("user", "z")],
+    }
+    chains = prefix_chain_scan(_conv_table(convs), n_parts=1)
+    out = set(fork_dedup_partition(chains).column("conv_id").to_pylist())
+    assert out == {"a", "b"}
