@@ -131,7 +131,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "role_length_quantiles", "top_tool_per_conv",
                      "rollup_counts", "cum_chars",
                      # events-stream telemetry rollups
-                     "funnel_counts", "retention", "session_ids",
+                     "funnel_counts", "funnel_window",
+                     "retention", "session_ids",
                      # embedding compression + contrastive mining
                      "quantize_embeddings", "hard_negatives",
                      # prefix-fork conversation dedup

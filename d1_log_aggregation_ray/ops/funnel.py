@@ -32,10 +32,14 @@ def _user_parts(batch: pa.Table, user_col: str, P: int) -> np.ndarray:
 
 def funnel_counts(ds: ray.data.Dataset, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> ray.data.Dataset:
+                  type_col: str = "event_type",
+                  window_s: int | None = None) -> ray.data.Dataset:
     """Strict ordered funnel by first occurrence: a user reaches step k
     iff they have a step-k event STRICTLY after their first qualifying
     step-(k-1) event (t_k = min ts of step-k events with ts > t_{k-1}).
+    With `window_s`, the step-k event must ALSO fall within window_s
+    seconds of t_{k-1} (the windowed-conversion funnel; an event past
+    the window does not qualify even if a later one would chain on).
     Returns one row per step: (step 1-based, event_type, n_users).
 
     Scale shape: rows are pruned to the funnel's event types at the
@@ -70,6 +74,7 @@ def funnel_counts(ds: ray.data.Dataset, steps: list[str],
         })
 
     n_steps = len(steps)
+    window_us = None if window_s is None else float(window_s) * 1e6
 
     def partition_scan(group: pa.Table) -> pa.Table:
         from .relational import _seg_keys
@@ -86,6 +91,8 @@ def funnel_counts(ds: ray.data.Dataset, steps: list[str],
         counts = np.zeros(n_steps, dtype=np.int64)
         for k in range(n_steps):
             mask = (sidx == k) & (ts > t_prev[uidx])
+            if window_us is not None and k > 0:
+                mask &= ts <= t_prev[uidx] + window_us
             tk = np.full(n_users, np.inf)
             np.minimum.at(tk, uidx[mask], ts[mask].astype(np.float64))
             counts[k] = int((tk < np.inf).sum())

@@ -1661,6 +1661,19 @@ def q_funnel_counts(sf_dir: str):
     return funnel_counts(ds, _FUNNEL_STEPS)
 
 
+#: windowed-funnel conversion deadline (seconds between steps)
+_FUNNEL_WINDOW_S = 2 * 86_400
+
+
+def q_funnel_window(sf_dir: str):
+    """Windowed-conversion funnel: same ordered steps, but each step
+    must occur within _FUNNEL_WINDOW_S of the previous step's first
+    qualifying event (the time-bounded conversion metric)."""
+    from ..ops.funnel import funnel_counts
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, _FUNNEL_STEPS, window_s=_FUNNEL_WINDOW_S)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix: first-active-day cohorts x day offsets
     (distinct-day combiner before the exchange, hash-partition merge of
@@ -2640,6 +2653,36 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}',
                    CAST(count(*) AS BIGINT) FROM t3""",
 
+        "funnel_window": f"""
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = '{_FUNNEL_STEPS[0]}'
+                AND ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+                AND e.ts IS NOT NULL AND e.ts > t1.t
+                AND e.ts <= t1.t + INTERVAL {_FUNNEL_WINDOW_S} SECOND
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+                AND e.ts IS NOT NULL AND e.ts > t2.t
+                AND e.ts <= t2.t + INTERVAL {_FUNNEL_WINDOW_S} SECOND
+              GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step,
+                   '{_FUNNEL_STEPS[0]}' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_users FROM t1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}',
+                   CAST(count(*) AS BIGINT) FROM t2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}',
+                   CAST(count(*) AS BIGINT) FROM t3""",
+
         "retention": """
             WITH a AS (
               SELECT DISTINCT user_id,
@@ -2790,6 +2833,7 @@ RAY_QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "media_decode": q_media_decode,
     "funnel_counts": q_funnel_counts,
+    "funnel_window": q_funnel_window,
     "retention": q_retention,
     "session_ids": q_session_ids,
     "quantize_embeddings": q_quantize_embeddings,

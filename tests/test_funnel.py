@@ -188,3 +188,22 @@ def test_fork_dedup_turn_boundary():
     chains = prefix_chain_scan(_conv_table(convs), n_parts=1)
     out = set(fork_dedup_partition(chains).column("conv_id").to_pylist())
     assert out == {"a", "b"}
+
+
+def test_funnel_window_deadline():
+    # u1: click 5us after view (inside window); u2: click 100us after
+    # view (outside 10us window) -> drops; u3: first click misses the
+    # window and a later click inside ANOTHER gap must not resurrect
+    # (the window anchors to the FIRST qualifying prior step).
+    ds = _events_ds(
+        users=[1, 1, 2, 2, 3, 3, 3],
+        types=["view", "click",
+               "view", "click",
+               "view", "click", "click"],
+        ts_us=[0, 5,
+               0, 100,
+               0, 100, 200])
+    out = {r["event_type"]: r["n_users"]
+           for r in funnel_counts(ds, ["view", "click"],
+                                  window_s=1e-5).take_all()}
+    assert out == {"view": 3, "click": 1}
