@@ -1,0 +1,96 @@
+"""Round-trip tests for the multi-format ingest normalizer: a fixture
+transcript bucket exported to JSONL and CSV must read back (through
+read_transcripts_jsonl / read_transcripts_csv) equal to the parquet
+original under the canonical schema."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from d1_log_aggregation_ray.sources.ingest import (TRANSCRIPT_SCHEMA,
+                                                   normalize_transcripts,
+                                                   read_transcripts_csv,
+                                                   read_transcripts_jsonl)
+
+
+@pytest.fixture(scope="module")
+def bucket_table(fx_dir):
+    path = sorted(glob.glob(os.path.join(fx_dir, "transcripts",
+                                         "part-*.parquet")))[0]
+    t = pq.read_table(path, columns=[f.name for f in TRANSCRIPT_SCHEMA])
+    return t.cast(TRANSCRIPT_SCHEMA)
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.select([f.name for f in TRANSCRIPT_SCHEMA]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def test_jsonl_roundtrip(bucket_table, tmp_path):
+    p = tmp_path / "bucket.jsonl"
+    with open(p, "w") as f:
+        for row in bucket_table.to_pylist():
+            row["ts"] = (None if row["ts"] is None
+                         else int(row["ts"].timestamp() * 1e6))
+            f.write(json.dumps(row) + "\n")
+    got = _sorted(pa.Table.from_pandas(
+        read_transcripts_jsonl(str(p)).to_pandas(),
+        schema=TRANSCRIPT_SCHEMA, preserve_index=False))
+    assert got.equals(_sorted(bucket_table))
+
+
+def test_jsonl_iso_ts_and_missing_cols(tmp_path):
+    p = tmp_path / "iso.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"conv_id": "c1", "turn_idx": 0,
+                            "role": "user", "text": "hi",
+                            "ts": "2025-01-02T03:04:05.123456",
+                            "extra": "dropped"}) + "\n")
+        f.write(json.dumps({"conv_id": "c1", "turn_idx": 1,
+                            "role": "assistant", "text": "yo",
+                            "ts": "2025-01-02T03:04:06.000001"}) + "\n")
+    t = _sorted(pa.Table.from_pandas(
+        read_transcripts_jsonl(str(p)).to_pandas(),
+        schema=TRANSCRIPT_SCHEMA, preserve_index=False))
+    assert t.schema.equals(TRANSCRIPT_SCHEMA)
+    assert t.column("tool").null_count == 2       # missing -> typed null
+    assert "extra" not in t.column_names
+    us = t.column("ts").cast(pa.int64()).to_pylist()
+    assert us[1] - us[0] == 876545                # fractional secs kept
+
+
+def test_csv_roundtrip_modulo_empty_strings(bucket_table, tmp_path):
+    from pyarrow import csv as pa_csv
+    p = tmp_path / "bucket.csv"
+    # CSV cannot carry timestamps natively at us precision reliably;
+    # export ts as epoch-us int64 (the documented int contract)
+    exp = bucket_table.set_column(
+        bucket_table.schema.get_field_index("ts"), "ts",
+        bucket_table.column("ts").cast(pa.int64()))
+    pa_csv.write_csv(exp, str(p))
+    got = _sorted(pa.Table.from_pandas(
+        read_transcripts_csv(str(p)).to_pandas(),
+        schema=TRANSCRIPT_SCHEMA, preserve_index=False))
+    # CSV round-trip maps ""/null to null: compare with "" -> null,
+    # applied BEFORE sorting so null rows land in the same positions
+    want = bucket_table
+    for c in ["role", "text", "tool", "conv_id"]:
+        i = want.schema.get_field_index(c)
+        col = want.column(c).combine_chunks()
+        want = want.set_column(
+            i, c, pc.if_else(pc.equal(pc.fill_null(col, ""), ""),
+                             pa.nulls(len(col), pa.string()), col))
+    assert got.equals(_sorted(want))
+
+
+def test_normalize_rejects_bad_ts_type():
+    t = pa.table({"conv_id": pa.array(["a"]),
+                  "turn_idx": pa.array([0], pa.int32()),
+                  "ts": pa.array([1.5], pa.float64())})
+    with pytest.raises(TypeError):
+        normalize_transcripts(t)
