@@ -62,6 +62,29 @@ def cmd_reconcile(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .sources.compact import compact_output
+    _ensure_ray()
+    man = compact_output(args.out).take_all()
+    merged = [r for r in man if r["action"] == "merged"]
+    print(json.dumps({"leaves": len(man), "merged": len(merged),
+                      "rows_merged": sum(r["n_rows"] for r in merged)}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .gen.fixtures import generate_fixtures
+    from .sources.export import export_conversations_jsonl
+    _ensure_ray()
+    fx = generate_fixtures(args.sf_dir)
+    man = export_conversations_jsonl(fx, args.out).take_all()
+    done = [r for r in man if not r["skipped"]]
+    print(json.dumps({"shards": len(man), "written": len(done),
+                      "n_convs": sum(r["n_convs"] for r in done),
+                      "n_turns": sum(r["n_turns"] for r in done)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.queries import RAY_QUERIES
     _ensure_ray()
@@ -93,6 +116,15 @@ def main(argv=None) -> int:
     c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_reconcile)
+
+    k = sub.add_parser("compact")
+    k.add_argument("--out", required=True)
+    k.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("export")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export)
 
     q = sub.add_parser("query")
     q.add_argument("name")

@@ -25,3 +25,21 @@ def test_cli_harvest_reconcile_query(fx_dir, tmp_path, capsys):
         name="events_agg", sf_dir="/root/testdata/sf0.001"))
     q = capsys.readouterr().out
     assert "rows=" in q
+
+
+def test_cli_compact_and_export(fx_dir, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    cli.cmd_harvest(argparse.Namespace(
+        sf_dir="/root/testdata/sf0.001", out=out, wave_size=16,
+        no_resume=True))
+    capsys.readouterr()
+
+    cli.cmd_compact(argparse.Namespace(out=out))
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["leaves"] > 0 and comp["merged"] == 0  # single-slice leaves
+
+    exp = str(tmp_path / "export")
+    cli.cmd_export(argparse.Namespace(
+        sf_dir="/root/testdata/sf0.001", out=exp))
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e["written"] == e["shards"] > 0 and e["n_turns"] > 0
