@@ -161,19 +161,38 @@ def ivf_topk(index_dir: str, query: np.ndarray, k: int = 10,
     return brute_force_topk(sub, query, k, id_col, vec_col)
 
 
+def lsh_probe_set(planes: np.ndarray, q_normed: np.ndarray,
+                  n_flips: int = 2) -> set:
+    """Multiprobe bucket set for random-hyperplane LSH: the query's
+    signature plus every signature within `n_flips` Hamming bits.
+    Shared by lsh_topk and its generated SQL oracle so the probed
+    buckets can never drift between the Ray path and the check.
+    Probe mass is sum(C(n_planes, j) for j<=n_flips)/2^n_planes
+    (37/256 at the 8-plane/2-flip default)."""
+    n_planes = planes.shape[0]
+    qsig = int((((planes @ q_normed) > 0).astype(np.uint32)
+                << np.arange(n_planes, dtype=np.uint32)).sum())
+    want = {qsig}
+    frontier = {qsig}
+    for _ in range(n_flips):
+        frontier = {s ^ (1 << i) for s in frontier
+                    for i in range(n_planes)} - want
+        want |= frontier
+    return want
+
+
 def lsh_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> pa.Table:
-    """Approximate top-k: random-hyperplane LSH pre-filter (query bucket
-    + 1-bit-flip neighbor buckets), then exact cosine on candidates."""
+             vec_col: str = "embedding", n_flips: int = 2) -> pa.Table:
+    """Approximate top-k: random-hyperplane LSH pre-filter (query
+    bucket + all <=n_flips-bit neighbor buckets, standard multiprobe),
+    then exact cosine on candidates."""
     dim = len(query)
     rng = np.random.RandomState(11)
     planes = rng.randn(n_planes, dim)
     q = query.astype(np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
-    qsig = int((((planes @ q) > 0).astype(np.uint32)
-                << np.arange(n_planes, dtype=np.uint32)).sum())
-    want = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
+    want = lsh_probe_set(planes, q, n_flips)
     pref = ray.put((planes, q))
 
     def candidates(batch: pa.Table) -> pa.Table:

@@ -1360,19 +1360,18 @@ def _lang_id_sql() -> str:
 def _ann_lsh_sql(sf_dir: str) -> str:
     """DuckDB mirror of ops/similarity.lsh_topk: the same seeded
     hyperplanes inlined as literals (full repr precision), the same
-    wanted-signature set (query bucket + 1-bit flips), exact cosine +
-    (score DESC, vec_id) ordering on the filtered candidates.  Sign
-    agreement between numpy and DuckDB dot products holds unless a
-    projection is within float rounding of 0 (validated in pytest at
-    two scales)."""
+    wanted-signature set (shared lsh_probe_set — query bucket + all
+    <=2-bit multiprobe neighbors), exact cosine + (score DESC, vec_id)
+    ordering on the filtered candidates.  Sign agreement between numpy
+    and DuckDB dot products holds unless a projection is within float
+    rounding of 0 (validated in pytest at two scales)."""
+    from ..ops.similarity import lsh_probe_set
     n_planes = 8
     q = _query_vec(sf_dir)
     rng = np.random.RandomState(11)
     planes = rng.randn(n_planes, len(q))
     qn = q / (np.linalg.norm(q) or 1.0)
-    qsig = int((((planes @ qn) > 0).astype(np.uint32)
-                << np.arange(n_planes, dtype=np.uint32)).sum())
-    want = sorted({qsig} | {qsig ^ (1 << i) for i in range(n_planes)})
+    want = sorted(lsh_probe_set(planes, qn, n_flips=2))
     # string -> DOUBLE literals: bare decimals parse as DECIMAL in
     # DuckDB and lose low bits (same fix as the golden-pin SQL), which
     # could flip a near-zero projection's sign
