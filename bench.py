@@ -123,8 +123,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "organize_embeddings",
                      "media_summary",
                      # per-conv bucket scans: SFT pair extraction,
-                     # conversation rollups, role-protocol validation
+                     # conversation rollups, role-protocol validation,
+                     # budgeted multi-turn context assembly
                      "sft_pairs", "conv_stats", "role_violations",
+                     "context_windows",
                      # turn-pair scans + conversation-level dedup
                      "turn_latency", "tool_transitions", "conv_dedup",
                      # grouped quantiles/mode, rollups, window cumsum

@@ -373,3 +373,70 @@ def fork_dedup_partition(group: pa.Table) -> pa.Table:
     return pa.table({
         "conv_id": g.column("conv_id").filter(pa.array(surv)),
     }).cast(_FORK_OUT_SCHEMA)
+
+
+_CTX_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("context", pa.string()), ("response", pa.string())])
+
+# context budget: the fixture corpus averages ~14 turns x ~35 chars/line,
+# so a 300-char tail truncates the typical full-conversation context —
+# both the truncated and the short-context branches are exercised at
+# every sf (the realistic detail: training context windows are budgeted
+# from the RIGHT, keeping the most recent turns)
+CONTEXT_BUDGET_CHARS = 300
+
+
+def context_windows_scan(batch: pa.Table,
+                         max_chars: int = CONTEXT_BUDGET_CHARS) -> pa.Table:
+    """Multi-turn training-context assembly: for each assistant turn,
+    emit the concatenated transcript of ALL prior turns in its
+    conversation ("role: text" lines joined by \\n), tail-truncated to
+    max_chars (most-recent turns kept), plus the assistant text as the
+    response.  First-turn assistants get NULL context (SQL: string_agg
+    over an empty window frame).
+
+    Shuffle-free under the whole-bucket contract.  Vectorization note:
+    line strings and cumulative char offsets are built with one Arrow
+    join + one cumsum; per-conversation prefix contexts are then O(1)
+    slices of ONE bucket-level concatenated string (off[] indexes it),
+    so the Python loop below does exactly one C-level slice per OUTPUT
+    row — work is bounded by output size (<= n_assistant x max_chars),
+    never by context length squared.  Generalizes the reference's
+    order-dependent per-key accumulation walk
+    (LogEntrySolrItem.java:444-474) to payload assembly."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _CTX_SCHEMA.empty_table()
+    _, seg_start, _ = _segments(batch)
+    role = pc.fill_null(batch.column("role"), "")
+    text = batch.column("text")
+    lines = pc.binary_join_element_wise(
+        role, pc.fill_null(text, ""), ": ").to_pylist()
+    big = "\n".join(lines)
+    # off[i] = char offset in `big` just PAST line i's trailing \n;
+    # line i starts at off[i-1]; len() (code points) matches both
+    # python slicing and DuckDB right() semantics
+    off = np.cumsum(np.fromiter((len(s) + 1 for s in lines),
+                                dtype=np.int64, count=n))
+    is_asst = pc.fill_null(
+        pc.equal(batch.column("role"), "assistant"), False).to_numpy(
+        zero_copy_only=False)
+    idx = np.flatnonzero(is_asst)
+    ctx: list[str | None] = []
+    for i in idx:
+        s = seg_start[i]
+        if i == s:
+            ctx.append(None)  # no prior turns: empty window frame
+            continue
+        conv0 = int(off[s - 1]) if s > 0 else 0
+        end = int(off[i - 1]) - 1  # strip the trailing separator
+        ctx.append(big[max(conv0, end - max_chars):end])
+    take = pa.array(idx)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(take),
+        "turn_idx": batch.column("turn_idx").take(take),
+        "context": pa.array(ctx, pa.string()),
+        "response": text.take(take),
+    }).cast(_CTX_SCHEMA)

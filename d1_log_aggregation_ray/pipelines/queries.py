@@ -1044,6 +1044,16 @@ def q_sft_pairs(sf_dir: str):
     return _bucket_scan(sf_dir, sft_pairs_scan)
 
 
+def q_context_windows(sf_dir: str):
+    """Multi-turn SFT context assembly: each assistant turn paired with
+    the char-budgeted tail of its full prior-conversation transcript
+    ("role: text" lines) — the training-example construction step.
+    Shuffle-free whole-bucket scan; per-row work is one string slice
+    (ops/pairs.context_windows_scan)."""
+    from ..ops.pairs import context_windows_scan
+    return _bucket_scan(sf_dir, context_windows_scan)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation rollup (turns, assistant turns, tool calls,
     chars, wall duration): the reference's per-harvest throughput /
@@ -1776,6 +1786,7 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
     the files exist before the driver runs the SQL)."""
+    from ..ops.pairs import CONTEXT_BUDGET_CHARS
     fx = _fx(sf_dir)
     TP = f"read_parquet('{fx}/transcripts/*.parquet')"
     META = f"read_parquet('{fx}/conv_meta.parquet')"
@@ -2451,6 +2462,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               ON u.conv_id = m.conv_id AND u.turn_idx = m.pidx
             WHERE m.role = 'assistant' AND m.pidx IS NOT NULL""",
 
+        "context_windows": f"""
+            SELECT conv_id, turn_idx, context, response FROM (
+              SELECT conv_id, turn_idx, role, text AS response,
+                     right(string_agg(coalesce(role, '') || ': ' ||
+                                      coalesce(text, ''), chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       {CONTEXT_BUDGET_CHARS}) AS context
+              FROM {TP} WHERE {VALID})
+            WHERE role = 'assistant'""",
+
         "conv_stats": f"""
             SELECT conv_id, count(*) AS n_turns,
                    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
@@ -2805,6 +2827,7 @@ RAY_QUERIES = {
     "window_distinct": q_window_distinct,
     "event_seq": q_event_seq,
     "sft_pairs": q_sft_pairs,
+    "context_windows": q_context_windows,
     "conv_stats": q_conv_stats,
     "role_violations": q_role_violations,
     "turn_latency": q_turn_latency,

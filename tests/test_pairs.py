@@ -157,3 +157,30 @@ def test_empty_inputs_are_schema_stable():
     # all-corrupt input also hits the typed-empty path
     bad = BASE.filter(pa.compute.is_null(BASE.column("conv_id")))
     assert sft_pairs_scan(bad).num_rows == 0
+
+
+def test_context_windows_basic_and_truncation():
+    from d1_log_aggregation_ray.ops.pairs import context_windows_scan
+    out = context_windows_scan(BASE).to_pylist()
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # conv a, turn 1: one prior line, no truncation
+    assert by_key[("a", 1)]["context"] == "user: q1"
+    assert by_key[("a", 1)]["response"] == "r1"
+    # conv a, turn 4: all four prior lines joined by \n
+    assert by_key[("a", 4)]["context"] == (
+        "user: q1\nassistant: r1\nuser: q2\ntool: t")
+    # conv b, turn 0: first-turn assistant -> NULL context, row kept
+    assert by_key[("b", 0)]["context"] is None
+    assert by_key[("b", 0)]["response"] == "orphan"
+    # conv b, turn 2: context never leaks conv a's lines; null text
+    # renders as "role: " in the line and NULL in the response
+    assert by_key[("b", 2)]["context"] == "assistant: orphan\nuser: q3"
+    assert by_key[("b", 2)]["response"] is None
+    # only assistant turns are emitted
+    assert set(by_key) == {("a", 1), ("a", 4), ("b", 0), ("b", 2)}
+    # tail truncation keeps the most recent chars
+    tr = context_windows_scan(BASE, max_chars=10)
+    got = {(r["conv_id"], r["turn_idx"]): r["context"]
+           for r in tr.to_pylist()}
+    assert got[("a", 4)] == "\nuser: q2\ntool: t"[-10:]
+    assert got[("a", 1)] == "user: q1"  # short contexts untouched
