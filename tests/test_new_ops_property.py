@@ -100,3 +100,45 @@ def test_train_split_matches_hash_rule(ids):
         h = md5_lower64(f"s42:{i}") % 100
         want = "train" if h < 80 else ("val" if h < 90 else "test")
         assert out[i] == want
+
+
+# --- context_windows vs a naive per-row python reference -------------
+
+_conv_rows = st.lists(
+    st.tuples(st.sampled_from(["c1", "c2", "c3"]),          # conv_id
+              st.sampled_from(["user", "assistant", "tool",
+                               None]),                       # role
+              st.one_of(st.none(),
+                        st.text(st.characters(
+                            whitelist_categories=("L", "N"),
+                            whitelist_characters=" :\né"),
+                            max_size=12))),                  # text
+    min_size=0, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(_conv_rows, st.integers(1, 25))
+def test_context_windows_matches_naive_reference(rows, budget):
+    from d1_log_aggregation_ray.ops.pairs import context_windows_scan
+    t = pa.table({
+        "conv_id": pa.array([c for c, _, _ in rows], pa.string()),
+        "turn_idx": pa.array(range(len(rows)), pa.int32()),
+        "role": pa.array([r for _, r, _ in rows], pa.string()),
+        "text": pa.array([x for _, _, x in rows], pa.string()),
+    })
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["context"], r["response"])
+           for r in context_windows_scan(t, max_chars=budget).to_pylist()}
+    # naive reference: accumulate lines per conv in turn order
+    want = {}
+    hist: dict = {}
+    order = sorted(range(len(rows)), key=lambda i: rows[i][0])
+    for i in order:
+        conv, role, text = rows[i]
+        if role == "assistant":
+            ctx = "\n".join(hist.get(conv, ())) or None
+            want[(conv, i)] = (ctx if ctx is None else ctx[-budget:],
+                               text)
+        hist.setdefault(conv, []).append(
+            f"{role or ''}: {text or ''}")
+    assert got == want
