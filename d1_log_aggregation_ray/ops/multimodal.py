@@ -84,16 +84,40 @@ class MediaDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        decode = self._decode_fake if self.fake else self._decode_real
-        metas = [decode(p, k) for p, k in zip(payloads, kinds)]
+        n = len(payloads)
+        if not self.fake:
+            metas = [self._decode_real(p, k)
+                     for p, k in zip(payloads, kinds)]
+            width = np.array([m["width"] for m in metas], np.int64)
+            height = np.array([m["height"] for m in metas], np.int64)
+            n_frames = np.array([m["n_frames"] for m in metas], np.int64)
+            dur = np.array([m["duration_ms"] for m in metas], np.int64)
+        else:
+            # vectorized fake path, bit-identical to _decode_fake: the
+            # crc32 per payload stays a per-row C call (bytes are
+            # opaque), all derived geometry is numpy arithmetic
+            h = np.fromiter((zlib.crc32(p) for p in payloads),
+                            dtype=np.int64, count=n)
+            h8 = h >> 8
+            kind_arr = np.asarray(kinds, dtype=object)
+            is_img, is_aud = kind_arr == "image", kind_arr == "audio"
+            width = np.where(is_img, 64 + h % 1920,
+                             np.where(is_aud, 0, 320 + h % 1600))
+            height = np.where(is_img, 64 + h8 % 1080,
+                              np.where(is_aud, 0, 240 + h8 % 840))
+            n_frames = np.where(is_img, 1,
+                                np.where(is_aud, 0, 1 + h % 7200))
+            dur = np.where(is_img, 0,
+                           np.where(is_aud, 100 + h % 600000,
+                                    1000 + h % 300000))
         out = pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
             "n_bytes": batch.column("n_bytes"),
-            "width": pa.array([m["width"] for m in metas], pa.int64()),
-            "height": pa.array([m["height"] for m in metas], pa.int64()),
-            "n_frames": pa.array([m["n_frames"] for m in metas], pa.int64()),
-            "duration_ms": pa.array([m["duration_ms"] for m in metas], pa.int64()),
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "n_frames": pa.array(n_frames),
+            "duration_ms": pa.array(dur),
         })
         if self.keep_payload:
             out = out.append_column("payload", batch.column("payload"))

@@ -471,3 +471,17 @@ def test_incremental_exact_dedup_planted():
     got2 = sorted(r["doc_id"] for r in incremental_exact_dedup(
         ray.data.from_arrow(t).repartition(5)).take_all())
     assert got2 == got
+
+
+def test_media_decoder_vectorized_fake_path_bit_identical():
+    """The vectorized fake-decode arithmetic must reproduce the scalar
+    _decode_fake formula row for row (same crc32, same mod math)."""
+    import pyarrow as pa
+    texts = ["", "a", "payload-42", "é" * 100, "x" * 5000]
+    kinds = ["image", "audio", "video", "image", "video"]
+    t = make_fake_media_table(texts, kinds)
+    dec = MediaDecoder(fake=True)
+    got = dec(t).to_pylist()
+    for row, p, k in zip(got, t.column("payload").to_pylist(), kinds):
+        want = dec._decode_fake(p, k)
+        assert {f: row[f] for f in want} == want, (p, k)
