@@ -126,7 +126,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # conversation rollups, role-protocol validation,
                      # budgeted multi-turn context assembly
                      "sft_pairs", "conv_stats", "role_violations",
-                     "context_windows",
+                     "context_windows", "tool_loops",
                      # turn-pair scans + conversation-level dedup
                      "turn_latency", "tool_transitions", "conv_dedup",
                      # grouped quantiles/mode, rollups, window cumsum

@@ -440,3 +440,48 @@ def context_windows_scan(batch: pa.Table,
         "context": pa.array(ctx, pa.string()),
         "response": text.take(take),
     }).cast(_CTX_SCHEMA)
+
+
+_LOOPS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("max_run", pa.int64())])
+
+
+def tool_loops_scan(batch: pa.Table) -> pa.Table:
+    """Agent-loop signal: per conversation, the LONGEST run of
+    consecutive identical tool invocations (runs counted over the
+    tool-bearing turns in turn order; intervening non-tool turns do
+    not break a run — the gaps-and-islands formulation).  One row per
+    conversation that calls any tool.  A max_run of 3+ is the classic
+    stuck-agent retry loop; emitting the full distribution (not a
+    thresholded flag) lets callers pick their own gate and gives the
+    oracle the whole histogram to check.
+
+    Shuffle-free whole-bucket scan; one lexsort-free vectorized pass
+    (input arrives (conv, turn) sorted; the filter preserves order).
+    Same per-key sequential-walk lineage as the reference's repeat-
+    visit cache (ReadEventCounterCache.java:97-103) — state here is
+    the run accumulator instead of the visit window."""
+    batch = _valid_sorted(batch)
+    tool = batch.column("tool")
+    ok = pc.and_kleene(tool.is_valid(), pc.not_equal(tool, pa.scalar("")))
+    batch = batch.filter(pc.fill_null(ok, False))
+    n = batch.num_rows
+    if n == 0:
+        return _LOOPS_SCHEMA.empty_table()
+    gidx, _, is_start = _segments(batch)
+    tidx = np.asarray(
+        batch.column("tool").combine_chunks().dictionary_encode().indices)
+    new_run = is_start.copy()
+    new_run[1:] |= tidx[1:] != tidx[:-1]
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.r_[run_starts, n])
+    conv_of_run = gidx[run_starts]
+    nconv = int(gidx[-1]) + 1 if n else 0
+    # conv codes are assigned in first-appearance order == sorted order
+    max_run = np.zeros(nconv, dtype=np.int64)
+    np.maximum.at(max_run, conv_of_run, run_lens)
+    conv_first_row = np.flatnonzero(is_start)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(conv_first_row)),
+        "max_run": pa.array(max_run),
+    }).cast(_LOOPS_SCHEMA)

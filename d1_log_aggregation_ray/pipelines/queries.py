@@ -1054,6 +1054,15 @@ def q_context_windows(sf_dir: str):
     return _bucket_scan(sf_dir, context_windows_scan)
 
 
+def q_tool_loops(sf_dir: str):
+    """Agent-loop detection signal: per tool-using conversation, the
+    longest run of consecutive identical tool invocations (gaps-and-
+    islands over tool-bearing turns) — the stuck-agent retry-loop
+    histogram (ops/pairs.tool_loops_scan)."""
+    from ..ops.pairs import tool_loops_scan
+    return _bucket_scan(sf_dir, tool_loops_scan)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation rollup (turns, assistant turns, tool calls,
     chars, wall duration): the reference's per-harvest throughput /
@@ -2473,6 +2482,23 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM {TP} WHERE {VALID})
             WHERE role = 'assistant'""",
 
+        "tool_loops": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, tool FROM {TP}
+              WHERE {VALID} AND tool IS NOT NULL AND tool <> ''
+            ), s AS (
+              SELECT conv_id, tool,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                   - row_number() OVER (PARTITION BY conv_id, tool
+                                        ORDER BY turn_idx) AS grp
+              FROM t
+            ), runs AS (
+              SELECT conv_id, count(*) AS run_len
+              FROM s GROUP BY conv_id, tool, grp)
+            SELECT conv_id, CAST(max(run_len) AS BIGINT) AS max_run
+            FROM runs GROUP BY conv_id""",
+
         "conv_stats": f"""
             SELECT conv_id, count(*) AS n_turns,
                    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
@@ -2828,6 +2854,7 @@ RAY_QUERIES = {
     "event_seq": q_event_seq,
     "sft_pairs": q_sft_pairs,
     "context_windows": q_context_windows,
+    "tool_loops": q_tool_loops,
     "conv_stats": q_conv_stats,
     "role_violations": q_role_violations,
     "turn_latency": q_turn_latency,

@@ -184,3 +184,30 @@ def test_context_windows_basic_and_truncation():
            for r in tr.to_pylist()}
     assert got[("a", 4)] == "\nuser: q2\ntool: t"[-10:]
     assert got[("a", 1)] == "user: q1"  # short contexts untouched
+
+
+def test_tool_loops_runs_and_boundaries():
+    from d1_log_aggregation_ray.ops.pairs import tool_loops_scan
+    t = _t([
+        # conv a: search x2 (non-tool turn between -> run continues),
+        # then calc breaks it, then search again (new run of 1)
+        ("a", 0, "user", "q", None, 1),
+        ("a", 1, "tool", "t", "search", 2),
+        ("a", 2, "assistant", "r", None, 3),
+        ("a", 3, "tool", "t", "search", 4),
+        ("a", 4, "tool", "t", "calc", 5),
+        ("a", 5, "tool", "t", "search", 6),
+        # conv b: the stuck-agent loop, search x3; empty-string tool
+        # rows are not tool calls
+        ("b", 0, "tool", "t", "search", 1),
+        ("b", 1, "tool", "t", "search", 2),
+        ("b", 2, "tool", "t", "", 3),
+        ("b", 3, "tool", "t", "search", 4),
+        # conv c: no tool calls -> not emitted
+        ("c", 0, "user", "q", None, 1),
+        # run never spans conversations: d's search doesn't extend b's
+        ("d", 0, "tool", "t", "search", 1),
+    ])
+    got = {r["conv_id"]: r["max_run"]
+           for r in tool_loops_scan(t).to_pylist()}
+    assert got == {"a": 2, "b": 3, "d": 1}
