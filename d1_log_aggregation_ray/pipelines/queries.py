@@ -1306,8 +1306,9 @@ def q_distinct_users(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate distinct users per event type (mergeable-sketch
-    combiner: the exchange moves 4 KiB sketches, not the key column;
-    rows-only check — approximation has no exact SQL oracle)."""
+    combiner: the exchange moves 4 KiB sketches, not the key column).
+    The estimate is deterministic (md5 hashing, fixed p), so the
+    oracle is a pinned golden VALUES table per sf (make_goldens)."""
     from ..ops.sketch import approx_distinct
     ds = _events(sf_dir, ["event_type", "user_id"])
     return approx_distinct(ds, key="event_type", distinct_col="user_id")
