@@ -699,3 +699,125 @@ def grouped_mode(ds: ray.data.Dataset, key_col: str, val_col: str,
                          fn_kwargs={"key": key_col,
                                     "n_parts": _asof_parts()})
             .groupby("_part").map_groups(scan, batch_format="pyarrow"))
+
+
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
+                  key: str, ts_col: str, lo_col: str, hi_col: str,
+                  pt_id_col: str = "event_id",
+                  ivl_id_col: str = "anchor_id") -> ray.data.Dataset:
+    """Distributed equi+range INTERVAL join: emit one (point_id,
+    interval_id) pair for every point row whose key equals an interval
+    row's key AND lo <= ts <= hi (inclusive both ends, 1-to-many) —
+    SQL `FROM p JOIN i ON p.key = i.key AND p.ts BETWEEN i.lo AND
+    i.hi`.  The operator Ray Data lacks for sessions-x-events /
+    promo-window attribution work.
+
+    Scale shape (both sides large): the union co-partition pattern
+    (anti_join_keys) — each side becomes narrow rows tagged with the
+    SAME _part = hash(key) % P, ONE sort-exchange co-locates them, and
+    a vectorized scan per partition resolves every point with two
+    np.searchsorted calls via the BOUNDED-WIDTH trick: with W = the
+    partition's max interval width, the candidate intervals for a
+    point at t are exactly those with lo in [t - W, t] on the same
+    key; (key_rank, lo_rank) composite encoding makes both bound
+    lookups one searchsorted each, the candidate runs are expanded by
+    a repeat/arange scatter (no per-point python), and the hi >= t
+    containment filter finishes the join.  Nothing is broadcast and
+    no side needs to fit anywhere whole.
+
+    Partitioning contract (documented per the SURVEY custom-operator
+    rule): one hash partition (~both sides / P rows) must fit a worker
+    heap — P scales with the cluster; and candidate expansion is
+    bounded by intervals-per-key within any W-wide span, so a single
+    pathological key with N overlapping max-width intervals costs
+    O(N * points-on-key) pairs — the true join cardinality, not an
+    artifact.  Null keys / ts / bounds never match (SQL comparison
+    semantics): they are dropped before the exchange.
+    """
+    P = _asof_parts()
+
+    _EMPTY = pa.table({pt_id_col: pa.array([], pa.int64()),
+                       ivl_id_col: pa.array([], pa.int64())})
+
+    def pt_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch.column(key).combine_chunks().is_valid(),
+                       batch.column(ts_col).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        k = _seg_keys(batch.column(key))
+        return pa.table({
+            "_part": pa.array(_key_parts(k, P)),
+            "k": pa.array(k),
+            "a": pc.cast(batch.column(ts_col), pa.int64()),
+            "b": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "rid": pc.cast(batch.column(pt_id_col), pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8))})
+
+    def ivl_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(batch.column(key).combine_chunks().is_valid(),
+                    batch.column(lo_col).combine_chunks().is_valid()),
+            batch.column(hi_col).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        k = _seg_keys(batch.column(key))
+        return pa.table({
+            "_part": pa.array(_key_parts(k, P)),
+            "k": pa.array(k),
+            "a": pc.cast(batch.column(lo_col), pa.int64()),
+            "b": pc.cast(batch.column(hi_col), pa.int64()),
+            "rid": pc.cast(batch.column(ivl_id_col), pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8))})
+
+    p_rows = points.select_columns([key, ts_col, pt_id_col]).map_batches(
+        pt_rows, batch_format="pyarrow", zero_copy_batch=True)
+    i_rows = intervals.select_columns(
+        [key, lo_col, hi_col, ivl_id_col]).map_batches(
+        ivl_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "side" not in group.schema.names:
+            return _EMPTY
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        isl = side == 0
+        pk, pt_, pid = k[isl], a[isl], rid[isl]
+        ik, ilo, ihi, iid = k[~isl], a[~isl], b[~isl], rid[~isl]
+        if len(pk) == 0 or len(ik) == 0:
+            return _EMPTY
+        ok_w = ihi >= ilo  # degenerate/negative intervals never match
+        ik, ilo, ihi, iid = ik[ok_w], ilo[ok_w], ihi[ok_w], iid[ok_w]
+        if len(ik) == 0:
+            return _EMPTY
+        W = np.int64((ihi - ilo).max())
+        # composite (key_rank, value_rank) over a shared value universe
+        # so both bound lookups are one searchsorted each
+        all_keys = np.unique(np.concatenate([ik, pk]))
+        lo_w = pt_ - W  # int64; ts are us-epoch, no overflow headroom issue
+        all_vals = np.unique(np.concatenate([ilo, pt_, lo_w]))
+        span = np.int64(len(all_vals) + 2)
+        order = np.lexsort((ilo, ik))
+        ik, ilo, ihi, iid = ik[order], ilo[order], ihi[order], iid[order]
+        comp_i = (np.searchsorted(all_keys, ik) * span
+                  + np.searchsorted(all_vals, ilo))
+        kr_p = np.searchsorted(all_keys, pk) * span
+        lo_idx = np.searchsorted(
+            comp_i, kr_p + np.searchsorted(all_vals, lo_w), side="left")
+        hi_idx = np.searchsorted(
+            comp_i, kr_p + np.searchsorted(all_vals, pt_), side="right")
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        if total == 0:
+            return _EMPTY
+        rep = np.repeat(np.arange(len(pk)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ivl_idx = (np.repeat(lo_idx, counts)
+                   + np.arange(total) - np.repeat(offs, counts))
+        t_rep = pt_[rep]
+        keep = ihi[ivl_idx] >= t_rep  # lo <= t already by construction
+        return pa.table({pt_id_col: pa.array(pid[rep][keep]),
+                         ivl_id_col: pa.array(iid[ivl_idx][keep])})
+
+    return p_rows.union(i_rows).groupby("_part").map_groups(
+        scan, batch_format="pyarrow")

@@ -1750,6 +1750,38 @@ def q_hard_negatives(sf_dir: str):
     return res.select(["q_idx", "vec_id"])
 
 
+_IVL_WINDOW_S = 3600  # attribution window: clicks within the hour before a purchase
+
+
+def q_interval_join(sf_dir: str):
+    """Equi+range interval join (purchase-attribution analog): every
+    (click, purchase) pair where the click is by the same user within
+    the hour ending at the purchase — ops/relational.interval_join,
+    the bounded-width co-partition range join."""
+    from ..ops.relational import interval_join
+    pts = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    pts = pts.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+        .drop_columns(["event_type"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def anchors(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        hi = pc.cast(b.column("ts"), pa.int64())
+        lo = pc.subtract(hi, pa.scalar(_IVL_WINDOW_S * 1_000_000,
+                                       pa.int64()))
+        return pa.table({"user_id": b.column("user_id"),
+                         "lo": lo, "hi": hi,
+                         "anchor_id": b.column("event_id")})
+
+    ivls = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"]
+                   ).map_batches(anchors, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return interval_join(pts, ivls, key="user_id", ts_col="ts",
+                         lo_col="lo", hi_col="hi",
+                         pt_id_col="event_id", ivl_id_col="anchor_id")
+
+
 def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     """Pinned-golden oracles for the deterministic-but-not-SQL dedup
     families (see scripts/make_goldens.py): the committed survivor id
@@ -2788,6 +2820,14 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 AND e.label <> q.label)
             WHERE rn <= 10""",
 
+        "interval_join": f"""
+            SELECT l.event_id, r.event_id AS anchor_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND l.ts BETWEEN r.ts - INTERVAL {_IVL_WINDOW_S} SECOND
+                          AND r.ts""",
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -2888,4 +2928,5 @@ RAY_QUERIES = {
     "session_ids": q_session_ids,
     "quantize_embeddings": q_quantize_embeddings,
     "hard_negatives": q_hard_negatives,
+    "interval_join": q_interval_join,
 }

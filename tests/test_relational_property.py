@@ -202,3 +202,44 @@ def test_topk_matches_duckdb(data):
                                     ORDER BY value DESC, event_id) AS rn
           FROM events) WHERE rn <= 2""").fetchall()), key=_k)
     assert got == want
+
+
+# intervals: (user|None, lo seconds|None, width seconds|None) — width
+# varies so the bounded-max-width candidate window is actually exercised
+# with mixed widths, including zero-width and negative (degenerate) ones
+intervals = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),
+        st.one_of(st.none(), st.integers(0, 50)),
+        st.one_of(st.none(), st.integers(-3, 20)),
+    ),
+    min_size=0, max_size=30)
+
+
+@given(events, intervals)
+@settings(max_examples=40, deadline=None)
+def test_interval_join_matches_duckdb(data, ivls):
+    from d1_log_aggregation_ray.ops.relational import interval_join
+    pts = _table(data)
+    it = pa.table({
+        "anchor_id": pa.array(range(len(ivls)), pa.int64()),
+        "user_id": pa.array([u for u, _, _ in ivls], pa.int64()),
+        "lo": pa.array([None if s is None else s * US
+                        for _, s, _ in ivls], pa.int64()),
+        "hi": pa.array([None if (s is None or w is None)
+                        else (s + w) * US
+                        for _, s, w in ivls], pa.int64()),
+    })
+    got = sorted((r["event_id"], r["anchor_id"]) for r in interval_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(it),
+        key="user_id", ts_col="ts", lo_col="lo", hi_col="hi",
+        pt_id_col="event_id", ivl_id_col="anchor_id").take_all())
+    con = duckdb.connect()
+    con.register("pts", pts)
+    con.register("ivls", it)
+    want = sorted(map(tuple, con.execute("""
+        SELECT p.event_id, i.anchor_id
+        FROM pts p JOIN ivls i
+          ON p.user_id = i.user_id
+         AND epoch_us(p.ts) BETWEEN i.lo AND i.hi""").fetchall()))
+    assert got == want
