@@ -821,3 +821,48 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
 
     return p_rows.union(i_rows).groupby("_part").map_groups(
         scan, batch_format="pyarrow")
+
+
+def sampled_quantiles(ds: ray.data.Dataset, val_col: str,
+                      id_col: str, qs: list[float],
+                      rate_permille: int = 100,
+                      salt: str = "aq:") -> pa.Table:
+    """APPROXIMATE quantiles of a continuous (double) column via a
+    deterministic hash-Bernoulli sample — the companion to
+    value_quantiles for value domains too large for the histogram
+    exchange (revenue, latency, scores: every value distinct).
+
+    A row is sampled iff md5(salt || id) % 1000 < rate_permille — the
+    house content-hash sampling primitive (q_sample_docs): stable
+    across runs, cluster sizes and engines, so the DuckDB oracle
+    reproduces the identical sample.  Only the sampled VALUES leave
+    the scan (rate x corpus rows — pick the rate so that fits the
+    driver; sampling error is O(1/sqrt(sample)) per the standard
+    order-statistics bound), where one np.sort + the quantile_disc
+    rank pick finishes.  Nulls are excluded (SQL aggregate
+    semantics)."""
+    from ..functions.hashing import md5_lower64_array
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = pc.binary_join_element_wise(
+            pa.scalar(salt), pc.cast(batch.column(id_col), pa.string()),
+            "")
+        h = md5_lower64_array(ids)
+        keep = pa.array(h % np.uint64(1000) < np.uint64(rate_permille))
+        v = batch.column(val_col).combine_chunks().filter(keep)
+        v = v.filter(v.is_valid())
+        return pa.table({"v": pc.cast(v, pa.float64())})
+
+    blocks = [t for t in ray.get(arrow_block_refs(
+        ds.select_columns([id_col, val_col]).map_batches(
+            sample, batch_format="pyarrow", zero_copy_batch=True)))
+        if t.num_rows]
+    if not blocks:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    v = np.sort(np.concatenate(
+        [t.column("v").to_numpy(zero_copy_only=False) for t in blocks]))
+    import math
+    vals = [float(v[max(math.ceil(q * len(v)) - 1, 0)]) for q in qs]
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(vals, pa.float64())})

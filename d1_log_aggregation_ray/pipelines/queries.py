@@ -1750,6 +1750,19 @@ def q_hard_negatives(sf_dir: str):
     return res.select(["q_idx", "vec_id"])
 
 
+_AQ_QS = [0.5, 0.9, 0.99]
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Sampled approximate quantiles of the continuous events.value
+    column (10% deterministic hash sample — ops/relational.
+    sampled_quantiles): the quantile path for value domains where the
+    exact histogram exchange (length_quantiles) would be O(rows)."""
+    from ..ops.relational import sampled_quantiles
+    ds = _events(sf_dir, ["event_id", "value"])
+    return sampled_quantiles(ds, "value", "event_id", _AQ_QS)
+
+
 _IVL_WINDOW_S = 3600  # attribution window: clicks within the hour before a purchase
 
 
@@ -2820,6 +2833,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 AND e.label <> q.label)
             WHERE rn <= 10""",
 
+        "approx_quantiles": f"""
+            WITH s AS (
+              SELECT value FROM events
+              WHERE value IS NOT NULL
+                AND md5_number_lower('aq:' || CAST(event_id AS VARCHAR))
+                    % 1000 < 100
+            ), agg AS (
+              SELECT quantile_disc(value, {_AQ_QS}) AS vs FROM s)
+            SELECT CAST({_AQ_QS}[i] AS DOUBLE) AS q, vs[i] AS value
+            FROM agg, UNNEST(range(1, {len(_AQ_QS) + 1})) AS t(i)""",
+
         "interval_join": f"""
             SELECT l.event_id, r.event_id AS anchor_id
             FROM (SELECT * FROM events WHERE event_type = 'click') l
@@ -2929,4 +2953,5 @@ RAY_QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "hard_negatives": q_hard_negatives,
     "interval_join": q_interval_join,
+    "approx_quantiles": q_approx_quantiles,
 }

@@ -243,3 +243,37 @@ def test_interval_join_matches_duckdb(data, ivls):
           ON p.user_id = i.user_id
          AND epoch_us(p.ts) BETWEEN i.lo AND i.hi""").fetchall()))
     assert got == want
+
+
+vals = st.lists(
+    st.one_of(st.none(),
+              st.floats(-1e6, 1e6, allow_nan=False, width=64)),
+    min_size=1, max_size=200)
+
+
+@given(vals)
+@settings(max_examples=25, deadline=None)
+def test_sampled_quantiles_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import sampled_quantiles
+    t = pa.table({"event_id": pa.array(range(len(data)), pa.int64()),
+                  "value": pa.array(data, pa.float64())})
+    qs = [0.0, 0.25, 0.5, 0.99, 1.0]
+    # rate 1000 = keep-all so every hypothesis case has a sample; the
+    # hash-threshold path itself is covered by the sf-corpus oracle
+    got = sampled_quantiles(ray.data.from_arrow(t), "value", "event_id",
+                            qs, rate_permille=1000)
+    got_rows = sorted(zip(got.column("q").to_pylist(),
+                          got.column("value").to_pylist()))
+    con = duckdb.connect()
+    con.register("events", t)
+    n_valid = sum(v is not None for v in data)
+    if n_valid == 0:
+        assert got.num_rows == 0 or all(
+            v is None for v in got.column("value").to_pylist())
+        return
+    want = sorted(map(tuple, con.execute(f"""
+        WITH agg AS (SELECT quantile_disc(value, {qs}) AS vs
+                     FROM events WHERE value IS NOT NULL)
+        SELECT CAST({qs}[i] AS DOUBLE) AS q, vs[i] AS value
+        FROM agg, UNNEST(range(1, {len(qs) + 1})) AS t(i)""").fetchall()))
+    assert got_rows == want
