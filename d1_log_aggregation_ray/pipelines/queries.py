@@ -1763,6 +1763,48 @@ def q_approx_quantiles(sf_dir: str):
     return sampled_quantiles(ds, "value", "event_id", _AQ_QS)
 
 
+def q_incremental_minhash(sf_dir: str):
+    """Day-2 near-dedup: build the persisted minhash band index over
+    the PRIOR half of the corpus (even doc ids), then dedup the NEW
+    half (odd ids) against it without re-reading the prior corpus —
+    ops/dedup.build_minhash_index + incremental_minhash_dedup.  The
+    incremental companion to dedup_minhash, pairing with
+    incremental_dedup (exact) and the delta harvest."""
+    import tempfile
+    from ..ops.dedup import (build_minhash_index,
+                             incremental_minhash_dedup)
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _half(parity: int):
+        return docs.map_batches(
+            lambda b, p=parity: b.filter(pc.equal(
+                pc.bit_wise_and(pc.cast(b.column("doc_id"), pa.int64()),
+                                pa.scalar(1, pa.int64())), p)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    idx_dir = tempfile.mkdtemp(prefix="mh_index_", dir="/tmp")
+    build_minhash_index(_half(0), idx_dir)
+    return incremental_minhash_dedup(_half(1), idx_dir)
+
+
+_TAR_CAP = 65536  # tar shard byte budget (toy scale; ~1 GiB in production)
+
+
+def q_export_tar(sf_dir: str):
+    """WebDataset-style tar-shard export (sources/export_tar): packs
+    the documents corpus into byte-budget tar shards and returns the
+    shard manifest — the deterministic pack assignment is what the SQL
+    oracle mirrors; the written tars are byte-verified in pytest."""
+    import tempfile
+    from ..sources.export_tar import export_tar_shards
+    out = tempfile.mkdtemp(prefix="tar_export_", dir="/tmp")
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang",
+                                         "source"])
+    man = export_tar_shards(docs, out, capacity=_TAR_CAP,
+                            meta_cols=("lang", "source"))
+    return man.select_columns(["shard_id", "n_docs", "n_bytes"])
+
+
 _IVL_WINDOW_S = 3600  # attribution window: clicks within the hour before a purchase
 
 
@@ -2833,6 +2875,23 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 AND e.label <> q.label)
             WHERE rn <= 10""",
 
+        "export_tar": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     octet_length(encode(COALESCE(text, ''))) AS nb
+              FROM documents
+            ), c AS (
+              SELECT doc_id, nb,
+                     COALESCE(SUM(nb) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+              FROM t
+            )
+            SELECT CAST(cumb // {_TAR_CAP} AS BIGINT) AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(SUM(nb) AS BIGINT) AS n_bytes
+            FROM c GROUP BY 1""",
+
         "approx_quantiles": f"""
             WITH s AS (
               SELECT value FROM events
@@ -2954,4 +3013,6 @@ RAY_QUERIES = {
     "hard_negatives": q_hard_negatives,
     "interval_join": q_interval_join,
     "approx_quantiles": q_approx_quantiles,
+    "export_tar": q_export_tar,
+    "incremental_minhash": q_incremental_minhash,
 }
