@@ -1066,3 +1066,102 @@ def incremental_exact_dedup(ds: ray.data.Dataset,
 
     return tagged.groupby("_part").map_groups(scan,
                                               batch_format="pyarrow")
+
+
+_PRIOR_SENTINEL = np.int64(-(1 << 62))  # beats every real doc id
+
+
+def build_minhash_index(ds: ray.data.Dataset, index_dir: str,
+                        num_perm: int = 64, n_bands: int = 16,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Persist the corpus's minhash-LSH BAND INDEX as parquet under
+    `index_dir`: the UNIQUE (part, band_key) bucket keys of every doc
+    — exactly the narrow rows the incremental scan needs to decide
+    "does any prior doc share this bucket" (prior docs always beat new
+    ones, so the prior ids themselves never need to ride the index).
+
+    Scale shape: signatures -> band rows -> per-partition np.unique
+    scan (ONE exchange of narrow rows, identical-bucket keys collapse
+    to one index row), written as one parquet dir the day-2 run reads
+    with columns=[part, band_key].  Deterministic: seeded coefficient
+    hashing, so rebuilds are byte-stable."""
+    n_parts = _num_parts()
+    sigs = _signatures(ds, num_perm, text_col, id_col)
+    band = sigs.map_batches(_band_rows,
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
+                            batch_format="pyarrow")
+
+    _EMPTY = pa.table({"part": pa.array([], pa.int64()),
+                       "band_key": pa.array([], pa.int64())})
+
+    def unique_keys(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY
+        k = np.unique(group.column("band_key").to_numpy())
+        part = group.column("part")[0].as_py()
+        return pa.table({"part": pa.array(np.full(len(k), part,
+                                                  np.int64)),
+                         "band_key": pa.array(k)})
+
+    (band.select_columns(["part", "band_key"])
+     .groupby("part").map_groups(unique_keys, batch_format="pyarrow")
+     .write_parquet(index_dir))
+
+
+def incremental_minhash_dedup(new_ds: ray.data.Dataset, index_dir: str,
+                              num_perm: int = 64, n_bands: int = 16,
+                              id_col: str = "doc_id",
+                              text_col: str = "text"
+                              ) -> ray.data.Dataset:
+    """Day-2 minhash-LSH dedup: among the NEW docs only, survivors are
+    those whose every band bucket contains neither a PRIOR-corpus
+    bucket key (from the persisted index, build_minhash_index) nor a
+    smaller new doc id — i.e. minhash_lsh_dedup semantics where the
+    prior corpus always wins, without ever re-reading or re-hashing
+    the prior corpus.
+
+    ONE pass over the new docs, ONE exchange: new band rows and index
+    rows are tagged with the SAME part = band_key % P, the partition
+    scan treats index rows as sentinel ids smaller than every real id
+    (so any bucket shared with the prior corpus marks all its new
+    docs), and the usual marks-only survivor tail finishes.  The index
+    read is prune-at-the-read narrow (two int64 columns).  New doc
+    ids must be non-negative (the sentinel contract)."""
+    n_parts = _num_parts()
+    sigs = _signatures(new_ds, num_perm, text_col, id_col)
+    band = sigs.map_batches(_band_rows,
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
+                            batch_format="pyarrow")
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "part": batch.column("part"),
+            "band_key": batch.column("band_key"),
+            id_col: pa.array(np.full(n, _PRIOR_SENTINEL)),
+            "home": pa.array(np.zeros(n, np.int8))})
+
+    idx = ray.data.read_parquet(
+        index_dir, columns=["part", "band_key"]).map_batches(
+        index_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "home" not in group.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int8())})
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        home = group.column("home").to_numpy()
+        _, i, starts, counts, _ = _bucket_segments(keys, ids)
+        bmin_per_row = np.repeat(i[starts], counts)
+        beat = i[(bmin_per_row < i) & (i != _PRIOR_SENTINEL)]
+        return _marks_table(id_col, ids[home == 1], np.unique(beat))
+
+    marked = band.union(idx).groupby("part").map_groups(
+        partition_scan, batch_format="pyarrow")
+    return _survivors(marked, id_col)
