@@ -37,7 +37,8 @@ def _num_cpus(default: int | None = None) -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
+              only: list[str] | None = None) -> dict:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
@@ -66,19 +67,21 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
     harvest_samples = []
     rows = 0
-    for r in range(reps):
+    for r in range(reps if not only else 0):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         summary = run_harvest(fx, out_dir, wave_size=64, resume=False)
         harvest_samples.append(round(time.time() - t0, 3))
         rows = summary["rows_out_total"]
-    harvest_sec = min(harvest_samples)
-    timings["harvest"] = harvest_sec
-    samples["harvest"] = harvest_samples
+    harvest_sec = min(harvest_samples) if harvest_samples else 0.0
+    if harvest_samples:
+        timings["harvest"] = harvest_sec
+        samples["harvest"] = harvest_samples
 
     if not headline_only:
         from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
-        for name in ["route_counts", "repeat_visit", "watermark",
+        for name in only if only else [
+                     "route_counts", "repeat_visit", "watermark",
                      "dedup_exact", "dedup_minhash", "token_count",
                      "ann_cosine_topk", "sessionize",
                      # round-2 additions: the vectorized kernels + the
@@ -138,7 +141,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      # embedding compression + contrastive mining
                      "quantize_embeddings", "hard_negatives",
                      # prefix-fork conversation dedup
-                     "fork_dedup"]:
+                     "fork_dedup",
+                     # equi+range interval join, sampled quantiles,
+                     # tar-shard export, day-2 minhash vs band index
+                     "interval_join", "approx_quantiles",
+                     "export_tar", "incremental_minhash"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
@@ -158,7 +165,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "sf": sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
         "rows": rows,
-        "turns_per_sec": round(rows / harvest_sec, 1),
+        "turns_per_sec": (round(rows / harvest_sec, 1)
+                          if harvest_sec else None),
     }
     ray.shutdown()
     return result
@@ -250,10 +258,14 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated query names: bench only these "
+                         "(skips the harvest headline)")
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(run_scaling()))
     else:
+        only = args.only.split(",") if args.only else None
         print(json.dumps(run_bench(_sf_dir(), _num_cpus(args.cpus),
-                                   args.headline_only)))
+                                   args.headline_only, only)))

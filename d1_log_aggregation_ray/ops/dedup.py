@@ -1146,8 +1146,19 @@ def incremental_minhash_dedup(new_ds: ray.data.Dataset, index_dir: str,
             id_col: pa.array(np.full(n, _PRIOR_SENTINEL)),
             "home": pa.array(np.zeros(n, np.int8))})
 
+    # the build writes one file per hash partition, which at small
+    # corpus sizes means many tiny files; one read task per tiny file
+    # costs more than the data (measured 5.0 -> 2.3 s at sf0.1).
+    # Coalesce to ~8 MiB-of-parquet blocks, capped by file count so
+    # large indexes keep their natural parallelism.
+    import glob as _glob
+    import os as _os
+    files = _glob.glob(_os.path.join(index_dir, "*.parquet"))
+    total = sum(_os.path.getsize(f) for f in files)
+    n_blocks = max(1, min(len(files) or 1, total // (8 << 20)))
     idx = ray.data.read_parquet(
-        index_dir, columns=["part", "band_key"]).map_batches(
+        index_dir, columns=["part", "band_key"],
+        override_num_blocks=n_blocks).map_batches(
         index_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def partition_scan(group: pa.Table) -> pa.Table:
