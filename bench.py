@@ -145,7 +145,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # equi+range interval join, sampled quantiles,
                      # tar-shard export, day-2 minhash vs band index
                      "interval_join", "approx_quantiles",
-                     "export_tar", "incremental_minhash"]:
+                     "export_tar", "incremental_minhash",
+                     # quality-aware near-dup survivor selection
+                     "dedup_keep_best"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -980,6 +980,95 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         batch_format="pyarrow")
 
 
+def keep_best_dedup(ds: ray.data.Dataset, num_perm: int = 64,
+                    n_bands: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Quality-aware near-dup survivor selection: one survivor per
+    minhash-LSH connected component (minhash_cluster_ids), chosen as
+    the HIGHEST-quality member — score = n_tokens, the "keep the
+    longest copy" curation rule; ties break to the smaller id —
+    instead of the min-id representative the plain dedup families
+    keep.  When a page is scraped many times at different
+    truncations, this survives the longest version, not the one with
+    the luckiest id.
+
+    Distributed shape: the cluster pass consumes the text once (see
+    minhash_cluster_ids); the score takes a SECOND pruned pass over
+    the (id, text) input — the dedup_ngram precedent: two input
+    passes are the price of keeping text out of the CC exchanges
+    (callers handing a derived, non-source-backed dataset should
+    materialize it first).  The two per-doc streams — (id, cluster)
+    labels and (id, score) — meet in a narrow hash join on id, the
+    (score, -id) preference packs into ONE int64 rank
+    (score * 2^32 + (2^32-1 - id); requires 0 <= id < 2^32 and
+    0 <= score < 2^31, checked), a batch-level combiner shrinks the
+    exchange to one rank row per (cluster, batch), and a single
+    hash-partition max-aggregate picks each cluster's keeper.
+    Nothing wider than 16-byte rows crosses any exchange after the
+    signature stage."""
+    from ..stages.aggregate import hash_partition_aggregate
+    from .text import token_count_batch
+
+    clusters = minhash_cluster_ids(ds, num_perm=num_perm,
+                                   n_bands=n_bands, id_col=id_col,
+                                   text_col=text_col)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        # null text scores like "" (1 empty split piece), matching the
+        # signature stage's null handling and the python reference
+        b = pa.table({id_col: batch.column(id_col),
+                      text_col: pc.fill_null(batch.column(text_col),
+                                             "")})
+        b = token_count_batch(b, text_col)
+        return pa.table({id_col: b.column(id_col),
+                         "score": b.column("n_tokens")})
+
+    def strip(batch: pa.Table) -> pa.Table:
+        # pandas parquet metadata breaks the join's schema-hash cache
+        return batch.replace_schema_metadata(None)
+
+    scores = ds.map_batches(score_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True)
+    lab = clusters.map_batches(strip, batch_format="pyarrow",
+                               zero_copy_batch=True).join(
+        scores, "inner", num_partitions=_join_partitions(),
+        on=(id_col,))
+
+    def rank_combine(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sc = batch.column("score").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids):
+            if int(ids.min()) < 0 or int(ids.max()) >= (1 << 32):
+                raise ValueError(
+                    "keep_best_dedup needs 0 <= id < 2^32")
+            if int(sc.min()) < 0 or int(sc.max()) >= (1 << 31):
+                raise ValueError(
+                    "keep_best_dedup needs 0 <= score < 2^31")
+        rank = sc * (1 << 32) + ((1 << 32) - 1 - ids)
+        t = pa.table({"cluster_id": batch.column("cluster_id"),
+                      "rank": pa.array(rank, pa.int64())})
+        # map-side combiner: one max-rank row per cluster per batch
+        g = t.group_by(["cluster_id"]).aggregate([("rank", "max")])
+        return g.rename_columns(["cluster_id", "rank"])
+
+    ranked = lab.map_batches(rank_combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    best = hash_partition_aggregate(ranked, ["cluster_id"],
+                                    [("rank", "max")])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank_max").to_numpy(zero_copy_only=False)
+        keep = ((1 << 32) - 1) - (r & ((1 << 32) - 1))
+        return pa.table({id_col: pa.array(keep.astype(np.int64),
+                                          pa.int64())})
+
+    return best.map_batches(decode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def incremental_exact_dedup(ds: ray.data.Dataset,
                             is_prior_col: str = "is_prior",
                             id_col: str = "doc_id",

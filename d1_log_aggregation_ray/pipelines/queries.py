@@ -754,6 +754,21 @@ def q_dedup_clusters(sf_dir: str):
         ["doc_id", "text"]))
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup survivor selection ("keep the longest
+    copy"): ONE survivor per minhash-LSH connected component, chosen
+    by max token count (ties -> smaller doc_id) instead of the min-id
+    rule the plain dedup families use — the curation semantic for
+    multiply-scraped pages at different truncations
+    (ops/dedup.keep_best_dedup).  Deterministic at any parallelism
+    but not SQL-expressible -> pinned golden, cross-checked against
+    the independent union-find + pure-python len(text.split(' '))
+    reference (tests/test_independent_reference.py)."""
+    from ..ops.dedup import keep_best_dedup
+    return keep_best_dedup(_docs(sf_dir).select_columns(
+        ["doc_id", "text"]))
+
+
 def q_sessionize(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
@@ -2968,6 +2983,7 @@ RAY_QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "semantic_dedup": q_semantic_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
     "bm25_topk": q_bm25_topk,

@@ -414,6 +414,48 @@ def test_cluster_ids_transitive_chain():
     assert out == {10: 10, 11: 10, 12: 10, 13: 13}
 
 
+def test_keep_best_keeps_longest_not_min_id():
+    """keep_best_dedup must survive the LONGEST member of a near-dup
+    cluster (here the largest id), where the plain min-id rule would
+    keep the smallest — plus every singleton untouched."""
+    import ray
+
+    from d1_log_aggregation_ray.ops.dedup import keep_best_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight ") * 3
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array([
+            base + "alpha beta gamma delta",
+            base + "alpha beta gamma epsilon",            # near 10
+            base + "alpha beta gamma epsilon and several "
+                   "extra trailing words here",            # near 11, longest
+            ("completely different text about databases and query "
+             "engines and shuffles ") * 4,
+        ])})
+    out = sorted(r["doc_id"] for r in keep_best_dedup(
+        ray.data.from_arrow(docs)).take_all())
+    assert out == [12, 13]
+
+
+def test_keep_best_tie_breaks_to_min_id():
+    """Equal scores (exact copies) fall back to the min-id keeper."""
+    import ray
+
+    from d1_log_aggregation_ray.ops.dedup import keep_best_dedup
+
+    txt = ("identical duplicated content words repeated enough to "
+           "shingle and band reliably together always ") * 4
+    docs = pa.table({
+        "doc_id": pa.array([20, 21, 30], pa.int64()),
+        "text": pa.array([txt, txt, "another unrelated standalone "
+                          "document with its own words entirely"])})
+    out = sorted(r["doc_id"] for r in keep_best_dedup(
+        ray.data.from_arrow(docs)).take_all())
+    assert out == [20, 30]
+
+
 def test_cluster_ids_cover_universe_and_match_minhash_dups(fx_dir):
     """Every doc gets exactly one cluster id; a doc is a minhash
     SURVIVOR-loser (dup) only if its cluster has >1 member; and
