@@ -147,7 +147,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "interval_join", "approx_quantiles",
                      "export_tar", "incremental_minhash",
                      # quality-aware near-dup survivor selection
-                     "dedup_keep_best"]:
+                     "dedup_keep_best",
+                     # temperature-based language rebalancing
+                     "temperature_mix"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -172,6 +172,78 @@ def mixture_sample(ds: ray.data.Dataset, budget_chars: float,
                               zero_copy_batch=True)
 
 
+def temperature_thresholds(counts: dict, alpha: float,
+                           budget_docs: int) -> dict:
+    """Per-source md5%1e6 keep thresholds for temperature-based
+    source mixing: sampling weight q_s = n_s^alpha / sum(n_t^alpha)
+    (the multilingual-corpus rebalancing rule — alpha < 1 upweights
+    low-resource sources), per-source doc target
+    t_s = floor(budget * q_s), keep threshold
+    floor(1e6 * min(1, t_s / n_s)).
+
+    Pure driver-side float math over |sources| values, factored out so
+    the generated DuckDB oracle inlines the SAME thresholds (the LSH
+    hyperplane-literal precedent: float reductions are not
+    bit-portable across engines, so the tiny scalar computation is
+    shared and the ORACLE independently exercises the distributed
+    part — the md5 filter and the join).  The summation order is
+    pinned (sorted sources) so the result is platform-stable."""
+    srcs = sorted(counts)
+    pw = {s: float(counts[s]) ** alpha for s in srcs}
+    z = float(sum(pw[s] for s in srcs))
+    thr = {}
+    for s in srcs:
+        target = int(np.floor(budget_docs * pw[s] / z))
+        thr[s] = int(np.floor(1_000_000 * min(
+            1.0, target / float(counts[s]))))
+    return thr
+
+
+def temperature_mix(ds: ray.data.Dataset, alpha: float,
+                    budget_docs: int, id_col: str = "doc_id",
+                    source_col: str = "source",
+                    seed: str = "tmix") -> ray.data.Dataset:
+    """Temperature-based source mixing: keep ~floor(budget * q_s)
+    docs of each source where q_s ~ n_s^alpha — deterministic
+    hash-Bernoulli via md5(seed:id) % 1e6 against the per-source
+    threshold (temperature_thresholds).
+
+    Same two-pass shape as mixture_sample: (1) per-source doc counts
+    via a per-batch combiner (blocks collapse to <= |sources| rows
+    before anything crosses the wire), (2) a map-only filter with the
+    tiny threshold table broadcast in the closure.  Resume-stable;
+    the narrow projection is cached once (round-2 double-consumption
+    rule)."""
+    narrow = ds.select_columns([id_col, source_col]).materialize()
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.select([source_col]).group_by(
+            [source_col]).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "n"])
+
+    parts = narrow.map_batches(cnt, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    counts: dict[str, int] = {}
+    for r in parts:
+        counts[r[source_col]] = counts.get(r[source_col], 0) + int(r["n"])
+    thr = temperature_thresholds(counts, alpha, budget_docs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _seeded_hash(batch, id_col, seed) % np.uint64(1_000_000)
+        enc = batch.column(source_col).combine_chunks().dictionary_encode()
+        lut = np.array([thr.get(s, 0) for s in
+                        enc.dictionary.to_pylist()], dtype=np.uint64)
+        idx = np.asarray(pc.fill_null(enc.indices, 0)).astype(np.int64)
+        t = lut[idx] if len(lut) else np.empty(0, np.uint64)
+        out = batch.filter(pa.array(h < t))
+        return pa.table({
+            id_col: pc.cast(out.column(id_col), pa.int64()),
+            source_col: out.column(source_col)})
+
+    return narrow.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def source_stats(ds: ray.data.Dataset, source_col: str = "source",
                  lang_col: str = "lang",
                  chars_col: str = "n_chars") -> ray.data.Dataset:

@@ -1600,6 +1600,26 @@ def q_mixture_sample(sf_dir: str):
     return mixture_sample(_docs(sf_dir), budget_chars=_MIX_BUDGET)
 
 
+_TMIX_ALPHA = 0.5
+_TMIX_BUDGET = 300
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based language rebalancing (the mT5/XLM-R
+    multinomial rule): keep ~floor(budget * q_l) docs per language
+    where q_l ~ n_l^alpha — alpha=0.5 halves the dominant-English
+    share while nearly keeping the low-resource tails
+    (ops/split.temperature_mix over the skewed `lang` column).
+    Deterministic md5 hash-Bernoulli; the oracle inlines the
+    per-language thresholds from the SHARED scalar helper
+    (temperature_thresholds — float reductions are not bit-portable
+    across engines; the LSH hyperplane-literal precedent) and
+    independently exercises the distributed filter + join."""
+    from ..ops.split import temperature_mix
+    return temperature_mix(_docs(sf_dir), alpha=_TMIX_ALPHA,
+                           budget_docs=_TMIX_BUDGET, source_col="lang")
+
+
 def q_pca_ann_topk(sf_dir: str):
     """Composition: PCA-reduce the corpus to 8 dims (combiner-only
     fit), then exact cosine top-10 for query vec 0 in the REDUCED
@@ -1861,6 +1881,33 @@ def q_interval_join(sf_dir: str):
     return interval_join(pts, ivls, key="user_id", ts_col="ts",
                          lo_col="lo", hi_col="hi",
                          pt_id_col="event_id", ivl_id_col="anchor_id")
+
+
+def _temperature_mix_sql(sf_dir: str) -> str:
+    """Generated oracle for temperature_mix: per-language keep
+    thresholds computed by the SAME scalar helper the operator uses
+    (ops/split.temperature_thresholds — float reductions are not
+    bit-portable, the LSH-literal precedent), inlined as a VALUES
+    table; the SQL independently re-runs the distributed part (the
+    md5 hash-Bernoulli filter and the lang join).  The helper itself
+    is cross-checked from spec in tests/test_split.py."""
+    import pyarrow.parquet as _pq
+
+    from ..ops.split import temperature_thresholds
+    langs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang"]).column("lang").to_pylist()
+    counts: dict[str, int] = {}
+    for v in langs:
+        counts[v] = counts.get(v, 0) + 1
+    thr = temperature_thresholds(counts, _TMIX_ALPHA, _TMIX_BUDGET)
+    vals = ", ".join(f"('{s}', CAST({t} AS BIGINT))"
+                     for s, t in sorted(thr.items()))
+    return f"""
+        WITH thr AS (SELECT * FROM (VALUES {vals}) AS t(lang, t))
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE md5_number_lower('tmix:' || CAST(d.doc_id AS VARCHAR))
+              % 1000000 < t"""
 
 
 def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
@@ -2209,6 +2256,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM documents d JOIN thr USING (source)
             WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR))
                   % 1000000 < t""",
+
+        "temperature_mix": _temperature_mix_sql(sf_dir),
 
         "bm25_topk": f"""
             WITH toks AS (
@@ -2997,6 +3046,7 @@ RAY_QUERIES = {
     "media_summary": q_media_summary,
     "organize_embeddings": q_organize_embeddings,
     "mixture_sample": q_mixture_sample,
+    "temperature_mix": q_temperature_mix,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "cust_no_orders": q_cust_no_orders,

@@ -87,6 +87,49 @@ def test_source_stats_matches_pandas():
                                   check_dtype=False)
 
 
+def test_temperature_thresholds_match_spec():
+    """Recompute the mT5 rule from the paper's formula with
+    independently-written math: q_s = p_s^a / sum(p_t^a) over
+    FRACTIONS p_s = n_s/N (the helper uses raw counts — the N^a
+    factor cancels in the normalization, so both must agree)."""
+    from d1_log_aggregation_ray.ops.split import temperature_thresholds
+    counts = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64}
+    alpha, budget = 0.5, 300
+    n_total = sum(counts.values())
+    p = {s: c / n_total for s, c in counts.items()}
+    z = sum(v ** alpha for v in p.values())
+    got = temperature_thresholds(counts, alpha, budget)
+    import math
+    for s, c in counts.items():
+        target = math.floor(budget * (p[s] ** alpha) / z)
+        want = math.floor(1_000_000 * min(1.0, target / c))
+        assert got[s] == want
+    # the dominant language is downweighted RELATIVE to the tail
+    assert got["en"] < got["fr"]
+
+
+def test_temperature_mix_rebalances_languages():
+    from d1_log_aggregation_ray.ops.split import temperature_mix
+    n_en, n_rare = 1600, 100
+    t = pa.table({
+        "doc_id": pa.array(range(n_en + n_rare), pa.int64()),
+        "lang": pa.array(["en"] * n_en + ["sw"] * n_rare),
+    })
+    out = temperature_mix(ray.data.from_arrow(t), alpha=0.5,
+                          budget_docs=500,
+                          source_col="lang").to_pandas()
+    by = out.groupby("lang").size()
+    # alpha=0.5: weights 40:10 -> targets 400:100 -> en keep-rate 25%,
+    # sw keep-all — the rare language keeps ~4x the relative share
+    assert by.get("sw", 0) == n_rare
+    assert 320 <= by.get("en", 0) <= 480
+    # deterministic across block layouts
+    out2 = temperature_mix(ray.data.from_arrow(t).repartition(9),
+                           alpha=0.5, budget_docs=500,
+                           source_col="lang").to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
 def test_mixture_sample_caps_dominant_source():
     from d1_log_aggregation_ray.ops.split import mixture_sample
     # src_big: 100k chars total; src_small: 3k chars -> kept whole
