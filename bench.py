@@ -149,7 +149,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # quality-aware near-dup survivor selection
                      "dedup_keep_best",
                      # temperature-based language rebalancing
-                     "temperature_mix"]:
+                     "temperature_mix",
+                     # embedding-space benchmark decontamination
+                     "semantic_decontam"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -443,3 +443,59 @@ def bloom_contamination_hits(ds: ray.data.Dataset,
     return narrow.map_batches(hits, batch_format="pyarrow",
                               zero_copy_batch=True,
                               fn_kwargs={"bloom": bloom_ref})
+
+
+def semantic_contamination_hits(ds: ray.data.Dataset,
+                                bench_ds: ray.data.Dataset,
+                                threshold: float,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding"
+                                ) -> ray.data.Dataset:
+    """Embedding-space benchmark decontamination: (id, n_hits) for
+    corpus vectors whose cosine similarity to ANY benchmark vector is
+    >= threshold — the PARAPHRASE-leakage complement to the lexical
+    n-gram/Bloom decontaminators (a reworded eval question shares no
+    8-gram but sits next to the original in embedding space).
+
+    Same broadcast semi-join shape as contamination_hits: the
+    benchmark side is small by nature (a fixed eval suite), so its
+    normalized matrix is collected once on the driver, `ray.put`
+    broadcast, and the corpus pass is ONE shuffle-free scan —
+    per-batch normalize + matmul + row-wise count of sims >= theta
+    (the brute_force_topk kernel with a threshold count instead of a
+    top-k).  Nothing is materialized but the (small) hit list.
+
+    Float math is float64 end-to-end; n_hits is integer so the result
+    is value-hash comparable with the DuckDB oracle as long as no
+    (corpus, bench) pair sits within cross-engine rounding of theta
+    (~1e-7 relative; measured gaps on the test fixtures are >= 4e-5 —
+    asserted in tests/test_curation_ops.py).
+
+    `bench_ds` may be a Dataset (collected here — it is small) or a
+    prebuilt (n_bench, dim) numpy matrix: callers whose benchmark
+    lives in a parquet file should load it with a pruned DRIVER-side
+    read (pyarrow filters) instead of paying a whole Ray execution
+    for a few hundred rows — the side-input-loader pattern
+    (sources/readers.load_side_tables)."""
+    from .similarity import _as_matrix, _normalize
+
+    if isinstance(bench_ds, np.ndarray):
+        q = np.asarray(bench_ds, dtype=np.float64)
+    else:
+        bench_rows = bench_ds.select_columns([vec_col]).take_all()
+        q = np.asarray([r[vec_col] for r in bench_rows],
+                       dtype=np.float64)
+    q_ref = ray.put(_normalize(q).T)  # (dim, n_bench), read per task
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        m = _normalize(_as_matrix(batch, vec_col))
+        hits = (m @ qt >= threshold).sum(axis=1).astype(np.int64)
+        keep = hits > 0
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()).filter(
+                pa.array(keep)),
+            "n_hits": pa.array(hits[keep])})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)

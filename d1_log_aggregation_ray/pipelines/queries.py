@@ -492,6 +492,36 @@ def q_ngram_decontaminate(sf_dir: str):
                               bench_mod=_DECON_MOD, bench_lt=_DECON_LT)
 
 
+_SEMDECON_T = 0.35
+
+
+def q_semantic_decontam(sf_dir: str):
+    """Embedding-space benchmark decontamination: corpus vectors
+    (label != 0) within cosine 0.35 of ANY benchmark vector
+    (label = 0) — the paraphrase-leakage complement to the lexical
+    ngram/bloom decontaminators (ops/decontam.
+    semantic_contamination_hits; broadcast semi-join, one shuffle-free
+    corpus scan).  Integer n_hits output; the fixture's closest
+    pair-to-threshold gap is >= 4e-5, far above cross-engine float
+    rounding (asserted in tests)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from ..ops.decontam import semantic_contamination_hits
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # benchmark side: small by nature -> pruned DRIVER-side read
+    # (row-group filter + column prune), no Ray execution spent on it
+    bt = _pq.read_table(path, columns=["embedding"],
+                        filters=[("label", "=", 0)])
+    bench = np.asarray(bt.column("embedding").combine_chunks(
+        ).flatten(), dtype=np.float64).reshape(bt.num_rows, -1)
+    corpus = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"]).filter(
+        expr="label != 0")
+    return semantic_contamination_hits(corpus, bench,
+                                       threshold=_SEMDECON_T)
+
+
 def q_bloom_decontam(sf_dir: str):
     """Bloom-filter decontamination: same contract as
     ngram_decontaminate but the broadcast side is a fixed-size Bloom
@@ -2333,6 +2363,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
                   < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""",
 
+        "semantic_decontam": f"""
+            WITH bench AS (
+              SELECT embedding AS bemb FROM embeddings WHERE label = 0
+            )
+            SELECT e.vec_id, count(*) AS n_hits
+            FROM embeddings e CROSS JOIN bench b
+            WHERE e.label <> 0
+              AND list_cosine_similarity(e.embedding, b.bemb)
+                  >= {_SEMDECON_T!r}
+            GROUP BY e.vec_id""",
+
         "ngram_decontaminate": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w
@@ -3009,6 +3050,7 @@ RAY_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "bloom_decontam": q_bloom_decontam,
+    "semantic_decontam": q_semantic_decontam,
     "doc_repetition": q_doc_repetition,
     "length_quantiles": q_length_quantiles,
     "pii_redact": q_pii_redact,

@@ -569,3 +569,78 @@ def test_strip_dup_spans_planted():
         n=8).take_all()}
     assert all(out[k]["text_clean"] == out2[k]["text_clean"]
                for k in out)
+
+
+def test_semantic_decontam_planted_and_reference():
+    """Planted geometry: bench = e1; corpus vectors at known angles.
+    cos >= 0.35 must flag exactly the near-parallel ones, with n_hits
+    counting matching bench vectors — plus a pure-numpy reference on
+    random vectors and parallelism independence."""
+    import numpy as np
+
+    from d1_log_aggregation_ray.ops.decontam import (
+        semantic_contamination_hits)
+
+    d = 8
+    e1 = np.eye(d)[0]
+    e2 = np.eye(d)[1]
+    mk = lambda v: [float(x) for x in v]
+    bench = pa.table({
+        "vec_id": pa.array([100, 101], pa.int64()),
+        "embedding": pa.array([mk(e1), mk(e1 * 3.0)]),  # same direction
+    })
+    corpus = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([
+            mk(0.9 * e1 + 0.1 * e2),   # cos ~0.994 -> hits BOTH bench
+            mk(0.2 * e1 + 0.9 * e2),   # cos ~0.217 -> no hit
+            mk(e2),                    # orthogonal -> no hit
+        ]),
+    })
+    out = {r["vec_id"]: r["n_hits"] for r in semantic_contamination_hits(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench),
+        threshold=0.35).take_all()}
+    assert out == {0: 2}
+
+    rng = np.random.default_rng(3)
+    c = rng.normal(size=(300, d))
+    b = rng.normal(size=(7, d))
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    hits = (cn @ bn.T >= 0.35).sum(axis=1)
+    want = {i: int(h) for i, h in enumerate(hits) if h > 0}
+    corpus2 = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([[float(x) for x in row] for row in c])})
+    bench2 = pa.table({
+        "vec_id": pa.array(range(7), pa.int64()),
+        "embedding": pa.array([[float(x) for x in row] for row in b])})
+    got = {r["vec_id"]: r["n_hits"] for r in semantic_contamination_hits(
+        ray.data.from_arrow(corpus2), ray.data.from_arrow(bench2),
+        threshold=0.35).take_all()}
+    assert got == want
+    got2 = {r["vec_id"]: r["n_hits"] for r in semantic_contamination_hits(
+        ray.data.from_arrow(corpus2).repartition(5),
+        ray.data.from_arrow(bench2), threshold=0.35).take_all()}
+    assert got2 == want
+
+
+def test_semantic_decontam_fixture_gap_exceeds_float_rounding():
+    """The driver's hash gate compares integer n_hits across engines;
+    that is only stable if no (corpus, bench) cosine sits within
+    cross-engine float rounding of the threshold.  Assert the minimum
+    |cos - theta| gap on both test fixtures is >= 1e-5 (measured
+    4e-5 / 1.1e-4), ~100x a float32-vs-float64 kernel discrepancy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from d1_log_aggregation_ray.pipelines.queries import _SEMDECON_T
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(sf + "/embeddings.parquet")
+        lab = np.asarray(t.column("label"))
+        m = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                       dtype=np.float64).reshape(t.num_rows, -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m[lab != 0] @ m[lab == 0].T
+        assert float(np.abs(sims - _SEMDECON_T).min()) >= 1e-5
