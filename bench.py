@@ -151,7 +151,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # temperature-based language rebalancing
                      "temperature_mix",
                      # embedding-space benchmark decontamination
-                     "semantic_decontam"]:
+                     "semantic_decontam",
+                     # BPE merge-rule induction (tokenizer training)
+                     "bpe_vocab"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -501,3 +501,139 @@ def chunk_tokens_batch(batch: pa.Table, window: int = 64,
         "chunk_idx": pa.array(ci.astype(np.int64)),
         "n_chunk_tokens": pa.array(chunk_len.astype(np.int64)),
         "chunk_text": pc.cast(chunk_text, pa.string())})
+
+
+def bpe_train(ds: ray.data.Dataset, n_merges: int = 60,
+              max_words: int = 50_000, id_col: str = "doc_id",
+              text_col: str = "text") -> "pa.Table":
+    """BPE merge-table induction over the corpus: the tokenizer-
+    training step of an LLM data pipeline, returning the ordered merge
+    rules (rank, left, right, count).
+
+    Honest distributed shape (how real BPE trainers work): the
+    CORPUS-SCALE part is the word-frequency count — one per-batch
+    combiner pass + the high-cardinality hash-partition aggregate
+    (the vocab_df machinery) + a per-partition (tf, word) top-k so at
+    most P x max_words count rows ever reach the driver — while the
+    merge LOOP runs on the driver over the BOUNDED (word, tf) table
+    (<= max_words rows; the loop's cost is independent of corpus
+    size).  Spec, pinned for the independent test reference:
+      * words = text.split(' ') pieces (house tokenization), weighted
+        by total corpus frequency; empty pieces dropped;
+      * a word starts as its unicode-character sequence (no
+        end-of-word marker);
+      * each round counts adjacent symbol pairs weighted by word
+        frequency, merges the most frequent pair — ties break to the
+        lexicographically smallest (left, right) — and stops early
+        when no pair occurs >= 2 times;
+      * incremental recount: only words containing the merged pair
+        are rescanned (the classic trainer optimization).
+    Deterministic at any parallelism: integer counts, total order on
+    pairs."""
+    from ..stages.aggregate import hash_partition_aggregate
+
+    def word_tf(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).combine_chunks()
+        text = pc.fill_null(text, "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["word", "tf"])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        word_tf, batch_format="pyarrow", zero_copy_batch=True)
+    merged = hash_partition_aggregate(partials, ["word"],
+                                      [("tf", "sum")],
+                                      rename={"tf_sum": "tf"})
+
+    _empty_wc = pa.table({"word": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_wc  # typed empty: schema-stable RefBundles
+        if batch.num_rows <= max_words:
+            return batch
+        # the SAME total order as the driver's global cut — (-tf, word
+        # asc) — so a boundary tie can never keep a word the global
+        # order would have dropped (layout-independence)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        w = np.asarray(batch.column("word").to_pylist())
+        idx = np.lexsort((w, -tf))[:max_words]
+        return batch.take(pa.array(np.sort(idx)))
+
+    rows = []
+    for t in _iter_driver_tables(merged.map_batches(
+            local_topk, batch_format="pyarrow")):
+        if t.num_rows == 0 or "word" not in t.column_names:
+            continue  # schema-less empty block from an empty partition
+        rows.extend(zip(t.column("word").to_pylist(),
+                        t.column("tf").to_pylist()))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:max_words]
+
+    # driver merge loop over the bounded vocab
+    words = [tuple(w) for w, _ in rows]
+    freqs = [int(c) for _, c in rows]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for wi, syms in enumerate(words):
+        c = freqs[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    out_rank, out_left, out_right, out_count = [], [], [], []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        mx = max(pair_counts.values())
+        if mx < 2:
+            break
+        best = min(p for p, c in pair_counts.items() if c == mx)
+        out_rank.append(rank)
+        out_left.append(best[0])
+        out_right.append(best[1])
+        out_count.append(mx)
+        new_sym = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            syms, c = words[wi], freqs[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[p]
+            ns, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    ns.append(new_sym)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = tuple(ns)
+            words[wi] = syms
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
+    return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                     "left": pa.array(out_left, pa.string()),
+                     "right": pa.array(out_right, pa.string()),
+                     "count": pa.array(out_count, pa.int64())})
+
+
+def _iter_driver_tables(ds: ray.data.Dataset):
+    """Collect a SMALL dataset's blocks on the driver through the
+    schema-probe-safe block-ref path (functions/parts.arrow_block_refs
+    — Dataset.to_arrow_refs() re-executes the plan when the schema
+    cache misses)."""
+    import ray
+
+    from ..functions.parts import arrow_block_refs
+    for ref in arrow_block_refs(ds):
+        yield ray.get(ref)

@@ -474,6 +474,19 @@ def q_vocab_df(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_bpe_vocab(sf_dir: str):
+    """Tokenizer training: BPE merge-rule induction over the corpus
+    (ops/text.bpe_train) — the distributed part is the word-frequency
+    count (combiner + hash-partition aggregate + per-partition top-k);
+    the merge loop runs on the driver over the BOUNDED (word, tf)
+    table, like every real BPE trainer.  Deterministic (integer
+    counts, total pair order) but iterative, so the oracle is a
+    pinned golden cross-checked against the independent
+    recount-from-scratch reference (tests/test_bpe.py)."""
+    from ..ops.text import bpe_train
+    return bpe_train(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 #: decontamination operating point: 8-gram overlap vs a 10% hash-split
 #: benchmark slice (in production the benchmark is an explicit eval
 #: suite; the deterministic split keeps the sandbox self-contained)
@@ -1970,7 +1983,8 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
             vals = ", ".join(
                 "({})".format(", ".join(lit(v) for v in row))
                 for row in pin["rows"])
-            cols = ", ".join(pin["columns"])
+            # quote names: pins may use SQL keywords (left/right/count)
+            cols = ", ".join(f'"{c}"' for c in pin["columns"])
             out[q] = (f"SELECT {cols} FROM (VALUES {vals}) "
                       f"AS t({cols})")
         else:
@@ -3047,6 +3061,7 @@ RAY_QUERIES = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "vocab_df": q_vocab_df,
+    "bpe_vocab": q_bpe_vocab,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "bloom_decontam": q_bloom_decontam,
