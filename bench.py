@@ -153,7 +153,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # embedding-space benchmark decontamination
                      "semantic_decontam",
                      # BPE merge-rule induction (tokenizer training)
-                     "bpe_vocab"]:
+                     "bpe_vocab",
+                     # CCNet-style bigram-LM quality scoring
+                     "lm_score"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -474,6 +474,19 @@ def q_vocab_df(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring: mean per-bigram log2
+    P(right|left) under the corpus's own bigram model (ops/lm.py) —
+    model build is one count exchange with in-partition conditional
+    denominators + a bounded broadcast table; scoring is one
+    shuffle-free scan.  Deterministic at any parallelism (integer
+    counts, per-doc accumulation order fixed by the row) but the
+    model is bounded/iterative -> pinned golden cross-checked against
+    the independent pure-python reference (tests/test_lm.py)."""
+    from ..ops.lm import lm_score
+    return lm_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_bpe_vocab(sf_dir: str):
     """Tokenizer training: BPE merge-rule induction over the corpus
     (ops/text.bpe_train) — the distributed part is the word-frequency
@@ -3062,6 +3075,7 @@ RAY_QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "vocab_df": q_vocab_df,
     "bpe_vocab": q_bpe_vocab,
+    "lm_score": q_lm_score,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "bloom_decontam": q_bloom_decontam,

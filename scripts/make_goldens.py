@@ -50,7 +50,11 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                # BPE merge rules: deterministic (integer counts, total
                # pair order) but iterative; cross-checked against the
                # independent reference in tests/test_bpe.py
-               "bpe_vocab": ["rank", "left", "right", "count"]}
+               "bpe_vocab": ["rank", "left", "right", "count"],
+               # bigram-LM quality scores: integer counts + per-doc
+               # fixed accumulation order -> bit-reproducible floats;
+               # cross-checked in tests/test_lm.py
+               "lm_score": ["doc_id", "lm_score"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
