@@ -51,6 +51,19 @@ docs = ray.data.read_parquet(%(data)r + "/docs.parquet")
 surv = sorted(r["doc_id"] for r in keep_best_dedup(docs).take_all())
 sec = round(time.time() - t0, 3)
 
+from d1_log_aggregation_ray.ops.lm import lm_score
+from d1_log_aggregation_ray.ops.text import bpe_train
+t0 = time.time()
+lm = sorted((r["doc_id"], r["lm_score"]) for r in lm_score(
+    ray.data.read_parquet(%(data)r + "/docs.parquet")).take_all())
+lm_sec = round(time.time() - t0, 3)
+lm_md5 = hashlib.md5(repr(lm).encode()).hexdigest()
+t0 = time.time()
+bt = bpe_train(ray.data.read_parquet(%(data)r + "/docs.parquet"),
+               n_merges=100)
+bpe_sec = round(time.time() - t0, 3)
+bpe_md5 = hashlib.md5(repr(bt.to_pylist()).encode()).hexdigest()
+
 sset = set(surv)
 n_unique_kept = sum(1 for i in range(%(n_unique)d) if i in sset)
 one, longest_kept, min_id_kept = 0, 0, 0
@@ -69,7 +82,9 @@ print("RESULT " + json.dumps({
     "sec": sec, "n_survivors": len(surv), "md5": h,
     "unique_kept": n_unique_kept, "chains_one_survivor": one,
     "chains_longest_kept": longest_kept,
-    "chains_min_id_kept": min_id_kept}))
+    "chains_min_id_kept": min_id_kept,
+    "lm_sec": lm_sec, "lm_md5": lm_md5,
+    "bpe_sec": bpe_sec, "bpe_md5": bpe_md5}))
 ray.shutdown()
 """
 
@@ -118,6 +133,8 @@ def main() -> None:
     gen()
     lo, hi = run(8), run(32)
     assert lo["md5"] == hi["md5"], "survivors differ across parallelism!"
+    assert lo["lm_md5"] == hi["lm_md5"], "lm_score differs!"
+    assert lo["bpe_md5"] == hi["bpe_md5"], "bpe merges differ!"
     for r in (lo, hi):
         assert r["unique_kept"] == N_UNIQUE, "unique doc falsely dropped"
         assert r["chains_one_survivor"] >= 0.9 * N_CHAINS, \
@@ -131,6 +148,8 @@ def main() -> None:
         "sec": {"8": lo["sec"], "32": hi["sec"]},
         "n_survivors": hi["n_survivors"],
         "chains_one_survivor": hi["chains_one_survivor"],
+        "lm_sec": {"8": lo["lm_sec"], "32": hi["lm_sec"]},
+        "bpe_sec": {"8": lo["bpe_sec"], "32": hi["bpe_sec"]},
         "md5_equal": True}))
 
 
