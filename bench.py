@@ -155,7 +155,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # BPE merge-rule induction (tokenizer training)
                      "bpe_vocab",
                      # CCNet-style bigram-LM quality scoring
-                     "lm_score"]:
+                     "lm_score",
+                     # cluster-balanced sampling (topic rebalancing)
+                     "cluster_sample"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -374,3 +374,45 @@ def organize_embeddings(ds: ray.data.Dataset, k: int = 10,
     return mat.map_batches(final, batch_format="pyarrow",
                            zero_copy_batch=True,
                            fn_kwargs={"broadcast": bref})
+
+
+def cluster_sample(ds: ray.data.Dataset, target: int, k: int = 10,
+                   iters: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   seed: str = "cbal") -> ray.data.Dataset:
+    """Cluster-balanced sampling: cap every k-means cluster at
+    ceil(target / k) members so no dominant mode swamps the sample —
+    the topic-rebalancing step of embedding-driven curation (the
+    cluster-level analog of temperature_mix's language rebalancing).
+
+    Within a cluster the kept members are the ceil(target/k) smallest
+    md5(seed:id) hash ranks (ties -> smaller id): deterministic,
+    layout-independent, and an unbiased pseudo-random draw per
+    cluster.  Shape: the k-means assignment (ops/cluster.
+    kmeans_embeddings — integer-exact, parallelism-independent)
+    produces the narrow (id, cluster) stream; selection rides the
+    topk_per_key combiner (at most m rows per cluster per block cross
+    the exchange), so the full corpus never converges anywhere."""
+    import math
+
+    from .relational import topk_per_key
+    from .split import _seeded_hash
+
+    m = max(1, math.ceil(target / k))
+    lab = kmeans_embeddings(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        h = _seeded_hash(batch, id_col, seed)
+        return batch.append_column("_rank", pa.array(h))
+
+    ranked = lab.map_batches(add_rank, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    sel = topk_per_key(ranked, key="cluster", order_col="_rank",
+                       k=m, tiebreak=id_col, ascending=True)
+    return sel.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col),
+                                            pa.int64()),
+                            "cluster": pc.cast(t.column("cluster"),
+                                               pa.int64())}),
+        batch_format="pyarrow")

@@ -474,6 +474,21 @@ def q_vocab_df(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling: cap every k-means cluster at
+    ceil(300/10) members via deterministic md5 hash-rank draw
+    (ops/cluster.cluster_sample) — the topic-rebalancing step of
+    embedding-driven curation.  Pinned golden GENERATED from the
+    independent pure-python reference (kmeans_reference labels +
+    plain md5 rank selection) and cross-checked against the engine
+    at pin time (scripts/make_goldens.py)."""
+    from ..ops.cluster import cluster_sample
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return cluster_sample(ds, target=300, k=10, iters=5)
+
+
 def q_lm_score(sf_dir: str):
     """CCNet-style LM quality scoring: mean per-bigram log2
     P(right|left) under the corpus's own bigram model (ops/lm.py) —
@@ -3076,6 +3091,7 @@ RAY_QUERIES = {
     "vocab_df": q_vocab_df,
     "bpe_vocab": q_bpe_vocab,
     "lm_score": q_lm_score,
+    "cluster_sample": q_cluster_sample,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "bloom_decontam": q_bloom_decontam,

@@ -143,6 +143,31 @@ def main() -> None:
             "columns": ["vec_id", "cluster"],
             "rows": sorted([int(i), int(c)] for i, c in ref.items())}
         print(f"{sf} kmeans_clusters: {len(ref)} pinned rows")
+        # cluster_sample pin: independent reference = the SAME
+        # kmeans_reference labels + plain-python md5 hash-rank
+        # selection (ceil(300/10) smallest md5('cbal:'+id) per
+        # cluster); cross-checked against the engine at pin time
+        import math as _math
+
+        from d1_log_aggregation_ray.functions.hashing import md5_lower64
+        _m = _math.ceil(300 / 10)
+        _byc: dict = {}
+        for _vid, _c in ref.items():
+            _byc.setdefault(_c, []).append(_vid)
+        _keep: dict = {}
+        for _c, _members in _byc.items():
+            _members.sort(key=lambda v: (md5_lower64(f"cbal:{v}"), v))
+            for _v in _members[:_m]:
+                _keep[int(_v)] = int(_c)
+        _eng = {r["vec_id"]: r["cluster"] for r in
+                RAY_QUERIES["cluster_sample"](sf_dir).take_all()}
+        if _eng != _keep:
+            raise AssertionError(
+                f"cluster_sample engine != reference at {sf}")
+        out[sf]["cluster_sample"] = {
+            "columns": ["vec_id", "cluster"],
+            "rows": sorted([i, c] for i, c in _keep.items())}
+        print(f"{sf} cluster_sample: {len(_keep)} pinned rows")
         # pca pin: generated from the independent serial reference
         # (tests/pca_reference.py) and cross-checked EXACTLY against
         # the engine (both are bit-exact integer formulations)

@@ -201,3 +201,42 @@ def test_organize_embeddings_planted():
         "vec_id").reset_index(drop=True)
     b = out2.sort_values("vec_id").reset_index(drop=True)
     assert (a == b).all().all()
+
+
+def test_cluster_sample_balances_and_is_layout_independent():
+    """Planted 3-gaussian blobs with skewed sizes (160/30/10): a
+    target of 60 with k=3 caps every cluster at 20 — the dominant
+    blob is downsampled 8x, the small blob keeps everything — and the
+    selection is byte-identical across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from d1_log_aggregation_ray.ops.cluster import cluster_sample
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[10.0] * 8, [-10.0] * 8,
+                        [10.0] * 4 + [-10.0] * 4])
+    sizes = [160, 30, 10]
+    rows, ids = [], []
+    i = 0
+    for c, n in zip(centers, sizes):
+        for _ in range(n):
+            rows.append((c + rng.normal(scale=0.1, size=8)).tolist())
+            ids.append(i)
+            i += 1
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(rows)})
+    out = cluster_sample(ray.data.from_arrow(t), target=60, k=3,
+                         iters=5).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["cluster"], set()).add(r["vec_id"])
+    sizes_out = sorted(len(v) for v in by.values())
+    # blobs are well-separated: clusters = blobs; caps = min(20, size)
+    assert sizes_out == [10, 20, 20]
+    out2 = cluster_sample(ray.data.from_arrow(t).repartition(7),
+                          target=60, k=3, iters=5).take_all()
+    assert sorted((r["vec_id"], r["cluster"]) for r in out) == \
+        sorted((r["vec_id"], r["cluster"]) for r in out2)
