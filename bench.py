@@ -157,7 +157,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # CCNet-style bigram-LM quality scoring
                      "lm_score",
                      # cluster-balanced sampling (topic rebalancing)
-                     "cluster_sample"]:
+                     "cluster_sample",
+                     # zlib compression-ratio quality signal
+                     "compress_ratio"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -637,3 +637,28 @@ def _iter_driver_tables(ds: ray.data.Dataset):
     from ..functions.parts import arrow_block_refs
     for ref in arrow_block_refs(ds):
         yield ray.get(ref)
+
+
+def compression_ratio_batch(batch: pa.Table, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """(id, raw_len, comp_len): zlib-compressed size per document —
+    the Gopher-style repetitiveness signal (boilerplate and looped
+    text compress far below ~0.4x; high-entropy gibberish barely
+    compresses at all).  Integer outputs so the result is value-hash
+    stable; consumers derive the ratio.
+
+    The compress call is per-document Python, but the kernel is C
+    (zlib) over an opaque byte payload — the multimodal-decode
+    precedent: inherently per-item codec work, embarrassingly
+    parallel, fused with the read.  Deterministic for a fixed level
+    and the container's pinned zlib."""
+    import zlib
+
+    text = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    raw = [t.encode("utf-8") for t in text.to_pylist()]
+    comp = [len(zlib.compress(b, level)) for b in raw]
+    return pa.table({
+        id_col: pc.cast(batch.column(id_col), pa.int64()),
+        "raw_len": pa.array([len(b) for b in raw], pa.int64()),
+        "comp_len": pa.array(comp, pa.int64())})

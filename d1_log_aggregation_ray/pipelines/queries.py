@@ -474,6 +474,20 @@ def q_vocab_df(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_compress_ratio(sf_dir: str):
+    """Gopher-style compression-ratio quality signal: (doc_id,
+    raw_len, comp_len) with zlib level 6 — repetitive boilerplate
+    compresses far below ~0.4x, gibberish barely compresses
+    (ops/text.compression_ratio_batch; map-only, fused with the
+    read).  zlib has no SQL equivalent -> pinned golden; raw_len is
+    independently SQL-checkable (octet_length) and asserted in
+    tests/test_functions.py."""
+    from ..ops.text import compression_ratio_batch
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def q_cluster_sample(sf_dir: str):
     """Cluster-balanced sampling: cap every k-means cluster at
     ceil(300/10) members via deterministic md5 hash-rank draw
@@ -3092,6 +3106,7 @@ RAY_QUERIES = {
     "bpe_vocab": q_bpe_vocab,
     "lm_score": q_lm_score,
     "cluster_sample": q_cluster_sample,
+    "compress_ratio": q_compress_ratio,
     "stratified_sample": q_stratified_sample,
     "ngram_decontaminate": q_ngram_decontaminate,
     "bloom_decontam": q_bloom_decontam,

@@ -54,7 +54,11 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                # bigram-LM quality scores: integer counts + per-doc
                # fixed accumulation order -> bit-reproducible floats;
                # cross-checked in tests/test_lm.py
-               "lm_score": ["doc_id", "lm_score"]}
+               "lm_score": ["doc_id", "lm_score"],
+               # zlib sizes: deterministic for the container's pinned
+               # zlib at fixed level; raw_len cross-checked vs
+               # octet_length in tests
+               "compress_ratio": ["doc_id", "raw_len", "comp_len"]}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 

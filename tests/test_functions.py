@@ -60,3 +60,38 @@ def test_geohash_array_bit_parity_with_scalar():
     v5 = geohash_encode_array(lat[:50], lon[:50], 5)
     for i in range(50):
         assert v5[i] == geohash_encode(float(lat[i]), float(lon[i]), 5)
+
+
+def test_compression_ratio_planted_and_sql_rawlen():
+    """Repetitive text compresses far below random text; raw_len
+    matches DuckDB octet_length on the real fixture (the SQL-checkable
+    half of the pinned golden); null text behaves like ''."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from d1_log_aggregation_ray.ops.text import compression_ratio_batch
+
+    rng = np.random.default_rng(17)
+    rep = "spam and eggs " * 200
+    rand = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "),
+                              size=len(rep)))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([rep, rand, None])})
+    out = compression_ratio_batch(t)
+    ratios = {r["doc_id"]: r["comp_len"] / max(r["raw_len"], 1)
+              for r in out.to_pylist()}
+    assert ratios[0] < 0.05          # boilerplate collapses
+    assert ratios[1] > 0.5           # near-random barely compresses
+    row2 = out.to_pylist()[2]
+    assert row2["raw_len"] == 0 and row2["comp_len"] > 0
+
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    docs = pq.read_table(sf, columns=["doc_id", "text"])
+    got = {r["doc_id"]: r["raw_len"]
+           for r in compression_ratio_batch(docs).to_pylist()}
+    want = dict(duckdb.sql(
+        f"SELECT doc_id, octet_length(CAST(COALESCE(text,'') AS BLOB)) "
+        f"FROM read_parquet('{sf}')").fetchall())
+    assert got == {int(k): int(v) for k, v in want.items()}
