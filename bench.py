@@ -159,7 +159,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # cluster-balanced sampling (topic rebalancing)
                      "cluster_sample",
                      # zlib compression-ratio quality signal
-                     "compress_ratio"]:
+                     "compress_ratio",
+                     # three-table having-filter join (TPC-H Q18)
+                     "big_orders"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -1019,6 +1019,124 @@ def q_top_orders(sf_dir: str):
     return global_topk(per_order, "revenue_c2", 10, "o_orderkey")
 
 
+#: large-order quantity threshold (TPC-H Q18 analog)
+_BIGORD_T = 300
+
+
+def q_big_orders(sf_dir: str):
+    """Large x large THREE-table pipeline (TPC-H Q18 analog): orders
+    whose total lineitem quantity exceeds the threshold, with their
+    customer's segment attached.  Plan: lineitem per-batch qty
+    combiners + orders rows meet in ONE union co-partition exchange
+    on hash(o_orderkey) (the top_orders machinery); the HAVING cut
+    runs inside the join scan, so what leaves stage 1 is only the
+    qualifying (orderkey, custkey, sum_qty) rows — bounded by the
+    threshold by construction — which broadcast against a customer
+    scan for the attribute attach (no third shuffle).  sum_qty is
+    integer-exact (quantities are integral; rint-cast before the
+    sum), so the value hash matches DuckDB regardless of order."""
+    from ..functions.parts import hash_parts, key_parts
+    P = hash_parts()
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(key_parts(ok, P)),
+            "k": pa.array(ok), "v": pa.array(ck),
+            "side": pa.array(np.zeros(len(ok), np.int8))})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        ord_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        k_s, q_s = keys[order], qty[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ku = k_s[starts]
+        qv = (np.add.reduceat(q_s, starts) if len(starts)
+              else np.array([], dtype=np.int64))
+        return pa.table({
+            "_part": pa.array(key_parts(ku, P)),
+            "k": pa.array(ku), "v": pa.array(qv),
+            "side": pa.array(np.ones(len(ku), np.int8))})
+
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY_Q18 = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "sum_qty": pa.array([], pa.int64())})
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok, oc = k[om], v[om]
+        ik, iq = k[~om], v[~om]
+        if len(ok) == 0 or len(ik) == 0:
+            return _EMPTY_Q18
+        oo = np.argsort(ok)              # orderkey is a PK
+        ok, oc = ok[oo], oc[oo]
+        io = np.argsort(ik, kind="stable")
+        ik, iq = ik[io], iq[io]
+        starts = np.flatnonzero(np.r_[True, ik[1:] != ik[:-1]])
+        ku = ik[starts]
+        qv = np.add.reduceat(iq, starts)
+        big = qv > _BIGORD_T             # HAVING inside the scan
+        ku, qv = ku[big], qv[big]
+        pos = np.searchsorted(ok, ku)
+        pos[pos == len(ok)] = 0
+        hit = ok[pos] == ku
+        return pa.table({
+            "o_orderkey": pa.array(ku[hit]),
+            "o_custkey": pa.array(oc[pos[hit]]),
+            "sum_qty": pa.array(qv[hit])})
+
+    surv = orders.union(items).groupby("_part").map_groups(
+        join_scan, batch_format="pyarrow").take_all()
+    # bounded by the HAVING threshold by construction -> broadcast
+    surv.sort(key=lambda r: (r["o_custkey"], r["o_orderkey"]))
+    s_ck = np.array([r["o_custkey"] for r in surv], dtype=np.int64)
+    s_ok = np.array([r["o_orderkey"] for r in surv], dtype=np.int64)
+    s_sq = np.array([r["sum_qty"] for r in surv], dtype=np.int64)
+    surv_ref = ray.put((s_ck, s_ok, s_sq))
+
+    def attach(batch: pa.Table, *, sref) -> pa.Table:
+        ck, ok, sq = ray.get(sref) if isinstance(
+            sref, ray.ObjectRef) else sref
+        cc = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ck, cc, side="left")
+        hi = np.searchsorted(ck, cc, side="right")
+        n_per = hi - lo
+        rows = np.nonzero(n_per)[0]
+        out_idx = np.concatenate(
+            [np.arange(lo[r], hi[r]) for r in rows]) if len(rows) \
+            else np.array([], dtype=np.int64)
+        src = np.repeat(rows, n_per[rows])
+        seg = batch.column("c_mktsegment").take(pa.array(src))
+        return pa.table({
+            "c_custkey": pa.array(cc[src]),
+            "c_mktsegment": seg,
+            "o_orderkey": pa.array(ok[out_idx]),
+            "sum_qty": pa.array(sq[out_idx])})
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"sref": surv_ref})
+
+
 #: lapsed-customer cutoff for the anti-join query
 _LAPSED_CUT = "1999-01-01"
 
@@ -2280,6 +2398,20 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS n_dup_lines
             FROM j GROUP BY doc_id""",
 
+        "big_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum_qty > {_BIGORD_T}
+            )
+            SELECT c.c_custkey, c.c_mktsegment,
+                   o.o_orderkey, b.sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey""",
+
         "top_orders": f"""
             SELECT o.o_orderkey, o.o_orderdate,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
@@ -3151,6 +3283,7 @@ RAY_QUERIES = {
     "temperature_mix": q_temperature_mix,
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
+    "big_orders": q_big_orders,
     "cust_no_orders": q_cust_no_orders,
     "zscore_events": q_zscore_events,
     "window_distinct": q_window_distinct,
