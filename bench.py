@@ -161,7 +161,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # zlib compression-ratio quality signal
                      "compress_ratio",
                      # three-table having-filter join (TPC-H Q18)
-                     "big_orders"]:
+                     "big_orders",
+                     # curriculum decile labels (quantiles + map pass)
+                     "quality_buckets"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

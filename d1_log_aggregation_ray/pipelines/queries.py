@@ -619,6 +619,49 @@ def q_length_quantiles(sf_dir: str):
     return value_quantiles(lens, "n_tokens", _QUANTILE_QS)
 
 
+_BUCKET_QS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_quality_buckets(sf_dir: str):
+    """Curriculum/quality decile labels: (doc_id, n_tokens, bucket)
+    where bucket = number of exact corpus decile thresholds strictly
+    below the doc's token count (0..9) — the bucketing step of
+    quality-stratified training curricula.  Two passes: the exact
+    value-histogram quantile exchange (ops/relational.value_quantiles,
+    quantile_disc semantics) yields the 9 thresholds on the driver;
+    the label pass is a map-only searchsorted against the broadcast
+    thresholds.  All integers -> hash-stable vs the SQL oracle."""
+    from ..ops.relational import value_quantiles
+    from ..ops.text import token_count_batch
+
+    def lens_ds():
+        ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+        ds = ds.map_batches(
+            lambda t: t.filter(t.column("text").is_valid()),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(token_count_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).select_columns(
+            ["doc_id", "n_tokens"])
+
+    thr = value_quantiles(lens_ds().select_columns(["n_tokens"]),
+                          "n_tokens", _BUCKET_QS)
+    t_sorted = np.sort(np.asarray(thr.column("value"), dtype=np.int64))
+    tref = ray.put(t_sorted)
+
+    def label(batch: pa.Table, *, tr) -> pa.Table:
+        t = ray.get(tr) if isinstance(tr, ray.ObjectRef) else tr
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(t, n, side="left").astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_tokens": batch.column("n_tokens"),
+            "bucket": pa.array(b)})
+
+    return lens_ds().map_batches(label, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 fn_kwargs={"tr": tref})
+
+
 def q_length_trim(sf_dir: str):
     """Adaptive length gate: keep docs whose token count lies within
     the corpus [p10, p90] — relative thresholds computed by the exact
@@ -2613,6 +2656,18 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST({_QUANTILE_QS}[i] AS DOUBLE) AS q, vs[i] AS value
             FROM agg, UNNEST(range(1, {len(_QUANTILE_QS) + 1})) AS t(i)""",
 
+        "quality_buckets": f"""
+            WITH lens AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents WHERE text IS NOT NULL
+            ), thr AS (
+              SELECT unnest(quantile_disc(n_tokens, {_BUCKET_QS})) AS v
+              FROM lens)
+            SELECT l.doc_id, l.n_tokens,
+                   CAST((SELECT count(*) FROM thr WHERE v < l.n_tokens)
+                        AS BIGINT) AS bucket
+            FROM lens l""",
+
         "weighted_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5_number_lower('w:' || CAST(doc_id AS VARCHAR))
@@ -3245,6 +3300,7 @@ RAY_QUERIES = {
     "semantic_decontam": q_semantic_decontam,
     "doc_repetition": q_doc_repetition,
     "length_quantiles": q_length_quantiles,
+    "quality_buckets": q_quality_buckets,
     "pii_redact": q_pii_redact,
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinctive_terms": q_distinctive_terms,
