@@ -163,7 +163,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # three-table having-filter join (TPC-H Q18)
                      "big_orders",
                      # curriculum decile labels (quantiles + map pass)
-                     "quality_buckets"]:
+                     "quality_buckets",
+                     # latest-wins CDC upsert merge
+                     "snapshot_merge"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

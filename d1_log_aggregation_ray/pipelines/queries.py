@@ -1062,6 +1062,44 @@ def q_top_orders(sf_dir: str):
     return global_topk(per_order, "revenue_c2", 10, "o_orderkey")
 
 
+def q_snapshot_merge(sf_dir: str):
+    """Latest-wins upsert merge (the MERGE INTO / CDC-compaction
+    primitive): base snapshot (every doc, version 1) unioned with a
+    delta (docs with doc_id % 5 == 0 updated to version 2, n_chars
+    shifted) -> ONE surviving row per id, the max-version one.  The
+    union co-partitions on hash(id) via the topk_per_key combiner
+    (k=1): at most one row per id per block crosses the exchange, the
+    per-partition scan is a vectorized segment head — the compaction
+    shape for merging a day's CDC stream into a 100 TB snapshot.
+    (id, version) unique by contract, as in any CDC log."""
+    from ..ops.relational import topk_per_key
+    base = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "version": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64())})
+
+    def as_delta(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        b = b.filter(pa.array(m))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "version": pa.array(np.full(b.num_rows, 2, np.int64)),
+            "n_chars": pc.cast(pc.add(b.column("n_chars"), 1000),
+                               pa.int64())})
+
+    u = base.map_batches(as_base, batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        base.map_batches(as_delta, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    merged = topk_per_key(u, key="doc_id", order_col="version",
+                          k=1, tiebreak="version")
+    return merged.select_columns(["doc_id", "version", "n_chars"])
+
+
 #: large-order quantity threshold (TPC-H Q18 analog)
 _BIGORD_T = 300
 
@@ -2441,6 +2479,23 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS n_dup_lines
             FROM j GROUP BY doc_id""",
 
+        "snapshot_merge": """
+            WITH base AS (
+              SELECT doc_id, CAST(1 AS BIGINT) AS version,
+                     CAST(n_chars AS BIGINT) AS n_chars
+              FROM documents
+            ), delta AS (
+              SELECT doc_id, CAST(2 AS BIGINT) AS version,
+                     CAST(n_chars + 1000 AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 5 = 0
+            ), u AS (
+              SELECT * FROM base UNION ALL SELECT * FROM delta
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY version DESC) AS rn
+              FROM u)
+            SELECT doc_id, version, n_chars FROM r WHERE rn = 1""",
+
         "big_orders": f"""
             WITH big AS (
               SELECT l_orderkey,
@@ -3340,6 +3395,7 @@ RAY_QUERIES = {
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "big_orders": q_big_orders,
+    "snapshot_merge": q_snapshot_merge,
     "cust_no_orders": q_cust_no_orders,
     "zscore_events": q_zscore_events,
     "window_distinct": q_window_distinct,
