@@ -1071,7 +1071,10 @@ def q_snapshot_merge(sf_dir: str):
     (k=1): at most one row per id per block crosses the exchange, the
     per-partition scan is a vectorized segment head — the compaction
     shape for merging a day's CDC stream into a 100 TB snapshot.
-    (id, version) unique by contract, as in any CDC log."""
+    (id, version) unique by contract, as in any CDC log.  The base
+    lineage is consumed twice (base + delta derivation) — safe here
+    by construction since it is a pruned parquet read; a real CDC
+    merge reads base and delta from SEPARATE sources."""
     from ..ops.relational import topk_per_key
     base = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
 
