@@ -165,7 +165,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # curriculum decile labels (quantiles + map pass)
                      "quality_buckets",
                      # latest-wins CDC upsert merge
-                     "snapshot_merge"]:
+                     "snapshot_merge",
+                     # all-pairs approximate kNN join (LSH buckets)
+                     "knn_join",
+                     # exact-n deterministic sample (md5 order stat)
+                     "exact_sample",
+                     # per-source PERCENT_RANK window
+                     "percent_rank"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

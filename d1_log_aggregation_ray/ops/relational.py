@@ -866,3 +866,61 @@ def sampled_quantiles(ds: ray.data.Dataset, val_col: str,
     vals = [float(v[max(math.ceil(q * len(v)) - 1, 0)]) for q in qs]
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array(vals, pa.float64())})
+
+
+def percent_rank_per_key(ds: ray.data.Dataset, key_col: str,
+                         val_col: str,
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """SQL PERCENT_RANK() OVER (PARTITION BY key ORDER BY val) — the
+    per-group normalized rank a curation recipe uses to calibrate a
+    quality signal WITHIN each source/domain instead of globally
+    (quality_buckets is the global-decile counterpart).
+
+    Shape: one hash exchange on the key + one lexsort/searchsorted
+    scan per partition — ties share the rank of their first
+    occurrence (SQL RANK semantics), pct = (rank - 1) / (n - 1)
+    computed as the same small-integer division DuckDB performs, so
+    the float output is bit-identical cross-engine (single-group
+    keys emit 0.0, the SQL convention).  Null vals are excluded
+    (mirrored by the oracle's WHERE val IS NOT NULL)."""
+    P = _asof_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(val_col).combine_chunks().is_valid())
+        k = _seg_keys(batch.column(key_col))
+        return pa.table({id_col: batch.column(id_col),
+                         key_col: batch.column(key_col),
+                         val_col: batch.column(val_col),
+                         "part": pa.array(_key_parts(k, P))})
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pct_rank": pa.array([], pa.float64())})
+        ids = group.column(id_col).combine_chunks()
+        k = _seg_keys(group.column(key_col))
+        v = group.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, counts)
+        # RANK: first index of this value within its segment
+        new_val = new_key | np.r_[True, vs[1:] != vs[:-1]]
+        first_idx = np.maximum.accumulate(
+            np.where(new_val, np.arange(n), -1))
+        rank = first_idx - seg_start           # 0-based RANK
+        denom = np.repeat(counts, counts) - 1
+        pct = np.divide(rank, denom, out=np.zeros(n, np.float64),
+                        where=denom > 0)
+        return pa.table({id_col: ids.take(pa.array(order)),
+                         "pct_rank": pa.array(pct)})
+
+    parts = ds.select_columns([id_col, key_col, val_col]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")

@@ -334,3 +334,102 @@ def hard_negative_topk(ds: ray.data.Dataset, queries: np.ndarray,
             "score": pa.array(sc[sel][order]),
         }))
     return pa.concat_tables(outs)
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int = 11) -> np.ndarray:
+    """The house seeded random-hyperplane bank.  Shared by the Ray
+    operators and the generated DuckDB oracles (planes inlined as SQL
+    literals) so bucket assignment can never drift between the engine
+    and its check."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int = 8,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> ray.data.Dataset:
+    """All-pairs approximate kNN join: every vector gets its exact
+    cosine top-k among the vectors sharing its LSH bucket (seeded
+    random-hyperplane signature, `lsh_planes`).  Returns
+    (id, neighbor_id, nn_rank) rows — vectors alone in their bucket
+    emit nothing (the approximate contract, mirrored by the generated
+    SQL oracle's inner self-join on the same signature).
+
+    Scale shape: ONE exchange keyed on the signature (vectors ride it
+    once, ~8*dim bytes/row); each bucket is scanned with a chunked
+    (chunk x bucket) matmul so memory stays O(chunk * bucket), never
+    O(bucket^2).  Partitioning assumption (documented, like the dedup
+    families): one bucket's vectors fit a worker heap — n_planes
+    controls bucket count (2^n_planes expected buckets), so raise it
+    with corpus size.  The within-bucket cost is inherently
+    O(bucket^2 * dim) multiply-adds — that is the exact-within-bucket
+    kNN contract; callers wanting sub-quadratic use the IVF index.
+
+    Determinism: neighbor ranking is (score desc, neighbor_id asc) via
+    a stable argsort over id-ascending columns; exact score ties
+    (identical vectors) therefore resolve identically in the engine
+    and the SQL oracle.
+
+    Reference analog: none (the reference has no similarity ops) —
+    this is the LLM-data-pipeline family; the bucket-scan shape
+    follows ops/dedup.py::embedding_cosine_dedup."""
+    from ..functions.parts import hash_parts
+    P = hash_parts()
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("nn_rank", pa.int64())])
+
+    def sig_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col),
+                             "part": pa.array([], pa.int64())})
+        m = _as_matrix(batch, vec_col)
+        pl = lsh_planes(n_planes, m.shape[1])
+        sig = (((m @ pl.T) > 0).astype(np.int64)
+               << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "sig": pa.array(sig),
+            vec_col: batch.column(vec_col),
+            "part": pa.array(sig % np.int64(P)),
+        })
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return out_schema.empty_table()
+        ids = group.column(id_col).to_numpy()
+        sig = group.column("sig").to_numpy()
+        m = _as_matrix(group, vec_col)
+        order = np.lexsort((ids, sig))
+        ids, sig, m = ids[order], sig[order], m[order]
+        starts = np.flatnonzero(np.r_[True, sig[1:] != sig[:-1]])
+        counts = np.diff(np.r_[starts, len(sig)])
+        out_id, out_nb, out_rk = [], [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            bm = _normalize(m[s:s + c])        # bucket rows, ids asc
+            bi = ids[s:s + c]
+            kk = min(k, c - 1)
+            CH = max(16, 4_000_000 // int(c))  # ~32MB of f64 scores
+            for a in range(0, int(c), CH):
+                b = min(a + CH, int(c))
+                scores = bm[a:b] @ bm.T        # (chunk, c)
+                scores[np.arange(a, b) - a, np.arange(a, b)] = -np.inf
+                # stable argsort over id-ascending columns: ties
+                # (identical vectors) break toward the smaller id,
+                # matching ORDER BY score DESC, neighbor_id
+                nb = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+                out_id.append(np.repeat(bi[a:b], kk))
+                out_nb.append(bi[nb].ravel())
+                out_rk.append(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                      b - a))
+        if not out_id:
+            return out_schema.empty_table()
+        return pa.table({id_col: pa.array(np.concatenate(out_id)),
+                         "neighbor_id": pa.array(np.concatenate(out_nb)),
+                         "nn_rank": pa.array(np.concatenate(out_rk))})
+
+    parts = ds.map_batches(sig_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")

@@ -280,3 +280,47 @@ def source_stats(ds: ray.data.Dataset, source_col: str = "source",
     # one repartition(1) collapse is a few-hundred-row exchange
     return partials.repartition(1).map_batches(
         rollup, batch_format="pyarrow")
+
+
+def exact_sample(ds: ray.data.Dataset, n: int = 500,
+                 id_col: str = "doc_id") -> pa.Table:
+    """EXACT-size deterministic global sample — take exactly `n` rows
+    ranked by md5(id), without a global sort.
+
+    The hash-Bernoulli samplers above give approximate sizes; training
+    recipes often need "exactly n examples, reproducibly".  Ranking by
+    a content hash is an RNG-free uniform order, and the n smallest
+    hashes are an order statistic: each block keeps only its LOCAL
+    smallest-n (one lexsort per batch), so at most n rows per block
+    reach the driver for one final n-row merge — the brute_force_topk
+    merge shape, never a corpus exchange.  Ties (impossible for
+    distinct ids short of an md5 collision) break by id.
+
+    Returns (id, sample_rank) with rank 1..n in hash order, mirrored
+    exactly by the SQL oracle's ORDER BY md5_number_lower(...) LIMIT n.
+
+    Scale: driver merge sees n * n_blocks rows; n is a recipe constant
+    (hundreds to thousands), so this stays tiny at any corpus size."""
+    from ..functions.hashing import md5_lower64_array
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: ids,
+                             "_h": pa.array([], pa.uint64())})
+        h = md5_lower64_array(pc.cast(ids, pa.string()))
+        idn = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((idn, h))[:n]
+        return pa.table({id_col: ids.take(pa.array(order)),
+                         "_h": pa.array(h[order], pa.uint64())})
+
+    rows = (ds.select_columns([id_col])
+              .map_batches(local_min, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all())
+    h = np.array([r["_h"] for r in rows], dtype=np.uint64)
+    ids = np.array([r[id_col] for r in rows])
+    order = np.lexsort((ids, h))[:n]
+    return pa.table({
+        id_col: pa.array(ids[order]),
+        "sample_rank": pa.array(np.arange(1, len(order) + 1,
+                                          dtype=np.int64))})

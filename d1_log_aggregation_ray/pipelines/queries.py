@@ -1679,6 +1679,57 @@ def _lang_id_sql() -> str:
         SELECT doc_id, {case} AS lang_pred FROM hits"""
 
 
+def _sig_terms_sql(planes: np.ndarray) -> str:
+    """SQL expression computing the random-hyperplane LSH signature of
+    `embedding` with the SAME plane bank as the Ray operators (planes
+    inlined as literals at full repr precision).  string -> DOUBLE
+    literals: bare decimals parse as DECIMAL in DuckDB and lose low
+    bits (same fix as the golden-pin SQL), which could flip a
+    near-zero projection's sign."""
+    return " + ".join(
+        "(CASE WHEN list_dot_product(embedding, [{}]) > 0 THEN {} ELSE 0 END)"
+        .format(", ".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                          for x in planes[i]), 1 << i)
+        for i in range(planes.shape[0]))
+
+
+def _knn_join_sql(sf_dir: str) -> str:
+    """DuckDB mirror of ops/similarity.knn_join: same seeded planes
+    (shared lsh_planes), inner self-join on the signature, exact
+    cosine ranking with (score DESC, neighbor_id) ties.  Score sign /
+    ordering agreement between numpy and DuckDB holds unless two
+    distinct candidate scores are within float rounding of each other
+    (validated in pytest, same caveat as the other ANN oracles);
+    exact ties — identical vectors — order identically by id in
+    both engines."""
+    from ..ops.similarity import lsh_planes
+    planes = lsh_planes(8, len(_query_vec(sf_dir)))
+    return f"""
+        SELECT vec_id, neighbor_id, nn_rank FROM (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding,
+                                                   b.embedding) DESC,
+                            b.vec_id) AS nn_rank
+          FROM (SELECT vec_id, embedding, ({_sig_terms_sql(planes)}) AS sig
+                FROM embeddings) a
+          JOIN (SELECT vec_id, embedding, ({_sig_terms_sql(planes)}) AS sig
+                FROM embeddings) b
+            ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+        WHERE nn_rank <= 5"""
+
+
+def q_knn_join(sf_dir: str):
+    """All-pairs approximate kNN join: each vector's exact cosine
+    top-5 among the vectors sharing its LSH bucket — one
+    signature-keyed exchange, chunked within-bucket matmul
+    (ops/similarity.knn_join)."""
+    from ..ops.similarity import knn_join
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return knn_join(ds, k=5)
+
+
 def _ann_lsh_sql(sf_dir: str) -> str:
     """DuckDB mirror of ops/similarity.lsh_topk: the same seeded
     hyperplanes inlined as literals (full repr precision), the same
@@ -1694,14 +1745,7 @@ def _ann_lsh_sql(sf_dir: str) -> str:
     planes = rng.randn(n_planes, len(q))
     qn = q / (np.linalg.norm(q) or 1.0)
     want = sorted(lsh_probe_set(planes, qn, n_flips=2))
-    # string -> DOUBLE literals: bare decimals parse as DECIMAL in
-    # DuckDB and lose low bits (same fix as the golden-pin SQL), which
-    # could flip a near-zero projection's sign
-    sig_terms = " + ".join(
-        "(CASE WHEN list_dot_product(embedding, [{}]) > 0 THEN {} ELSE 0 END)"
-        .format(", ".join(f"CAST('{float(x)!r}' AS DOUBLE)"
-                          for x in planes[i]), 1 << i)
-        for i in range(n_planes))
+    sig_terms = _sig_terms_sql(planes)
     return f"""
         SELECT vec_id FROM (
           SELECT vec_id,
@@ -1716,6 +1760,27 @@ def _ann_lsh_sql(sf_dir: str) -> str:
 _GOLDEN_JSON = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "tests", "goldens",
     "dedup_survivors.json")
+
+
+def q_percent_rank(sf_dir: str):
+    """Per-source PERCENT_RANK of doc length — within-domain quality
+    calibration: one hash exchange on source + a vectorized
+    rank/searchsorted scan per partition
+    (ops/relational.percent_rank_per_key).  The float output is the
+    same small-integer division DuckDB performs, so it hashes
+    bit-identically cross-engine."""
+    from ..ops.relational import percent_rank_per_key
+    return percent_rank_per_key(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        key_col="source", val_col="n_chars")
+
+
+def q_exact_sample(sf_dir: str):
+    """Exact-size deterministic global sample (n=500): rank by
+    md5(doc_id), keep the n smallest — local smallest-n per block +
+    one n-row driver merge, no global sort (ops/split.exact_sample)."""
+    from ..ops.split import exact_sample
+    return exact_sample(_docs(sf_dir).select_columns(["doc_id"]), n=500)
 
 
 def q_train_split(sf_dir: str):
@@ -2652,6 +2717,21 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
                   < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""",
 
+        "percent_rank": """
+            SELECT doc_id,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS pct_rank
+            FROM documents WHERE n_chars IS NOT NULL""",
+
+        "exact_sample": """
+            SELECT doc_id, sample_rank FROM (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 500""",
+
         "semantic_decontam": f"""
             WITH bench AS (
               SELECT embedding AS bemb FROM embeddings WHERE label = 0
@@ -2883,6 +2963,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_id": _lang_id_sql(),
 
         "ann_lsh_topk": _ann_lsh_sql(sf_dir),
+
+        "knn_join": _knn_join_sql(sf_dir),
 
         "ann_cosine_topk": """
             SELECT vec_id FROM (
@@ -3363,6 +3445,8 @@ RAY_QUERIES = {
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinctive_terms": q_distinctive_terms,
     "sample_docs": q_sample_docs,
+    "exact_sample": q_exact_sample,
+    "percent_rank": q_percent_rank,
     "train_split": q_train_split,
     "shuffle_shards": q_shuffle_shards,
     "source_stats": q_source_stats,
@@ -3373,6 +3457,7 @@ RAY_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_multi_topk": q_ann_multi_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "knn_join": q_knn_join,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_near": q_dedup_simhash_near,

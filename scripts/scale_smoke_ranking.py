@@ -96,6 +96,30 @@ out["incdedup_rows"] = len(inc)
 inc.sort(key=lambda r: r["doc_id"])
 out["incdedup_md5"] = md5_rows(inc, ["doc_id"])
 
+from d1_log_aggregation_ray.ops.similarity import knn_join
+t0 = time.time()
+kj = knn_join(ray.data.read_parquet(%(data)r + "/emb.parquet"), k=5)
+def _rowhash(b):
+    # order-insensitive block digest: xor of per-row md5s (every
+    # (vec_id, neighbor_id, rank) row is unique), so the check is
+    # independent of block layout without a driver-side 1M-row sort
+    import pyarrow.compute as pcc
+    s = pcc.binary_join_element_wise(
+        pcc.cast(b.column("vec_id"), pa_.string()),
+        pcc.cast(b.column("neighbor_id"), pa_.string()),
+        pcc.cast(b.column("nn_rank"), pa_.string()), ":")
+    h = md5_lower64_array(s)
+    x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+    return pa_.table({"x": pa_.array([int(x)], pa_.uint64()),
+                      "n": pa_.array([len(h)], pa_.int64())})
+parts = kj.map_batches(_rowhash, batch_format="pyarrow").take_all()
+out["knn_sec"] = round(time.time() - t0, 3)
+out["knn_rows"] = sum(r["n"] for r in parts)
+x = np.uint64(0)
+for r in parts:
+    x ^= np.uint64(r["x"])
+out["knn_xor"] = int(x)
+
 print("RESULT " + json.dumps(out))
 ray.shutdown()
 """
@@ -143,7 +167,7 @@ def main() -> None:
     gen()
     lo, hi = run(8), run(32)
     for k in ("pca_md5", "shuffle_md5", "bm25_top", "organize_md5",
-              "incdedup_md5"):
+              "incdedup_md5", "knn_xor", "knn_rows"):
         assert lo[k] == hi[k], f"{k} differs across parallelism!"
     print(json.dumps({
         "n": N,
@@ -156,6 +180,8 @@ def main() -> None:
         "incdedup_sec": {"8": lo["incdedup_sec"],
                          "32": hi["incdedup_sec"]},
         "incdedup_rows": lo["incdedup_rows"],
+        "knn_sec": {"8": lo["knn_sec"], "32": hi["knn_sec"]},
+        "knn_rows": lo["knn_rows"],
         "identical_across_levels": True,
         "bm25_top1": lo["bm25_top"][0]}))
 

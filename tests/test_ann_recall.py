@@ -70,3 +70,64 @@ def test_ivf_recall(corpus, tmp_path):
         recalls.append(len(got & want) / K)
     # probing 2/8 lists: recall well above the 25% list-mass floor
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def _knn_reference(ids, mat, k=5, n_planes=8):
+    """Independent per-bucket kNN: plain-python bucket dict + per-row
+    sorted() ranking (no shared code with the operator's chunked
+    argsort path)."""
+    from d1_log_aggregation_ray.ops.similarity import lsh_planes
+    pl = lsh_planes(n_planes, mat.shape[1])
+    sig = (((mat @ pl.T) > 0).astype(np.int64)
+           << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    m = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-12)
+    buckets = {}
+    for i, s in enumerate(sig):
+        buckets.setdefault(int(s), []).append(i)
+    rows = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for i in members:
+            scored = sorted(((-float(m[i] @ m[j]), int(ids[j]))
+                             for j in members if j != i))
+            for rank, (_, nid) in enumerate(scored[:k], 1):
+                rows.add((int(ids[i]), nid, rank))
+    return rows
+
+
+def test_knn_join_matches_reference(corpus):
+    from d1_log_aggregation_ray.ops.similarity import knn_join
+    path, ids, mat = corpus
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = knn_join(ds, k=5).take_all()
+    got = {(r["vec_id"], r["neighbor_id"], r["nn_rank"]) for r in out}
+    assert got == _knn_reference(ids, mat, k=5)
+
+
+def test_knn_join_identical_vector_ties():
+    """Exact score ties (identical vectors) must rank by neighbor id,
+    and singleton buckets must emit nothing."""
+    from d1_log_aggregation_ray.ops.similarity import knn_join, lsh_planes
+    dim = 8
+    rng = np.random.RandomState(7)
+    base = rng.randn(dim)
+    # three identical vectors + one singleton far away in another bucket
+    pl = lsh_planes(8, dim)
+    lone = rng.randn(dim)
+    for _ in range(50):  # find a vector NOT sharing base's bucket
+        sig = lambda v: int((((pl @ v) > 0).astype(np.int64)
+                             << np.arange(8)).sum())
+        if sig(lone) != sig(base):
+            break
+        lone = rng.randn(dim)
+    import pyarrow as pa
+    t = pa.table({"vec_id": pa.array([10, 11, 12, 99], pa.int64()),
+                  "embedding": pa.array([base.tolist()] * 3
+                                        + [lone.tolist()])})
+    out = knn_join(ray.data.from_arrow(t), k=5).take_all()
+    got = {(r["vec_id"], r["neighbor_id"], r["nn_rank"]) for r in out}
+    assert got == {(10, 11, 1), (10, 12, 2),
+                   (11, 10, 1), (11, 12, 2),
+                   (12, 10, 1), (12, 11, 2)}

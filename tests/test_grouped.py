@@ -96,3 +96,29 @@ def test_cum_chars_scan():
     assert out.column("cum_chars").to_pylist() == [3, 3, 5, 1, 3]
     empty = cum_chars_scan(t.slice(0, 0))
     assert empty.num_rows == 0 and len(empty.schema) == 3
+
+
+def test_percent_rank_tie_and_singleton_semantics():
+    """RANK ties (shared first-occurrence rank), (rank-1)/(n-1)
+    division, singleton groups -> 0.0 — checked against pandas'
+    rank(method='min') reference."""
+    from d1_log_aggregation_ray.ops.relational import percent_rank_per_key
+    t = pa.table({
+        "doc_id": pa.array(list(range(9)), pa.int64()),
+        "source": pa.array(["a"] * 5 + ["b"] * 3 + ["c"]),
+        "n_chars": pa.array([10, 20, 20, 30, 40, 7, 7, 7, 99],
+                            pa.int64())})
+    out = percent_rank_per_key(
+        ray.data.from_arrow(t).repartition(4),
+        key_col="source", val_col="n_chars").take_all()
+    got = {r["doc_id"]: r["pct_rank"] for r in out}
+    df = t.to_pandas()
+    ref = {}
+    for _, g in df.groupby("source"):
+        r = g["n_chars"].rank(method="min")
+        n = len(g)
+        for d, rk in zip(g["doc_id"], r):
+            ref[d] = 0.0 if n == 1 else (rk - 1) / (n - 1)
+    assert got == ref
+    # all three identical values in group b share rank 1 -> pct 0.0
+    assert got[5] == got[6] == got[7] == 0.0

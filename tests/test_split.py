@@ -150,3 +150,29 @@ def test_mixture_sample_caps_dominant_source():
     out2 = mixture_sample(ray.data.from_arrow(t).repartition(9),
                           budget_chars=10_000.0).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_exact_sample_matches_hashlib_reference():
+    """Independent reference: full hashlib md5 sort (no shared code
+    with the operator's local-top-n + merge path)."""
+    import hashlib
+
+    from d1_log_aggregation_ray.ops.split import exact_sample
+    ids = list(range(1000, 1200))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    # many tiny blocks so the local-top-n path is actually exercised
+    ds = ray.data.from_arrow(t).repartition(13)
+    out = exact_sample(ds, n=25)
+    lo64 = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                           "little") for i in ids]
+    want = [i for _, i in sorted(zip(lo64, ids))][:25]
+    assert out.column("doc_id").to_pylist() == want
+    assert out.column("sample_rank").to_pylist() == list(range(1, 26))
+
+
+def test_exact_sample_n_exceeds_corpus():
+    from d1_log_aggregation_ray.ops.split import exact_sample
+    t = pa.table({"doc_id": pa.array([5, 3, 9], pa.int64())})
+    out = exact_sample(ray.data.from_arrow(t), n=10)
+    assert out.num_rows == 3
+    assert sorted(out.column("doc_id").to_pylist()) == [3, 5, 9]
