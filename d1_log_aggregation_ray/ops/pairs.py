@@ -208,6 +208,43 @@ def tool_transitions_scan(batch: pa.Table) -> pa.Table:
         _TRANS_SCHEMA)
 
 
+_TRI_SCHEMA = pa.schema([
+    ("t1", pa.string()), ("t2", pa.string()), ("t3", pa.string()),
+    ("n", pa.int64())])
+
+
+def tool_trigram_scan(batch: pa.Table) -> pa.Table:
+    """PARTIAL per-bucket tool-TRIGRAM counts: consecutive length-3
+    tool chains within a conversation's tool-carrying turns — the
+    higher-order complement of the bigram transitions (tool_loops
+    finds runs of ONE repeated tool; trigrams surface multi-tool
+    cycles like grep→read→grep an agent is stuck in).  Same shape as
+    tool_transitions_scan: a tiny (t1, t2, t3, n) partial per bucket,
+    summed by the caller in one tool-vocabulary³-keyed exchange."""
+    batch = _valid_sorted(batch)
+    tool = batch.column("tool")
+    ok = pc.fill_null(
+        pc.and_kleene(tool.is_valid(), pc.not_equal(tool, pa.scalar(""))),
+        False)
+    batch = batch.filter(ok)
+    n = batch.num_rows
+    if n < 3:
+        return _TRI_SCHEMA.empty_table()
+    gidx, _, _ = _segments(batch)
+    idx = np.arange(n, dtype=np.int64)
+    same = (gidx[2:] == gidx[:-2]) & (gidx[1:-1] == gidx[:-2])
+    i1 = pa.array(idx[:-2][same])
+    i2 = pa.array(idx[1:-1][same])
+    i3 = pa.array(idx[2:][same])
+    tool = batch.column("tool").combine_chunks()
+    local = pa.table({"t1": tool.take(i1), "t2": tool.take(i2),
+                      "t3": tool.take(i3)})
+    agg = local.group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+    return agg.rename_columns(
+        ["n" if c == "count_all" else c for c in agg.column_names]).cast(
+        _TRI_SCHEMA)
+
+
 def conv_fingerprint_scan(batch: pa.Table) -> pa.Table:
     """Conversation-level content fingerprint: assemble each conv's
     full transcript (`role:text` pieces joined by newline in turn

@@ -924,3 +924,77 @@ def percent_rank_per_key(ds: ray.data.Dataset, key_col: str,
         add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("part").map_groups(partition_scan,
                                             batch_format="pyarrow")
+
+
+def rolling_window_sum(ds: ray.data.Dataset, key: str, ts_col: str,
+                       val_col: str, id_col: str = "event_id",
+                       k: int = 10) -> ray.data.Dataset:
+    """Per-key ROLLING window over the last `k` events (ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW ordered by (ts, id)): the moving
+    average / rate signal telemetry dashboards and drift monitors run
+    per user or per node.
+
+    Exactness contract: the metric is integerized FIRST —
+    cents = CAST(floor(val*100) AS BIGINT) — so the windowed sum is
+    exact int64 arithmetic (order-independent) and the mean is one
+    int→double division, bit-identical to DuckDB's
+    `CAST(s AS DOUBLE) / n`.  Summing raw doubles would make the
+    result depend on accumulation order — the same reasoning as the
+    integer-cents revenue in q_top_orders.
+
+    Shape: one hash exchange on the key + one lexsort + prefix-sum
+    scan per partition (cumsum-difference, seg-start clamped), the
+    sliding_counts/percent_rank house pattern.  Null vals dropped
+    (mirrored by the oracle's WHERE val IS NOT NULL)."""
+    P = _asof_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(val_col).combine_chunks().is_valid())
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        u = _seg_keys(batch.column(key))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_u": pa.array(u),
+            "_ts": batch.column(ts_col).combine_chunks().cast(pa.int64()),
+            "_cents": pa.array(cents),
+            "part": pa.array(_key_parts(u, P))})
+
+    empty = pa.schema([(id_col, pa.int64()),
+                       ("roll_sum", pa.int64()),
+                       ("roll_mean", pa.float64())])
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return empty.empty_table()
+        ids = group.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = group.column("_u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("_ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = group.column("_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, ts, u))
+        us, cs = u[order], cents[order]
+        n = len(us)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(
+            np.where(np.r_[True, us[1:] != us[:-1]], idx, 0))
+        lo = np.maximum(idx - (k - 1), seg_start)
+        prefix = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cs, out=prefix[1:])
+        roll = prefix[idx + 1] - prefix[lo]
+        cnt = idx - lo + 1
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "roll_sum": pa.array(roll),
+            "roll_mean": pa.array(roll.astype(np.float64) /
+                                  cnt.astype(np.float64))})
+
+    parts = ds.select_columns([id_col, key, ts_col, val_col]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")

@@ -1404,6 +1404,20 @@ def q_tool_transitions(sf_dir: str):
         rename={"n_sum": "n"})
 
 
+def q_tool_trigrams(sf_dir: str):
+    """Tool-usage TRIGRAM counts (consecutive length-3 tool chains
+    within a conversation): the higher-order stuck-pattern signal —
+    tool_loops catches one tool repeated, trigrams catch multi-tool
+    cycles (grep→read→grep).  Per-bucket partials + ONE
+    tool-vocabulary³-keyed exchange."""
+    from ..ops.pairs import tool_trigram_scan
+    from ..stages.aggregate import hash_partition_aggregate
+    partials = _bucket_scan(sf_dir, tool_trigram_scan)
+    return hash_partition_aggregate(
+        partials, ["t1", "t2", "t3"], [("n", "sum")],
+        rename={"n_sum": "n"})
+
+
 def q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup: assemble each conv's full
     transcript bucket-locally (Arrow list-join kernels), 128-bit md5
@@ -1570,6 +1584,20 @@ def q_sliding_counts(sf_dir: str):
     ds = _events(sf_dir, ["user_id", "ts"])
     return sliding_counts(ds, key="user_id", ts_col="ts",
                           window_s=3600, slide_s=900)
+
+
+def q_rolling_window(sf_dir: str):
+    """Per-user ROLLING last-10-events sum/mean of the value metric
+    (ROWS BETWEEN 9 PRECEDING AND CURRENT ROW ordered by (ts,
+    event_id)) — the moving-average telemetry signal, computed as one
+    hash exchange on user + a prefix-sum scan per partition
+    (ops/relational.rolling_window_sum).  Values are integerized to
+    cents before summing so the windowed sum is exact int64 math and
+    the mean one int->double division, hash-identical to DuckDB."""
+    from ..ops.relational import rolling_window_sum
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return rolling_window_sum(ds, key="user_id", ts_col="ts",
+                              val_col="value", k=10)
 
 
 def q_sample_per_source(sf_dir: str):
@@ -3126,6 +3154,20 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT prev AS from_tool, tool AS to_tool, count(*) AS n
             FROM l WHERE prev IS NOT NULL GROUP BY prev, tool""",
 
+        "tool_trigrams": f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx, tool FROM {TP}
+              WHERE {VALID} AND tool IS NOT NULL AND tool <> ''
+            ), l AS (
+              SELECT tool,
+                     LAG(tool, 1) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS p1,
+                     LAG(tool, 2) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS p2
+              FROM f)
+            SELECT p2 AS t1, p1 AS t2, tool AS t3, count(*) AS n
+            FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, tool""",
+
         "conv_dedup": f"""
             WITH c AS (
               SELECT conv_id,
@@ -3232,6 +3274,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                       epoch_us(ts) // 900000000 + 1)) AS w
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
+
+        "rolling_window": """
+            SELECT event_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+                   CAST(sum(cents) OVER w AS DOUBLE) /
+                     CAST(count(*) OVER w AS DOUBLE) AS roll_mean
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
 
         "sample_per_source": """
             SELECT doc_id, source FROM (
@@ -3495,6 +3548,7 @@ RAY_QUERIES = {
     "role_violations": q_role_violations,
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
+    "tool_trigrams": q_tool_trigrams,
     "conv_dedup": q_conv_dedup,
     "fork_dedup": q_fork_dedup,
     "cum_chars": q_cum_chars,
@@ -3511,6 +3565,7 @@ RAY_QUERIES = {
     "props_extract": q_props_extract,
     "asof_prior": q_asof_prior,
     "tumbling_counts": q_tumbling_counts,
+    "rolling_window": q_rolling_window,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
     "topk_per_user": q_topk_per_user,

@@ -277,3 +277,27 @@ def test_sampled_quantiles_matches_duckdb(data):
         SELECT CAST({qs}[i] AS DOUBLE) AS q, vs[i] AS value
         FROM agg, UNNEST(range(1, {len(qs) + 1})) AS t(i)""").fetchall()))
     assert got_rows == want
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_rolling_window_sum_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import rolling_window_sum
+    t = _table(data)
+    got = sorted((r["event_id"], r["roll_sum"], r["roll_mean"]) for r in
+                 rolling_window_sum(ray.data.from_arrow(t), key="user_id",
+                                    ts_col="ts", val_col="value",
+                                    k=3).take_all())
+    con = duckdb.connect()
+    con.register("events", t)
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_id,
+               CAST(sum(cents) OVER w AS BIGINT),
+               CAST(sum(cents) OVER w AS DOUBLE) /
+                 CAST(count(*) OVER w AS DOUBLE)
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""").fetchall()))
+    assert got == want
