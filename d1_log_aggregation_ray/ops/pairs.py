@@ -522,3 +522,74 @@ def tool_loops_scan(batch: pa.Table) -> pa.Table:
         "conv_id": batch.column("conv_id").take(pa.array(conv_first_row)),
         "max_run": pa.array(max_run),
     }).cast(_LOOPS_SCHEMA)
+
+
+_PATH_SCHEMA = pa.schema([("path", pa.string()), ("n_convs", pa.int64())])
+
+
+def tool_path_scan(batch: pa.Table) -> pa.Table:
+    """PARTIAL per-bucket tool-PATH frequencies: each conversation's
+    full ordered tool chain joined into one 'a->b->c' string (the
+    workflow signature), counted per distinct path.  The common-
+    workflow mining complement of the bigram/trigram scans — those
+    count local transitions, this counts whole trajectories.
+
+    Assembly is the conv_fingerprint list-join shape (Arrow
+    binary_join over per-conv segments, zero python per row).  Only
+    (path, n) partials ride the exchange — path cardinality is the
+    distinct-workflow vocabulary, orders of magnitude below conv
+    count; a conversation with no tool turns emits nothing (mirrored
+    by the oracle's inner GROUP BY over tool-bearing turns)."""
+    batch = _valid_sorted(batch)
+    tool = batch.column("tool")
+    ok = pc.and_kleene(tool.is_valid(), pc.not_equal(tool, pa.scalar("")))
+    batch = batch.filter(pc.fill_null(ok, False))
+    n = batch.num_rows
+    if n == 0:
+        return _PATH_SCHEMA.empty_table()
+    _, _, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+    offsets = pa.array(np.r_[starts, n].astype(np.int32))
+    paths = pc.binary_join(pa.ListArray.from_arrays(
+        offsets, batch.column("tool").combine_chunks()), "->")
+    agg = pa.table({"path": paths}).group_by(["path"]).aggregate(
+        [([], "count_all")])
+    return agg.rename_columns(
+        ["n_convs" if c == "count_all" else c
+         for c in agg.column_names]).cast(_PATH_SCHEMA)
+
+
+_TMPL_SCHEMA = pa.schema([
+    ("h", pa.binary(16)), ("text", pa.string()), ("n", pa.int64())])
+
+
+def assistant_template_scan(batch: pa.Table) -> pa.Table:
+    """PARTIAL per-bucket assistant-reply template counts: (md5, text,
+    n) per distinct non-empty assistant turn text.  Feeds the
+    templated-reply detector (q_assistant_templates): boilerplate
+    assistant responses ('I cannot help with that', canned apologies)
+    show up as high-n rows and are a known SFT-quality hazard.
+
+    The exchange is keyed on the 16-byte md5 (the dedup_exact rule:
+    never group on the raw body); the text column rides alongside once
+    per distinct template per bucket so the final top-k can emit it —
+    bounded by template cardinality, not turn count."""
+    from ..functions.hashing import md5_bytes_array
+    batch = _valid_sorted(batch)
+    role = batch.column("role")
+    text = batch.column("text")
+    ok = pc.and_kleene(
+        pc.fill_null(pc.equal(role, "assistant"), False),
+        pc.and_kleene(text.is_valid(), pc.not_equal(text, pa.scalar(""))))
+    batch = batch.filter(pc.fill_null(ok, False))
+    if batch.num_rows == 0:
+        return _TMPL_SCHEMA.empty_table()
+    agg = pa.table({
+        "text": batch.column("text").combine_chunks(),
+    }).group_by(["text"]).aggregate([([], "count_all")])
+    txt = agg.column("text").combine_chunks()
+    return pa.table({
+        "h": md5_bytes_array(txt),
+        "text": txt,
+        "n": agg.column("count_all"),
+    }).cast(_TMPL_SCHEMA)

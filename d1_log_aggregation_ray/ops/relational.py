@@ -998,3 +998,59 @@ def rolling_window_sum(ds: ray.data.Dataset, key: str, ts_col: str,
         add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("part").map_groups(partition_scan,
                                             batch_format="pyarrow")
+
+
+def value_deltas(ds: ray.data.Dataset, key: str, ts_col: str,
+                 val_col: str, id_col: str = "event_id") -> ray.data.Dataset:
+    """Per-key LAG difference: each event's metric minus the SAME
+    key's previous event (ordered by ts, id) — the rate-of-change /
+    drift signal; NULL for a key's first event, exactly DuckDB's
+    `cents - LAG(cents) OVER (PARTITION BY key ORDER BY ts, id)`.
+
+    Integer-cents arithmetic (floor(val*100) first) so the delta is
+    exact int64 and hashes identically cross-engine.  Shape: one hash
+    exchange on the key + one lexsort + shifted-difference scan per
+    partition — the rolling_window_sum pattern with a diff kernel.
+    Null vals dropped (mirrored by the oracle's IS NOT NULL)."""
+    P = _asof_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(val_col).combine_chunks().is_valid())
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = _seg_keys(batch.column(key))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_u": pa.array(u),
+            "_ts": batch.column(ts_col).combine_chunks().cast(pa.int64()),
+            "_cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            "part": pa.array(_key_parts(u, P))})
+
+    empty = pa.schema([(id_col, pa.int64()), ("delta_cents", pa.int64())])
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return empty.empty_table()
+        ids = group.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = group.column("_u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("_ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = group.column("_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, ts, u))
+        us, cs = u[order], cents[order]
+        delta = np.empty(len(us), dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = cs[1:] - cs[:-1]
+        first = np.r_[True, us[1:] != us[:-1]]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "delta_cents": pa.array(delta, type=pa.int64(), mask=first)})
+
+    parts = ds.select_columns([id_col, key, ts_col, val_col]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("part").map_groups(partition_scan,
+                                            batch_format="pyarrow")

@@ -1418,6 +1418,53 @@ def q_tool_trigrams(sf_dir: str):
         rename={"n_sum": "n"})
 
 
+def q_tool_paths(sf_dir: str):
+    """Common-workflow mining: frequency of each conversation's FULL
+    ordered tool chain ('grep->read->edit'), the whole-trajectory
+    complement of the bigram/trigram transition counts.  Per-bucket
+    Arrow list-join partials (conv_fingerprint shape), then one
+    path-keyed exchange of (path, n) rows — path cardinality is the
+    workflow vocabulary, far below conv count."""
+    from ..ops.pairs import tool_path_scan
+    from ..stages.aggregate import hash_partition_aggregate
+    partials = _bucket_scan(sf_dir, tool_path_scan)
+    return hash_partition_aggregate(
+        partials, ["path"], [("n_convs", "sum")],
+        rename={"n_convs_sum": "n_convs"})
+
+
+def q_assistant_templates(sf_dir: str):
+    """Templated-reply detection: the 20 most-repeated non-empty
+    assistant turn texts (count desc, text asc) — canned refusals /
+    apologies are a known SFT-quality hazard.  Per-bucket (md5, text,
+    n) partials, ONE md5-keyed exchange (never the raw body; the text
+    rides alongside once per distinct template per bucket), per-
+    partition local top-20, 20-row-per-partition driver merge — the
+    global_topk shape with a string tiebreak."""
+    from ..ops.pairs import assistant_template_scan
+    from ..stages.aggregate import hash_partition_aggregate
+    from ..functions.parts import arrow_block_refs
+    partials = _bucket_scan(sf_dir, assistant_template_scan)
+    agg = hash_partition_aggregate(
+        partials, ["h"], [("n", "sum"), ("text", "min")],
+        rename={"n_sum": "n", "text_min": "text"})
+
+    _empty = pa.schema([("text", pa.string()), ("n", pa.int64())])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.select(["text", "n"]).sort_by(
+            [("n", "descending"), ("text", "ascending")]).slice(0, 20)
+
+    parts = [t for t in ray.get(arrow_block_refs(
+        agg.map_batches(local_topk, batch_format="pyarrow",
+                        zero_copy_batch=True))) if t.num_rows]
+    if not parts:
+        return _empty.empty_table()
+    return pa.concat_tables(
+        [t.cast(_empty) for t in parts]).sort_by(
+        [("n", "descending"), ("text", "ascending")]).slice(0, 20)
+
+
 def q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup: assemble each conv's full
     transcript bucket-locally (Arrow list-join kernels), 128-bit md5
@@ -1598,6 +1645,115 @@ def q_rolling_window(sf_dir: str):
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
     return rolling_window_sum(ds, key="user_id", ts_col="ts",
                               val_col="value", k=10)
+
+
+def q_value_deltas(sf_dir: str):
+    """Per-user LAG difference of the value metric (rate-of-change /
+    drift signal): delta = cents(value) - cents(previous value by the
+    same user ordered by ts, event_id), NULL for a user's first event
+    — the left-outer member of the window family
+    (ops/relational.value_deltas)."""
+    from ..ops.relational import value_deltas
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return value_deltas(ds, key="user_id", ts_col="ts", val_col="value")
+
+
+#: order_fill operating point: one month of orders
+_FILL_LO, _FILL_HI = "1997-07-01", "1997-08-01"
+
+
+def q_order_fill(sf_dir: str):
+    """Large x large LEFT OUTER join (the null-preserving member of
+    the join family: top_orders = inner, cust_no_orders = anti):
+    every order placed in the window, with the total lineitem
+    quantity shipped on/after the window start — NULL when the order
+    has no qualifying lineitems, proving outer semantics end-to-end.
+
+    Shape: the top_orders union co-partition join — both sides tagged
+    with the SAME _part = hash(orderkey) % P, lineitem pre-aggregated
+    per batch (combiner) before the ONE exchange, and the per-
+    partition scan finishes the sum AND the outer fill in the same
+    searchsorted pass.  Quantities are integral doubles in TPC-H, so
+    CAST to int64 keeps the value hash exact."""
+    from ..functions.parts import hash_parts, key_parts
+    lo = np.datetime64(_FILL_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(_FILL_HI).astype("datetime64[us]").astype(np.int64)
+    P = hash_parts()
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "_part": pa.array(key_parts(ok, P)),
+            "k": pa.array(ok),
+            "prio": batch.column("o_orderpriority").combine_chunks().filter(
+                pa.array(m)),
+            "qty": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.zeros(len(ok), np.int8))})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def item_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd >= lo
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        k_s, q_s = keys[order], qty[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ku = k_s[starts]
+        qv = (np.add.reduceat(q_s, starts) if len(starts)
+              else np.array([], dtype=np.int64))
+        return pa.table({
+            "_part": pa.array(key_parts(ku, P)),
+            "k": pa.array(ku),
+            "prio": pa.array([None] * len(ku), pa.string()),
+            "qty": pa.array(qv),
+            "side": pa.array(np.ones(len(ku), np.int8))})
+
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_shipdate"]).map_batches(
+        item_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY_FILL = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+        ("shipped_qty", pa.int64())])
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        if left.num_rows == 0:
+            return _EMPTY_FILL.empty_table()
+        rk = group.column("k").to_numpy(zero_copy_only=False)[side == 1]
+        rq = group.column("qty").to_numpy(zero_copy_only=False)[side == 1]
+        ro = np.argsort(rk, kind="stable")
+        rk, rq = rk[ro], rq[ro]
+        starts = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]]) \
+            if len(rk) else np.array([], np.int64)
+        ku = rk[starts] if len(rk) else rk
+        qsum = (np.add.reduceat(rq, starts) if len(starts)
+                else np.array([], dtype=np.int64))
+        lk = left.column("k").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ku, lk)
+        pos_c = np.minimum(pos, max(len(ku) - 1, 0))
+        hit = (len(ku) > 0) & (ku[pos_c] == lk) if len(ku) else \
+            np.zeros(len(lk), bool)
+        out_q = np.where(hit, qsum[pos_c] if len(ku) else 0, 0)
+        return pa.table({
+            "o_orderkey": pa.array(lk),
+            "o_orderpriority": left.column("prio"),
+            "shipped_qty": pa.array(out_q, type=pa.int64(), mask=~hit)})
+
+    return orders.union(items).groupby("_part").map_groups(
+        join_scan, batch_format="pyarrow")
 
 
 def q_sample_per_source(sf_dir: str):
@@ -3168,6 +3324,24 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT p2 AS t1, p1 AS t2, tool AS t3, count(*) AS n
             FROM l WHERE p2 IS NOT NULL GROUP BY p2, p1, tool""",
 
+        "tool_paths": f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx, tool FROM {TP}
+              WHERE {VALID} AND tool IS NOT NULL AND tool <> ''
+            ), p AS (
+              SELECT conv_id,
+                     string_agg(tool, '->' ORDER BY turn_idx) AS path
+              FROM f GROUP BY conv_id)
+            SELECT path, count(*) AS n_convs FROM p GROUP BY path""",
+
+        "assistant_templates": f"""
+            SELECT text, n FROM (
+              SELECT text, count(*) AS n FROM {TP}
+              WHERE {VALID} AND role = 'assistant'
+                AND text IS NOT NULL AND text <> ''
+              GROUP BY text)
+            ORDER BY n DESC, text LIMIT 20""",
+
         "conv_dedup": f"""
             WITH c AS (
               SELECT conv_id,
@@ -3285,6 +3459,27 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE value IS NOT NULL)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+
+        "value_deltas": """
+            SELECT event_id,
+                   cents - LAG(cents) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                     AS delta_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL)""",
+
+        "order_fill": f"""
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   s.qty AS shipped_qty
+            FROM orders o LEFT JOIN (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem WHERE l_shipdate >= '{_FILL_LO}'
+              GROUP BY l_orderkey) s
+            ON o.o_orderkey = s.l_orderkey
+            WHERE o.o_orderdate >= '{_FILL_LO}'
+              AND o.o_orderdate < '{_FILL_HI}'""",
 
         "sample_per_source": """
             SELECT doc_id, source FROM (
@@ -3549,6 +3744,8 @@ RAY_QUERIES = {
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
     "tool_trigrams": q_tool_trigrams,
+    "tool_paths": q_tool_paths,
+    "assistant_templates": q_assistant_templates,
     "conv_dedup": q_conv_dedup,
     "fork_dedup": q_fork_dedup,
     "cum_chars": q_cum_chars,
@@ -3566,6 +3763,8 @@ RAY_QUERIES = {
     "asof_prior": q_asof_prior,
     "tumbling_counts": q_tumbling_counts,
     "rolling_window": q_rolling_window,
+    "value_deltas": q_value_deltas,
+    "order_fill": q_order_fill,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
     "topk_per_user": q_topk_per_user,

@@ -301,3 +301,23 @@ def test_rolling_window_sum_matches_duckdb(data):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""").fetchall()))
     assert got == want
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_value_deltas_matches_duckdb(data):
+    from d1_log_aggregation_ray.ops.relational import value_deltas
+    t = _table(data)
+    got = sorted((r["event_id"], r["delta_cents"]) for r in
+                 value_deltas(ray.data.from_arrow(t), key="user_id",
+                              ts_col="ts", val_col="value").take_all())
+    con = duckdb.connect()
+    con.register("events", t)
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_id,
+               cents - LAG(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL)""").fetchall()))
+    assert got == want
