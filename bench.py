@@ -171,7 +171,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # exact-n deterministic sample (md5 order stat)
                      "exact_sample",
                      # per-source PERCENT_RANK window
-                     "percent_rank"]:
+                     "percent_rank",
+                     # tool-chain mining (trigrams + whole paths) and
+                     # templated-reply detection over transcripts
+                     "tool_trigrams", "tool_paths",
+                     "assistant_templates",
+                     # rolling window sum/mean + LAG deltas per key
+                     "rolling_window", "value_deltas",
+                     # large x large LEFT OUTER join (null fill)
+                     "order_fill"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
