@@ -1616,6 +1616,39 @@ def q_rollup_counts(sf_dir: str):
     return pa.concat_tables([out, grand])
 
 
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_user_features(sf_dir: str):
+    """Pivot / conditional aggregation: per-user event-type count
+    feature vector (user_id, n_view, n_click, n_purchase, n_signup,
+    n_error) — the wide-format feature-engineering step upstream of
+    model training.  Per-batch combiner: ONE arrow group_by(user) with
+    a boolean-cast sum per type collapses each block to one row per
+    distinct user BEFORE the exchange; one hash(user) exchange of the
+    already-narrow partials, summed per partition.  The pivot columns
+    are a fixed small vocabulary, so width is bounded."""
+    from ..stages.aggregate import hash_partition_aggregate
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    names = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").combine_chunks()
+        cols = {"user_id": batch.column("user_id")}
+        for t, nm in zip(_PIVOT_TYPES, names):
+            cols[nm] = pc.cast(
+                pc.fill_null(pc.equal(et, t), False), pa.int64())
+        return pa.table(cols).group_by(["user_id"]).aggregate(
+            [(nm, "sum") for nm in names]).rename_columns(
+            ["user_id"] + names)
+
+    return hash_partition_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [(nm, "sum") for nm in names],
+        rename={f"{nm}_sum": nm for nm in names})
+
+
 def q_tumbling_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (windowed aggregate with
     combiner pre-aggregation)."""
@@ -1675,6 +1708,22 @@ def q_order_fill(sf_dir: str):
     partition scan finishes the sum AND the outer fill in the same
     searchsorted pass.  Quantities are integral doubles in TPC-H, so
     CAST to int64 keeps the value hash exact."""
+    return _order_join(sf_dir, outer=False)
+
+
+def q_order_fill_outer(sf_dir: str):
+    """FULL OUTER variant of q_order_fill, completing the join family
+    (inner / anti / left / full): additionally emits one row per
+    orderkey that shipped lineitems on/after the window start but has
+    NO order row in the window (order columns NULL) — both unmatched
+    sides preserved.  Same single co-partition exchange; the unmatched-
+    right scan is one extra searchsorted over the already-sorted
+    per-partition keys (keys are hash-partitioned, so each side's
+    unmatched set is exact within its partition)."""
+    return _order_join(sf_dir, outer=True)
+
+
+def _order_join(sf_dir: str, outer: bool):
     from ..functions.parts import hash_parts, key_parts
     lo = np.datetime64(_FILL_LO).astype("datetime64[us]").astype(np.int64)
     hi = np.datetime64(_FILL_HI).astype("datetime64[us]").astype(np.int64)
@@ -1730,7 +1779,7 @@ def q_order_fill(sf_dir: str):
     def join_scan(group: pa.Table) -> pa.Table:
         side = group.column("side").to_numpy(zero_copy_only=False)
         left = group.filter(pa.array(side == 0))
-        if left.num_rows == 0:
+        if left.num_rows == 0 and not outer:
             return _EMPTY_FILL.empty_table()
         rk = group.column("k").to_numpy(zero_copy_only=False)[side == 1]
         rq = group.column("qty").to_numpy(zero_copy_only=False)[side == 1]
@@ -1747,10 +1796,24 @@ def q_order_fill(sf_dir: str):
         hit = (len(ku) > 0) & (ku[pos_c] == lk) if len(ku) else \
             np.zeros(len(lk), bool)
         out_q = np.where(hit, qsum[pos_c] if len(ku) else 0, 0)
-        return pa.table({
+        out = pa.table({
             "o_orderkey": pa.array(lk),
             "o_orderpriority": left.column("prio"),
             "shipped_qty": pa.array(out_q, type=pa.int64(), mask=~hit)})
+        if not outer or len(ku) == 0:
+            return out
+        # unmatched RIGHT keys: shipped orderkeys with no order row in
+        # the window (order columns NULL) — full-outer completion
+        lks = np.sort(lk)
+        rpos = np.minimum(np.searchsorted(lks, ku), max(len(lks) - 1, 0))
+        rmiss = ~(lks[rpos] == ku) if len(lks) else np.ones(len(ku), bool)
+        right_only = pa.table({
+            "o_orderkey": pa.array(ku[rmiss]),
+            "o_orderpriority": pa.array([None] * int(rmiss.sum()),
+                                        pa.string()),
+            "shipped_qty": pa.array(qsum[rmiss])})
+        return pa.concat_tables([out.cast(_EMPTY_FILL),
+                                 right_only.cast(_EMPTY_FILL)])
 
     return orders.union(items).groupby("_part").map_groups(
         join_scan, batch_format="pyarrow")
@@ -3481,6 +3544,33 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE o.o_orderdate >= '{_FILL_LO}'
               AND o.o_orderdate < '{_FILL_HI}'""",
 
+        "order_fill_outer": f"""
+            SELECT COALESCE(o.o_orderkey, s.l_orderkey) AS o_orderkey,
+                   o.o_orderpriority, s.qty AS shipped_qty
+            FROM (SELECT o_orderkey, o_orderpriority FROM orders
+                  WHERE o_orderdate >= '{_FILL_LO}'
+                    AND o_orderdate < '{_FILL_HI}') o
+            FULL OUTER JOIN (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem WHERE l_shipdate >= '{_FILL_LO}'
+              GROUP BY l_orderkey) s
+            ON o.o_orderkey = s.l_orderkey""",
+
+        "user_features": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id""",
+
         "sample_per_source": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
@@ -3765,6 +3855,8 @@ RAY_QUERIES = {
     "rolling_window": q_rolling_window,
     "value_deltas": q_value_deltas,
     "order_fill": q_order_fill,
+    "order_fill_outer": q_order_fill_outer,
+    "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
     "topk_per_user": q_topk_per_user,
