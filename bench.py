@@ -179,7 +179,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # rolling window sum/mean + LAG deltas per key
                      "rolling_window", "value_deltas",
                      # large x large LEFT OUTER join (null fill)
-                     "order_fill"]:
+                     # + its FULL OUTER completion, and the per-user
+                     # event-type pivot feature vectors
+                     "order_fill", "order_fill_outer",
+                     "user_features"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()
