@@ -182,7 +182,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # + its FULL OUTER completion, and the per-user
                      # event-type pivot feature vectors
                      "order_fill", "order_fill_outer",
-                     "user_features"]:
+                     "user_features",
+                     # out-of-order-timestamp ingest audit
+                     "ooo_turns"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -593,3 +593,45 @@ def assistant_template_scan(batch: pa.Table) -> pa.Table:
         "text": txt,
         "n": agg.column("count_all"),
     }).cast(_TMPL_SCHEMA)
+
+
+_OOO_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_ooo", pa.int64())])
+
+
+def ooo_turns_scan(batch: pa.Table) -> pa.Table:
+    """Out-of-order timestamp detection per conversation: n_ooo =
+    turns whose ts is EARLIER than the running max of all prior turns
+    in the conversation (turn_idx order) — the data-quality sentinel
+    a log pipeline runs on every ingest wave (the reference guards
+    the same invariant per key via
+    `isLaterOrSameAsLatestCachedTime`, ReadEventCounterCache.java:
+    150-160; here it's a corpus-wide audit instead of a cache guard).
+
+    Null-ts turns are skipped (not comparable; mirrored by the
+    oracle's ts IS NOT NULL).  One row per conv with >=1 timestamped
+    turn.  The segmented exclusive prefix-max runs as two C-level
+    pandas groupby kernels (cummax + shift) over the already-sorted
+    bucket — exact for |ts| < 2^53 us (year 2255).  Shuffle-free
+    whole-bucket scan."""
+    import pandas as pd
+    batch = _valid_sorted(batch)
+    batch = batch.filter(batch.column("ts").combine_chunks().is_valid())
+    n = batch.num_rows
+    if n == 0:
+        return _OOO_SCHEMA.empty_table()
+    gidx, _, is_start = _segments(batch)
+    ts = batch.column("ts").combine_chunks().cast(
+        pa.int64()).to_numpy(zero_copy_only=False)
+    s = pd.Series(ts)
+    g = pd.Series(gidx)
+    prev_max = s.groupby(g).cummax().groupby(g).shift(1)
+    ooo = (s.astype("float64") < prev_max).to_numpy()
+    nconv = int(gidx[-1]) + 1
+    counts = np.zeros(nconv, dtype=np.int64)
+    np.add.at(counts, gidx, ooo.astype(np.int64))
+    starts = np.flatnonzero(is_start)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(starts)),
+        "n_ooo": pa.array(counts),
+    }).cast(_OOO_SCHEMA)

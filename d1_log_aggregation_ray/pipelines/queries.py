@@ -1465,6 +1465,15 @@ def q_assistant_templates(sf_dir: str):
         [("n", "descending"), ("text", "ascending")]).slice(0, 20)
 
 
+def q_ooo_turns(sf_dir: str):
+    """Out-of-order timestamp audit: per conversation, the count of
+    turns whose ts precedes the running max of earlier turns (turn
+    order) — the ingest data-quality sentinel
+    (ops/pairs.ooo_turns_scan).  Shuffle-free bucket scan."""
+    from ..ops.pairs import ooo_turns_scan
+    return _bucket_scan(sf_dir, ooo_turns_scan)
+
+
 def q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup: assemble each conv's full
     transcript bucket-locally (Arrow list-join kernels), 128-bit md5
@@ -3405,6 +3414,21 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               GROUP BY text)
             ORDER BY n DESC, text LIMIT 20""",
 
+        "ooo_turns": f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx, ts FROM {TP}
+              WHERE {VALID} AND ts IS NOT NULL
+            ), w AS (
+              SELECT conv_id,
+                     CASE WHEN ts < max(ts) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS ooo
+              FROM f)
+            SELECT conv_id, CAST(sum(ooo) AS BIGINT) AS n_ooo
+            FROM w GROUP BY conv_id""",
+
         "conv_dedup": f"""
             WITH c AS (
               SELECT conv_id,
@@ -3835,6 +3859,7 @@ RAY_QUERIES = {
     "tool_transitions": q_tool_transitions,
     "tool_trigrams": q_tool_trigrams,
     "tool_paths": q_tool_paths,
+    "ooo_turns": q_ooo_turns,
     "assistant_templates": q_assistant_templates,
     "conv_dedup": q_conv_dedup,
     "fork_dedup": q_fork_dedup,

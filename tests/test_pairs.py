@@ -211,3 +211,52 @@ def test_tool_loops_runs_and_boundaries():
     got = {r["conv_id"]: r["max_run"]
            for r in tool_loops_scan(t).to_pylist()}
     assert got == {"a": 2, "b": 3, "d": 1}
+
+
+def test_ooo_turns_semantics():
+    from d1_log_aggregation_ray.ops.pairs import ooo_turns_scan
+    t = _t([
+        # conv a: 10, 20, 15 (ooo), 25, 5 (ooo) -> n_ooo = 2
+        ("a", 0, "user", "x", None, 10),
+        ("a", 1, "assistant", "x", None, 20),
+        ("a", 2, "user", "x", None, 15),
+        ("a", 3, "assistant", "x", None, 25),
+        ("a", 4, "user", "x", None, 5),
+        # conv b: monotone + a null ts (skipped) -> 0
+        ("b", 0, "user", "x", None, 1),
+        ("b", 1, "assistant", "x", None, None),
+        ("b", 2, "user", "x", None, 2),
+        # conv c: all null ts -> absent from output
+        ("c", 0, "user", "x", None, None),
+        # corrupt conv ids filtered
+        (None, 0, "user", "x", None, 3),
+    ])
+    # shuffled input: the scan imposes its own (conv, turn) order
+    shuf = t.take(pa.array([5, 2, 9, 0, 8, 4, 1, 7, 3, 6]))
+    out = ooo_turns_scan(shuf).sort_by([("conv_id", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "b"]
+    assert out.column("n_ooo").to_pylist() == [2, 0]
+
+
+def test_tool_path_and_trigram_semantics():
+    from d1_log_aggregation_ray.ops.pairs import (tool_path_scan,
+                                                  tool_trigram_scan)
+    t = _t([
+        ("a", 0, "user", "x", None, 1),
+        ("a", 1, "tool", "x", "grep", 2),
+        ("a", 2, "assistant", "x", None, 3),
+        ("a", 3, "tool", "x", "read", 4),
+        ("a", 4, "tool", "x", "grep", 5),
+        ("a", 5, "tool", "x", "edit", 6),
+        ("b", 0, "tool", "x", "grep", 1),
+        ("b", 1, "tool", "x", "read", 2),
+        ("b", 2, "tool", "x", "grep", 3),
+        ("b", 3, "tool", "x", "edit", 4),
+        ("c", 0, "user", "x", None, 1),  # no tools: no path row
+    ])
+    paths = tool_path_scan(t).sort_by([("path", "ascending")])
+    assert paths.column("path").to_pylist() == ["grep->read->grep->edit"]
+    assert paths.column("n_convs").to_pylist() == [2]
+    tri = tool_trigram_scan(t)
+    got = {(r["t1"], r["t2"], r["t3"]): r["n"] for r in tri.to_pylist()}
+    assert got == {("grep", "read", "grep"): 2, ("read", "grep", "edit"): 2}
