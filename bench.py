@@ -184,7 +184,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "order_fill", "order_fill_outer",
                      "user_features",
                      # out-of-order-timestamp ingest audit
-                     "ooo_turns"]:
+                     "ooo_turns",
+                     # distance-to-centroid embedding outlier mining
+                     "embedding_outliers"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -416,3 +416,56 @@ def cluster_sample(ds: ray.data.Dataset, target: int, k: int = 10,
                             "cluster": pc.cast(t.column("cluster"),
                                                pa.int64())}),
         batch_format="pyarrow")
+
+
+def embedding_outliers(ds: ray.data.Dataset, n: int = 50, k: int = 10,
+                       iters: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pa.Table:
+    """Distance-to-centroid outlier mining: the n vectors FARTHEST
+    from their own k-means centroid (exact int64 squared distance in
+    the quantized space), with their cluster and distance — the
+    noise/anomaly surfacing step of embedding-driven curation (what a
+    pipeline prunes or audits before SemDeDup-style balancing).
+
+    Scale shape: combiner-only end to end — the Lloyd fit moves k-row
+    partials, the outlier pick is a per-block local top-n lexsort
+    ((dist desc, id asc)) with one n-row-per-block driver merge; no
+    shuffle anywhere, the brute_force_topk shape.  All arithmetic
+    int64 (module determinism argument), so the result is
+    bit-identical at any parallelism -> pinned-golden oracle
+    generated from the independent pure-python reference
+    (tests/kmeans_reference.kmeans_reference_dists)."""
+    from ..functions.parts import arrow_block_refs
+    mat, refs = _cached_blocks(ds, id_col, vec_col)
+    cent = _fit_centroids(refs, k, iters, id_col, vec_col)
+    cref = ray.put(cent)
+
+    _empty = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()),
+                        ("dist", pa.int64())])
+
+    def local(batch: pa.Table, *, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(
+            cent_ref, ray.ObjectRef) else cent_ref
+        if batch.num_rows == 0:
+            return _empty.empty_table()
+        q = _quantize(batch, vec_col)
+        a = _assign(q, c)
+        diff = q - c[a]
+        dist = np.einsum("ij,ij->i", diff, diff)
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -dist))[:n]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "cluster": pa.array(a[order]),
+                         "dist": pa.array(dist[order])})
+
+    parts = [t for t in ray.get(arrow_block_refs(
+        mat.map_batches(local, batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        fn_kwargs={"cent_ref": cref}))) if t.num_rows]
+    if not parts:
+        return _empty.empty_table()
+    merged = pa.concat_tables([t.cast(_empty) for t in parts])
+    ids = merged.column(id_col).to_numpy(zero_copy_only=False)
+    dist = merged.column("dist").to_numpy(zero_copy_only=False)
+    return merged.take(pa.array(np.lexsort((ids, -dist))[:n]))

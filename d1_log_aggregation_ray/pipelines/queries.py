@@ -2018,6 +2018,21 @@ _GOLDEN_JSON = os.path.join(os.path.dirname(os.path.dirname(
     "dedup_survivors.json")
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier mining: the 50 vectors farthest (exact
+    int64 squared distance) from their own k-means centroid — the
+    noise-audit step of embedding curation (ops/cluster.
+    embedding_outliers).  Combiner-only (no shuffle); integer-exact
+    at any parallelism, so the oracle is a pinned golden generated
+    from the independent pure-python reference
+    (tests/kmeans_reference.kmeans_reference_dists)."""
+    from ..ops.cluster import embedding_outliers
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return embedding_outliers(ds, n=50)
+
+
 def q_percent_rank(sf_dir: str):
     """Per-source PERCENT_RANK of doc length — within-domain quality
     calibration: one hash exchange on source + a vectorized
@@ -3809,6 +3824,7 @@ RAY_QUERIES = {
     "sample_docs": q_sample_docs,
     "exact_sample": q_exact_sample,
     "percent_rank": q_percent_rank,
+    "embedding_outliers": q_embedding_outliers,
     "train_split": q_train_split,
     "shuffle_shards": q_shuffle_shards,
     "source_stats": q_source_stats,

@@ -79,6 +79,24 @@ def _kmeans_ref(sf_dir: str) -> dict:
     return kmeans_reference(ids, emb, k=10, iters=5)
 
 
+def _outliers_ref(sf_dir: str, n: int = 50) -> list:
+    """Independent embedding-outlier pin source: pure-python kmeans
+    fit + exact integer distance-to-own-centroid, top-n by
+    (dist desc, id asc)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from kmeans_reference import kmeans_reference_dists
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    emb = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    full = kmeans_reference_dists(ids, emb, k=10, iters=5)
+    top = sorted(full.items(), key=lambda kv: (-kv[1][1], kv[0]))[:n]
+    return [[int(i), int(c), int(d)] for i, (c, d) in top]
+
+
 def _semdedup_ref(sf_dir: str, threshold: float = 0.4) -> list:
     """Independent SemDeDup survivors: pure-python kmeans reference
     labels + an O(n^2)-per-cluster numpy brute force (dup iff some
@@ -172,6 +190,18 @@ def main() -> None:
             "columns": ["vec_id", "cluster"],
             "rows": sorted([i, c] for i, c in _keep.items())}
         print(f"{sf} cluster_sample: {len(_keep)} pinned rows")
+        # embedding_outliers pin: independent kmeans_reference_dists
+        # top-n farthest-from-own-centroid, cross-checked vs engine
+        ol_ref = _outliers_ref(sf_dir)
+        ol_eng = [[r["vec_id"], r["cluster"], r["dist"]] for r in
+                  RAY_QUERIES["embedding_outliers"](sf_dir).to_pylist()]
+        if ol_eng != ol_ref:
+            raise AssertionError(
+                f"embedding_outliers engine != reference at {sf}")
+        out[sf]["embedding_outliers"] = {
+            "columns": ["vec_id", "cluster", "dist"],
+            "rows": sorted(ol_ref)}
+        print(f"{sf} embedding_outliers: {len(ol_ref)} pinned rows")
         # pca pin: generated from the independent serial reference
         # (tests/pca_reference.py) and cross-checked EXACTLY against
         # the engine (both are bit-exact integer formulations)

@@ -53,3 +53,42 @@ def kmeans_reference(ids, emb, k=10, iters=5):
         cent = new
     final = assign_all()
     return {ids[i]: final[i] for i in range(n)}
+
+
+def kmeans_reference_dists(ids, emb, k=10, iters=5):
+    """Same fit as kmeans_reference, but returns
+    {id: (cluster, squared_dist_to_own_centroid)} — the independent
+    pin source for the embedding_outliers golden."""
+    q = np.rint(np.asarray(emb, dtype=np.float64) * SCALE).astype(np.int64)
+    ids = list(ids)
+    n = len(ids)
+    seed_order = sorted(range(n),
+                        key=lambda i: (_md5low(str(ids[i])), ids[i]))[:k]
+    cent = [q[i].copy() for i in seed_order]
+
+    def assign_all():
+        out = []
+        for i in range(n):
+            best, bd = 0, None
+            for j in range(k):
+                dist = int(((q[i] - cent[j]) ** 2).sum())
+                if bd is None or dist < bd:
+                    best, bd = j, dist
+            out.append(out_pair(i, best))
+        return out
+
+    def out_pair(i, j):
+        return (j, int(((q[i] - cent[j]) ** 2).sum()))
+
+    for _ in range(iters):
+        a = [j for j, _ in assign_all()]
+        new = [c.copy() for c in cent]
+        for j in range(k):
+            members = [i for i in range(n) if a[i] == j]
+            if members:
+                s = q[members].sum(axis=0)
+                new[j] = np.array([v // len(members) for v in s],
+                                  dtype=np.int64)
+        cent = new
+    final = assign_all()
+    return {ids[i]: final[i] for i in range(n)}
