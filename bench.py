@@ -186,7 +186,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # out-of-order-timestamp ingest audit
                      "ooo_turns",
                      # distance-to-centroid embedding outlier mining
-                     "embedding_outliers"]:
+                     "embedding_outliers",
+                     # row-producing large x large equi join
+                     "order_lines"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

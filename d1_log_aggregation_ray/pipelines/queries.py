@@ -1828,6 +1828,92 @@ def _order_join(sf_dir: str, outer: bool):
         join_scan, batch_format="pyarrow")
 
 
+def q_order_lines(sf_dir: str):
+    """ROW-PRODUCING large x large equi join (the materializing
+    member of the join family — every other join finishes an
+    aggregate inside the scan): each window order attached to each of
+    its lineitems, one output row per matched pair.
+
+    Shape: union co-partition (ONE exchange keyed hash(orderkey) % P;
+    lineitem pruned to 3 columns at the read — no combiner is
+    possible for a row join, so column pruning is the lever), then a
+    vectorized expansion scan: right side sorted by key once,
+    searchsorted start/end per left key, np.repeat + arange gather —
+    the interval_join expansion kernel on an equi predicate."""
+    from ..functions.parts import hash_parts, key_parts
+    lo = np.datetime64(_FILL_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(_FILL_HI).astype("datetime64[us]").astype(np.int64)
+    P = hash_parts()
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "_part": pa.array(key_parts(ok, P)),
+            "k": pa.array(ok),
+            "prio": batch.column("o_orderpriority").combine_chunks().filter(
+                pa.array(m)),
+            "ln": pa.array(np.zeros(len(ok), np.int32)),
+            "qty": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.zeros(len(ok), np.int8))})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def item_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(key_parts(keys, P)),
+            "k": pa.array(keys),
+            "prio": pa.array([None] * len(keys), pa.string()),
+            "ln": batch.column("l_linenumber"),
+            "qty": pa.array(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "side": pa.array(np.ones(len(keys), np.int8))})
+
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        item_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY_LINES = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+        ("l_linenumber", pa.int32()), ("qty", pa.int64())])
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        if left.num_rows == 0:
+            return _EMPTY_LINES.empty_table()
+        rmask = side == 1
+        rk = group.column("k").to_numpy(zero_copy_only=False)[rmask]
+        if len(rk) == 0:
+            return _EMPTY_LINES.empty_table()
+        ro = np.argsort(rk, kind="stable")
+        rk = rk[ro]
+        right = group.filter(pa.array(rmask)).take(pa.array(ro))
+        lk = left.column("k").to_numpy(zero_copy_only=False)
+        beg = np.searchsorted(rk, lk, side="left")
+        end = np.searchsorted(rk, lk, side="right")
+        cnt = end - beg
+        li = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+        ri = (np.repeat(beg, cnt)
+              + np.arange(int(cnt.sum()), dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pa.table({
+            "o_orderkey": pa.array(lk[li]),
+            "o_orderpriority": left.column("prio").take(pa.array(li)),
+            "l_linenumber": right.column("ln").take(pa.array(ri)),
+            "qty": right.column("qty").take(pa.array(ri))})
+
+    return orders.union(items).groupby("_part").map_groups(
+        join_scan, batch_format="pyarrow")
+
+
 def q_sample_per_source(sf_dir: str):
     """Deterministic per-key sampling: the 3 docs per source with the
     smallest md5(doc_id) — 'take k examples per group' reproducibly
@@ -3610,6 +3696,15 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                  ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id""",
 
+        "order_lines": f"""
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   l.l_linenumber,
+                   CAST(l.l_quantity AS BIGINT) AS qty
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate >= '{_FILL_LO}'
+              AND o.o_orderdate < '{_FILL_HI}'""",
+
         "sample_per_source": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
@@ -3897,6 +3992,7 @@ RAY_QUERIES = {
     "value_deltas": q_value_deltas,
     "order_fill": q_order_fill,
     "order_fill_outer": q_order_fill_outer,
+    "order_lines": q_order_lines,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
