@@ -188,7 +188,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # distance-to-centroid embedding outlier mining
                      "embedding_outliers",
                      # row-producing large x large equi join
-                     "order_lines"]:
+                     "order_lines",
+                     # full-scan group report (TPC-H Q1 analog)
+                     "pricing_summary",
+                     # six-table star join (TPC-H Q5 analog)
+                     "regional_revenue",
+                     # turns -> training-document assembly
+                     "conv_text",
+                     # calendar gap-filled daily event counts
+                     "gapfill_daily"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -49,6 +49,10 @@ _TRANS_SCHEMA = pa.schema([
 _CONVFP_SCHEMA = pa.schema([
     ("fp", pa.binary(16)), ("conv_id", pa.string())])
 
+_DOC_ASM_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("doc", pa.large_string())])
+
 
 def _valid_sorted(batch: pa.Table) -> pa.Table:
     """M2 validity filter + stable (conv_id, turn_idx) order."""
@@ -147,6 +151,33 @@ def conv_stats_scan(batch: pa.Table) -> pa.Table:
         "n_chars": pa.array(seg_sum(chars)),
         "dur_us": dur,
     }).cast(_STATS_SCHEMA)
+
+
+def conv_text_scan(batch: pa.Table) -> pa.Table:
+    """Assemble one training document per conversation: every turn's
+    text (NULL -> '') joined by '\\n' in (conv_id, turn_idx) order —
+    the canonical turns->document step that feeds the doc-level
+    curation ops.  Runs shuffle-free under the whole-bucket contract;
+    the concatenation is ONE vectorized pc.binary_join over a list
+    view built from the segment offsets (no per-conversation python).
+    large_string + int64 list offsets so a bucket whose total text
+    exceeds 2 GiB still assembles (the int32 offset ceiling is the
+    classic failure here)."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _DOC_ASM_SCHEMA.empty_table()
+    _, _, is_start = _segments(batch)
+    starts = np.flatnonzero(is_start)
+    offsets = pa.array(np.r_[starts, n].astype(np.int64), pa.int64())
+    texts = pc.fill_null(
+        batch.column("text").combine_chunks().cast(pa.large_string()), "")
+    docs = pc.binary_join(pa.LargeListArray.from_arrays(offsets, texts),
+                          pa.scalar("\n", pa.large_string()))
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(pa.array(starts)),
+        "n_turns": pa.array(np.diff(np.r_[starts, n]).astype(np.int64)),
+        "doc": docs}).cast(_DOC_ASM_SCHEMA)
 
 
 def turn_latency_scan(batch: pa.Table) -> pa.Table:

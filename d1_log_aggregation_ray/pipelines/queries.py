@@ -1221,6 +1221,247 @@ def q_big_orders(sf_dir: str):
         fn_kwargs={"sref": surv_ref})
 
 
+#: pricing-summary shipdate cutoff (TPC-H Q1 analog operating point)
+_PSUM_CUT = "1998-09-02"
+
+
+def q_pricing_summary(sf_dir: str):
+    """Full-scan aggregate report (TPC-H Q1 analog): per (returnflag,
+    linestatus) sums, averages and row count over every lineitem
+    shipped by the cutoff — the canonical map-combine-reduce.  Plan:
+    one pruned 7-column read; a per-batch arrow group_by combiner
+    collapses each block to <= 6 rows (flag x status cardinality is
+    fixed), so ONE tiny exchange of 6-row partials finishes the sums;
+    the averages are derived from the exact integer sums in a final
+    map over <= 6 rows — float math happens once per GROUP, never per
+    row, so the value hash matches DuckDB bit-exactly regardless of
+    block order.  Money is integerized (cents / cents x pct / cents x
+    pct x pct); the per-BATCH int64 partials are safe to ~8e7 rows per
+    block for the charge term, and the exchange-side merge sums in
+    decimal128(38) so corpus-scale group totals never wrap (DuckDB
+    itself sums to HUGEINT); only the final int64 output cast narrows,
+    which a 100 TB deployment would widen to decimal output."""
+    from ..stages.aggregate import hash_partition_aggregate
+    cut = np.datetime64(_PSUM_CUT).astype("datetime64[us]").astype(np.int64)
+    sums = ["sum_qty", "sum_base_c", "sum_disc_c2", "sum_charge_c4",
+            "sum_disc_pct"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd <= cut
+        qty = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m]).astype(np.int64)
+        ep = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        dc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        tx = np.rint(batch.column("l_tax").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        base2 = ep * (100 - dc)
+        mask = pa.array(m)
+        tbl = pa.table({
+            "l_returnflag": batch.column("l_returnflag").combine_chunks()
+                                 .filter(mask),
+            "l_linestatus": batch.column("l_linestatus").combine_chunks()
+                                 .filter(mask),
+            "sum_qty": pa.array(qty),
+            "sum_base_c": pa.array(ep),
+            "sum_disc_c2": pa.array(base2),
+            "sum_charge_c4": pa.array(base2 * (100 + tx)),
+            "sum_disc_pct": pa.array(dc),
+            "count_order": pa.array(np.ones(len(qty), np.int64))})
+        g = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in sums] + [("count_order", "sum")])
+        g = g.rename_columns(
+            ["l_returnflag", "l_linestatus"] + sums + ["count_order"])
+        # widen the partials so the exchange-side merge can't wrap
+        for c in sums:
+            g = g.set_column(g.schema.get_field_index(c), c,
+                             g.column(c).cast(pa.decimal128(38, 0)))
+        return g
+
+    agg = hash_partition_aggregate(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag",
+                     "l_linestatus"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [(c, "sum") for c in sums] + [("count_order", "sum")],
+        rename={f"{c}_sum": c for c in sums + ["count_order"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = {c: batch.column(c).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) for c in sums}
+        n = batch.column("count_order").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(s["sum_qty"]),
+            "sum_base_c": pa.array(s["sum_base_c"]),
+            "sum_disc_c2": pa.array(s["sum_disc_c2"]),
+            "sum_charge_c4": pa.array(s["sum_charge_c4"]),
+            "avg_qty": pa.array(s["sum_qty"].astype(np.float64) / n),
+            "avg_price_c": pa.array(
+                s["sum_base_c"].astype(np.float64) / n),
+            "avg_disc_pct": pa.array(
+                s["sum_disc_pct"].astype(np.float64) / n),
+            "count_order": batch.column("count_order")})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+#: regional-revenue operating point (TPC-H Q5 analog)
+_RREV_REGION, _RREV_LO, _RREV_HI = "ASIA", "1996-01-01", "1997-01-01"
+
+
+def q_regional_revenue(sf_dir: str):
+    """Six-table star join (TPC-H Q5 analog): revenue per nation from
+    lineitems where the CUSTOMER and the SUPPLIER sit in the same
+    nation of one region, orders within a year.  Plan: nation+region
+    (tiny) resolve driver-side; the two dimension sides — supplier and
+    customer key->nationkey, both pre-filtered to the region's nations
+    (~1/5 of each) — broadcast as sorted arrays (ONE ray.put each, the
+    top_orders dimension-broadcast pattern; at extreme SF the customer
+    side would swap to a custkey co-partition exchange).  Orders
+    (date-filtered, custkey-probed) and per-(orderkey, suppnation)
+    lineitem revenue combiners meet in ONE union co-partition exchange
+    on hash(o_orderkey); the scan joins, applies the c_nat == s_nat
+    equality, and collapses to per-nation partials IN the same pass,
+    so only (nationkey, revenue) rows — bounded by nation cardinality —
+    leave stage one.  Revenue is integer cents x pct, hash-exact."""
+    from ..functions.parts import hash_parts, key_parts
+    from ..stages.aggregate import hash_partition_aggregate
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = reg.filter(pc.equal(reg.column("r_name"), _RREV_REGION)) \
+            .column("r_regionkey")[0].as_py()
+    nt = nat.filter(pc.equal(nat.column("n_regionkey"), rk))
+    nat_keys = nt.column("n_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nat_names = {int(k): v for k, v in zip(
+        nat_keys, nt.column("n_name").to_pylist())}
+
+    def _dim(table: str, key: str, nk: str) -> ray.ObjectRef:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=[key, nk])
+        keys = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        nats = t.column(nk).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(nats, nat_keys)
+        keys, nats = keys[m], nats[m]
+        o = np.argsort(keys)
+        return ray.put((keys[o], nats[o]))
+
+    sup_ref = _dim("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _dim("customer", "c_custkey", "c_nationkey")
+    lo = np.datetime64(_RREV_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(_RREV_HI).astype("datetime64[us]").astype(np.int64)
+    P = hash_parts()
+
+    def _probe(ref, keys):
+        dk, dn = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if len(dk) == 0:
+            return np.zeros(len(keys), bool), np.zeros(len(keys), np.int64)
+        pos = np.searchsorted(dk, keys)
+        pos[pos == len(dk)] = 0
+        return dk[pos] == keys, dn[pos]
+
+    def ord_rows(batch: pa.Table, *, cust) -> pa.Table:
+        od = batch.column("o_orderdate").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[m]
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)[m]
+        hit, cn = _probe(cust, ck)
+        ok, cn = ok[hit], cn[hit]
+        return pa.table({
+            "_part": pa.array(key_parts(ok, P)),
+            "k": pa.array(ok), "nat": pa.array(cn),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.zeros(len(ok), np.int8))})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_rows, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"cust": cust_ref})
+
+    def li_partial(batch: pa.Table, *, sup) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        hit, sn = _probe(sup, sk)
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[hit]
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)[hit]
+        keys, sn = keys[hit], sn[hit]
+        rev = (np.rint(ep * 100).astype(np.int64)
+               * (100 - np.rint(dc * 100).astype(np.int64)))
+        order = np.lexsort((sn, keys))
+        k_s, n_s, r_s = keys[order], sn[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, (k_s[1:] != k_s[:-1])
+                                      | (n_s[1:] != n_s[:-1])])
+        rv = (np.add.reduceat(r_s, starts) if len(starts)
+              else np.array([], dtype=np.int64))
+        ku, nu = k_s[starts], n_s[starts]
+        return pa.table({
+            "_part": pa.array(key_parts(ku, P)),
+            "k": pa.array(ku), "nat": pa.array(nu),
+            "rev": pa.array(rv),
+            "side": pa.array(np.ones(len(ku), np.int8))})
+
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"sup": sup_ref})
+
+    _EMPTY_Q5 = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                          "revenue_c2": pa.array([], pa.int64())})
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        nt_ = group.column("nat").to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok, on = k[om], nt_[om]
+        ik, inat = k[~om], nt_[~om]
+        ir = group.column("rev").to_numpy(zero_copy_only=False)[~om]
+        if len(ok) == 0 or len(ik) == 0:
+            return _EMPTY_Q5
+        oo = np.argsort(ok)                 # orderkey is a PK: unique
+        ok, on = ok[oo], on[oo]
+        pos = np.searchsorted(ok, ik)
+        pos[pos == len(ok)] = 0
+        hit = (ok[pos] == ik) & (on[pos] == inat)
+        nat_h, rev_h = inat[hit], ir[hit]
+        acc = np.zeros(int(nat_keys.max()) + 1, np.int64)
+        np.add.at(acc, nat_h, rev_h)
+        nz = np.flatnonzero(acc)
+        return pa.table({"n_nationkey": pa.array(nz.astype(np.int64)),
+                         "revenue_c2": pa.array(acc[nz])})
+
+    per_nat = hash_partition_aggregate(
+        orders.union(items).groupby("_part").map_groups(
+            join_scan, batch_format="pyarrow"),
+        ["n_nationkey"], [("revenue_c2", "sum")],
+        rename={"revenue_c2_sum": "revenue_c2"})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nat_names[int(x)] for x in nk],
+                               pa.string()),
+            "revenue_c2": batch.column("revenue_c2")})
+
+    return per_nat.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 #: lapsed-customer cutoff for the anti-join query
 _LAPSED_CUT = "1999-01-01"
 
@@ -1373,6 +1614,18 @@ def q_conv_stats(sf_dir: str):
     exchange because convs never span buckets."""
     from ..ops.pairs import conv_stats_scan
     return _bucket_scan(sf_dir, conv_stats_scan)
+
+
+def q_conv_text(sf_dir: str):
+    """Turns -> training-document assembly: one row per conversation
+    with every turn's text joined by newline in (conv_id, turn_idx)
+    order — the canonical step that feeds the doc-level curation ops
+    (dedup / quality / decontamination) from transcript input.
+    Shuffle-free whole-bucket scan; the concatenation is ONE
+    vectorized pc.binary_join per bucket over large_string offsets
+    (ops/pairs.conv_text_scan), so a >2 GiB bucket still assembles."""
+    from ..ops.pairs import conv_text_scan
+    return _bucket_scan(sf_dir, conv_text_scan)
 
 
 def q_role_violations(sf_dir: str):
@@ -1673,6 +1926,64 @@ def q_sliding_counts(sf_dir: str):
     ds = _events(sf_dir, ["user_id", "ts"])
     return sliding_counts(ds, key="user_id", ts_col="ts",
                           window_s=3600, slide_s=900)
+
+
+def q_gapfill_daily(sf_dir: str):
+    """Calendar gap-fill: dense per-(event_type, day) counts over the
+    corpus's full [min_day, max_day] span with missing days emitted as
+    ZERO rows — the time-series densification step dashboards and
+    drift monitors need (a plain groupby silently skips empty days).
+    Plan: per-batch arrow group_by combiner -> ONE tiny exchange of
+    (type, day, n) partials (cardinality = types x days, bounded by
+    the calendar, never by corpus rows) -> the dense grid is built
+    driver-side from the aggregated partials with one numpy scatter —
+    the only driver-side step is over the calendar-bounded result."""
+    from ..stages.aggregate import hash_partition_aggregate
+    from ..functions.parts import arrow_block_refs
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").combine_chunks()
+        mask = t.is_valid()
+        tv = t.filter(mask).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks().filter(mask)
+        tbl = pa.table({
+            "event_type": et,
+            "day": pa.array((tv // DAY_US) * DAY_US),
+            "n": pa.array(np.ones(len(tv), np.int64))})
+        return tbl.group_by(["event_type", "day"]).aggregate(
+            [("n", "sum")]).rename_columns(["event_type", "day", "n"])
+
+    agg = hash_partition_aggregate(
+        _events(sf_dir, ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"], [("n", "sum")], rename={"n_sum": "n"})
+
+    _EMPTY = pa.schema([("event_type", pa.string()),
+                        ("day", pa.timestamp("us")),
+                        ("n", pa.int64())])
+    parts = [t for t in ray.get(arrow_block_refs(agg)) if t.num_rows]
+    if not parts:
+        return _EMPTY.empty_table()
+    obs = pa.concat_tables([t.cast(pa.schema([
+        ("event_type", pa.string()), ("day", pa.int64()),
+        ("n", pa.int64())])) for t in parts])
+    day = obs.column("day").to_numpy(zero_copy_only=False)
+    n = obs.column("n").to_numpy(zero_copy_only=False)
+    types = np.array(sorted(set(obs.column("event_type").to_pylist())))
+    dmin, dmax = int(day.min()), int(day.max())
+    ndays = (dmax - dmin) // DAY_US + 1
+    grid = np.zeros((len(types), ndays), np.int64)
+    ti = np.searchsorted(types, np.asarray(
+        obs.column("event_type").to_pylist()))
+    grid[ti, (day - dmin) // DAY_US] = n
+    days = dmin + np.arange(ndays, dtype=np.int64) * DAY_US
+    return pa.table({
+        "event_type": pa.array(np.repeat(types, ndays)),
+        "day": pa.array(np.tile(days, len(types))).cast(
+            pa.timestamp("us")),
+        "n": pa.array(grid.ravel())})
 
 
 def q_rolling_window(sf_dir: str):
@@ -2950,6 +3261,64 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ORDER BY revenue_c2 DESC, o_orderkey
             LIMIT 10""",
 
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                     AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_base_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS sum_disc_c2,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                     AS BIGINT) AS sum_charge_c4,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                     / count(*) AS avg_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) / count(*) AS avg_price_c,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS DOUBLE) / count(*) AS avg_disc_pct,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{_PSUM_CUT}'
+            GROUP BY l_returnflag, l_linestatus""",
+
+        "regional_revenue": f"""
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_c2
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation n, region r
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = '{_RREV_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{_RREV_LO}'
+              AND o.o_orderdate < TIMESTAMP '{_RREV_HI}'
+            GROUP BY n.n_name""",
+
+        "gapfill_daily": """
+            WITH c AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), d AS (
+              SELECT unnest(generate_series((SELECT min(day) FROM c),
+                                            (SELECT max(day) FROM c),
+                                            INTERVAL 1 DAY)) AS day
+            ), t AS (SELECT DISTINCT event_type FROM c)
+            SELECT t.event_type, d.day,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.event_type = t.event_type
+                       AND c.day = d.day""",
+
         "pack_shards": f"""
             WITH t AS (
               SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -3454,6 +3823,12 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS dur_us
             FROM {TP} WHERE {VALID} GROUP BY conv_id""",
 
+        "conv_text": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(COALESCE(text, ''), chr(10)
+                              ORDER BY turn_idx) AS doc
+            FROM {TP} WHERE {VALID} GROUP BY conv_id""",
+
         "turn_latency": f"""
             WITH t AS (
               SELECT conv_id, turn_idx, role, ts FROM {TP} WHERE {VALID}
@@ -3956,6 +4331,8 @@ RAY_QUERIES = {
     "pack_shards": q_pack_shards,
     "top_orders": q_top_orders,
     "big_orders": q_big_orders,
+    "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
     "snapshot_merge": q_snapshot_merge,
     "cust_no_orders": q_cust_no_orders,
     "zscore_events": q_zscore_events,
@@ -3965,6 +4342,7 @@ RAY_QUERIES = {
     "context_windows": q_context_windows,
     "tool_loops": q_tool_loops,
     "conv_stats": q_conv_stats,
+    "conv_text": q_conv_text,
     "role_violations": q_role_violations,
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
@@ -3989,6 +4367,7 @@ RAY_QUERIES = {
     "asof_prior": q_asof_prior,
     "tumbling_counts": q_tumbling_counts,
     "rolling_window": q_rolling_window,
+    "gapfill_daily": q_gapfill_daily,
     "value_deltas": q_value_deltas,
     "order_fill": q_order_fill,
     "order_fill_outer": q_order_fill_outer,

@@ -7,6 +7,7 @@ import pyarrow as pa
 
 from d1_log_aggregation_ray.ops.pairs import (conv_fingerprint_scan,
                                               conv_stats_scan,
+                                              conv_text_scan,
                                               role_violations_scan,
                                               sft_pairs_scan,
                                               tool_transitions_scan,
@@ -71,6 +72,22 @@ def test_conv_stats_null_duration():
     t = _t([("z", 0, "user", "x", None, None)])
     out = conv_stats_scan(t)
     assert out.column("dur_us").to_pylist() == [None]
+
+
+def test_conv_text_assembly():
+    # shuffled input: the scan imposes (conv_id, turn_idx) order;
+    # NULL text joins as '' (conv b row 2)
+    shuf = BASE.take(pa.array([7, 2, 9, 0, 5, 4, 8, 1, 6, 3]))
+    out = conv_text_scan(shuf).sort_by([("conv_id", "ascending")])
+    assert out.column("conv_id").to_pylist() == ["a", "b"]
+    assert out.column("n_turns").to_pylist() == [5, 3]
+    assert out.column("doc").to_pylist() == [
+        "q1\nr1\nq2\nt\nr2", "orphan\nq3\n"]
+    assert out.schema.field("doc").type == pa.large_string()
+    # empty input is schema-stable
+    empty = conv_text_scan(BASE.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.field("doc").type == pa.large_string()
 
 
 def test_role_violations():
