@@ -1335,7 +1335,6 @@ def q_regional_revenue(sf_dir: str):
     so only (nationkey, revenue) rows — bounded by nation cardinality —
     leave stage one.  Revenue is integer cents x pct, hash-exact."""
     from ..functions.parts import hash_parts, key_parts
-    from ..stages.aggregate import hash_partition_aggregate
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     rk = reg.filter(pc.equal(reg.column("r_name"), _RREV_REGION)) \
@@ -1445,21 +1444,22 @@ def q_regional_revenue(sf_dir: str):
         return pa.table({"n_nationkey": pa.array(nz.astype(np.int64)),
                          "revenue_c2": pa.array(acc[nz])})
 
-    per_nat = hash_partition_aggregate(
+    # the scan already collapsed each partition to <= |region nations|
+    # rows, so the final merge is over a nation-bounded set at ANY
+    # corpus size — a driver-side sum, not a second exchange
+    from ..functions.parts import arrow_block_refs
+    parts = [t for t in ray.get(arrow_block_refs(
         orders.union(items).groupby("_part").map_groups(
-            join_scan, batch_format="pyarrow"),
-        ["n_nationkey"], [("revenue_c2", "sum")],
-        rename={"revenue_c2_sum": "revenue_c2"})
-
-    def attach(batch: pa.Table) -> pa.Table:
-        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "n_name": pa.array([nat_names[int(x)] for x in nk],
-                               pa.string()),
-            "revenue_c2": batch.column("revenue_c2")})
-
-    return per_nat.map_batches(attach, batch_format="pyarrow",
-                               zero_copy_batch=True)
+            join_scan, batch_format="pyarrow"))) if t.num_rows]
+    if not parts:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue_c2": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).group_by(
+        ["n_nationkey"]).aggregate([("revenue_c2", "sum")])
+    nk = merged.column("n_nationkey").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "n_name": pa.array([nat_names[int(x)] for x in nk], pa.string()),
+        "revenue_c2": merged.column("revenue_c2_sum")})
 
 
 #: lapsed-customer cutoff for the anti-join query
