@@ -196,7 +196,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # turns -> training-document assembly
                      "conv_text",
                      # calendar gap-filled daily event counts
-                     "gapfill_daily"]:
+                     "gapfill_daily",
+                     # sparse-signal forward fill (LOCF imputation)
+                     "locf_fill",
+                     # grouped percentile clipping
+                     "winsorize"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -577,7 +577,9 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
 
 
 def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
-                      qs: list[float]) -> ray.data.Dataset:
+                      qs: list[float],
+                      value_type: pa.DataType = pa.int64()
+                      ) -> ray.data.Dataset:
     """EXACT per-key quantiles of an integer-valued column via a
     (key, value)-histogram exchange — value_quantiles generalized to
     grouped form, fully distributed (no driver merge: every (key,
@@ -590,7 +592,10 @@ def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
     group: element at 0-based rank max(ceil(q*n) - 1, 0) of the
     group's sorted multiset; NULL keys and NULL values are skipped.
 
-    Output: one row per (key, q): (key_col, q float64, value int64).
+    Output: one row per (key, q): (key_col, q float64, value int64 —
+    or float64 when ``value_type=pa.float64()``; float values group by
+    exact binary equality, so the picked element is copied bit-exact,
+    never recomputed).
     """
     from ..stages.aggregate import add_part_column
     qs = [float(q) for q in qs]
@@ -606,7 +611,8 @@ def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
             ["c" if c == "count_all" else c for c in agg.column_names])
 
     empty = pa.schema([(key_col, pa.string()), ("q", pa.float64()),
-                       ("value", pa.int64())]).empty_table()
+                       ("value", value_type)]).empty_table()
+    np_vt = value_type.to_pandas_dtype()
 
     def scan(group: pa.Table) -> pa.Table:
         t = (group.drop_columns(["_part"])
@@ -614,7 +620,7 @@ def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
         if t.num_rows == 0:
             return empty
         t = t.sort_by([(key_col, "ascending"), ("v", "ascending")])
-        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np_vt)
         c = t.column("c_sum").to_numpy(zero_copy_only=False)
         codes = np.asarray(
             t.column(key_col).combine_chunks().dictionary_encode().indices)

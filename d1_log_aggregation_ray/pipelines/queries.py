@@ -1497,6 +1497,52 @@ def q_zscore_events(sf_dir: str):
                           id_col="event_id")
 
 
+def q_winsorize(sf_dir: str):
+    """Grouped percentile clipping (winsorization): every event value
+    clipped to its event_type's [p05, p95] — the outlier-robust
+    normalization step upstream of model features.  Two passes: an
+    EXACT grouped-quantile histogram exchange (ops/relational.
+    grouped_quantiles, float-valued) whose result is bounded by type
+    cardinality, collected once and closed over by a map-only clip
+    pass.  Both the quantile elements and the surviving values are
+    COPIED doubles, never recomputed, so the hash matches DuckDB."""
+    from ..ops.relational import grouped_quantiles
+    from ..functions.parts import arrow_block_refs
+    bounds = grouped_quantiles(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value",
+        [0.05, 0.95], value_type=pa.float64())
+    parts = [t for t in ray.get(arrow_block_refs(bounds)) if t.num_rows]
+    _empty = pa.schema([("event_id", pa.int64()),
+                        ("value_w", pa.float64())])
+    if not parts:
+        return _empty.empty_table()
+    b = pa.concat_tables(parts).to_pandas()
+    lo_map = b[b["q"] == 0.05].set_index("event_type")["value"]
+    hi_map = b[b["q"] == 0.95].set_index("event_type")["value"]
+    types = np.array(sorted(lo_map.index))
+    lo = lo_map[types].to_numpy()
+    hi = hi_map[types].to_numpy()
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks()
+        m = pc.and_(v.is_valid(),
+                    batch.column("event_type").is_valid()).to_numpy(
+            zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks().filter(
+            pa.array(m))
+        idx = pc.index_in(et, pa.array(types)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vv = v.to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "event_id": batch.column("event_id").combine_chunks()
+                             .filter(pa.array(m)),
+            "value_w": pa.array(np.minimum(np.maximum(vv, lo[idx]),
+                                           hi[idx]))}).cast(_empty)
+
+    return _events(sf_dir, ["event_id", "event_type", "value"]) \
+        .map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_window_distinct(sf_dir: str):
     """Distinct users per tumbling 1-hour window (the DAU-per-hour
     metric): vectorized window-id derivation feeding the pair-dedup
@@ -1926,6 +1972,74 @@ def q_sliding_counts(sf_dir: str):
     ds = _events(sf_dir, ["user_id", "ts"])
     return sliding_counts(ds, key="user_id", ts_col="ts",
                           window_s=3600, slide_s=900)
+
+
+def q_locf_fill(sf_dir: str):
+    """Sparse-signal forward fill (LOCF imputation): at every event,
+    the user's most recent PURCHASE value — LAST_VALUE(CASE WHEN
+    purchase THEN value END IGNORE NULLS) OVER (PARTITION BY user
+    ORDER BY ts, event_id), NULL before the first purchase.  The
+    carry-forward feature-engineering primitive.  ONE hash exchange on
+    user; the fill inside each partition is a single vectorized pass:
+    np.maximum.accumulate over source indices with a segment-floor
+    test for the reset (no per-user python).  Filled values are
+    COPIED doubles, so the hash matches DuckDB bit-exactly."""
+    from ..functions.parts import hash_parts, key_parts
+    P = hash_parts()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = pc.and_(batch.column("ts").combine_chunks().is_valid(),
+                    batch.column("user_id").combine_chunks().is_valid()
+                    ).to_numpy(zero_copy_only=False)
+        mask = pa.array(m)
+        u = batch.column("user_id").combine_chunks().filter(mask) \
+                 .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks().filter(mask)
+        return pa.table({
+            "_part": pa.array(key_parts(u, P)),
+            "u": pa.array(u),
+            "t": batch.column("ts").combine_chunks().filter(mask)
+                      .cast(pa.int64()),
+            "event_id": batch.column("event_id").combine_chunks()
+                             .filter(mask).cast(pa.int64()),
+            "val": batch.column("value").combine_chunks().filter(mask)
+                        .cast(pa.float64()),
+            "mark": pc.cast(pc.and_kleene(
+                pc.equal(et, "purchase"),
+                batch.column("value").combine_chunks().filter(mask)
+                     .is_valid()), pa.bool_())})
+
+    _empty = pa.schema([("event_id", pa.int64()),
+                        ("last_purchase", pa.float64())])
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "u" not in group.schema.names:
+            return _empty.empty_table()
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        v = group.column("val").to_numpy(zero_copy_only=False)
+        mk = pc.fill_null(group.column("mark").combine_chunks(),
+                          False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        us, ms = u[order], mk[order]
+        n = len(us)
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        seg_first = np.repeat(starts, np.diff(np.r_[starts, n]))
+        src = np.where(ms, np.arange(n, dtype=np.int64), -1)
+        acc = np.maximum.accumulate(src)
+        # a carried index from an earlier user sorts below this
+        # user's first row — the segment floor is the reset
+        ok = acc >= seg_first
+        fill = v[order][np.where(ok, acc, 0)]
+        return pa.table({
+            "event_id": pa.array(e[order]),
+            "last_purchase": pa.array(fill, mask=~ok)}).cast(_empty)
+
+    return _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                            "value"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "_part").map_groups(scan, batch_format="pyarrow")
 
 
 def q_gapfill_daily(sf_dir: str):
@@ -3303,6 +3417,27 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '{_RREV_HI}'
             GROUP BY n.n_name""",
 
+        "locf_fill": """
+            SELECT event_id,
+                   LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                   THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS last_purchase
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
+
+        "winsorize": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY event_type)
+            SELECT e.event_id,
+                   least(greatest(e.value, q.lo), q.hi) AS value_w
+            FROM events e JOIN q USING (event_type)
+            WHERE e.value IS NOT NULL""",
+
         "gapfill_daily": """
             WITH c AS (
               SELECT event_type, date_trunc('day', ts) AS day,
@@ -4368,6 +4503,8 @@ RAY_QUERIES = {
     "tumbling_counts": q_tumbling_counts,
     "rolling_window": q_rolling_window,
     "gapfill_daily": q_gapfill_daily,
+    "locf_fill": q_locf_fill,
+    "winsorize": q_winsorize,
     "value_deltas": q_value_deltas,
     "order_fill": q_order_fill,
     "order_fill_outer": q_order_fill_outer,

@@ -46,6 +46,32 @@ def test_grouped_quantiles_matches_quantile_disc():
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_grouped_quantiles_float_values_bit_exact():
+    # value_type=float64: the picked element is COPIED, never
+    # recomputed — compare bit-exact against the sorted-multiset rank
+    rng = np.random.RandomState(7)
+    n = 5_000
+    keys = [f"k{v}" for v in rng.randint(0, 10, n)]
+    vals = np.round(rng.rand(n) * 200, 2)
+    mask = rng.rand(n) < 0.05
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, mask=mask)})
+    qs = [0.05, 0.95]
+    got = grouped_quantiles(_ds(t), "k", "v", qs,
+                            value_type=pa.float64()).to_pandas()
+    assert got["value"].dtype.kind == "f"
+    df = t.to_pandas().dropna(subset=["v"])
+    rows = []
+    for k, g in df.groupby("k"):
+        s = np.sort(g["v"].to_numpy())
+        for q in qs:
+            rank = max(math.ceil(q * len(s)) - 1, 0)
+            rows.append((k, float(q), float(s[rank])))
+    want = pd.DataFrame(rows, columns=["k", "q", "value"])
+    got = got.sort_values(["k", "q"]).reset_index(drop=True)
+    want = want.sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_grouped_mode_tie_breaks_to_smallest_value():
     t = pa.table({
         "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2 + [None]),
