@@ -627,6 +627,97 @@ def bpe_train(ds: ray.data.Dataset, n_merges: int = 60,
                      "count": pa.array(out_count, pa.int64())})
 
 
+#: worker-global BPE encode memo: {merge-table fingerprint: {word: n}}
+#: — one entry per DISTINCT word ever seen by this worker process, so
+#: the python encode loop amortizes across batches (the minhash
+#: _word_codes pattern); vocabulary-bounded, not corpus-bounded.
+_BPE_ENC_MEMO: dict = {}
+
+
+def _bpe_encode_len(word: str, ranks: dict, merges: list,
+                    memo: dict) -> int:
+    """Token count for one word under the trained merges — the GPT-2
+    formulation: repeatedly merge ALL occurrences (left-to-right) of
+    the minimum-rank adjacent pair.  Equivalent to the rank-order
+    single-pass formulation (tests/bpe_reference.py) because a rule's
+    operands can never reappear after its pass."""
+    n = memo.get(word)
+    if n is not None:
+        return n
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        left, right = merges[best]
+        ns, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                ns.append(left + right)
+                i += 2
+            else:
+                ns.append(syms[i])
+                i += 1
+        syms = ns
+    memo[word] = len(syms)
+    return len(syms)
+
+
+def bpe_encode_counts(ds: ray.data.Dataset, merges: list,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> ray.data.Dataset:
+    """Tokenizer APPLY: per-doc token counts under a trained BPE merge
+    table — the encode half of the tokenizer story (bpe_train is the
+    other), the step that prices every document for packing/budgeting.
+
+    Distributed shape: MAP-ONLY — the bounded merge table rides the
+    task closure (<= n_merges rows, never the corpus).  Per batch the
+    texts flatten to words once via Arrow split + list offsets (the
+    doc association is a numpy repeat over the offsets), the python
+    encode loop runs only per DISTINCT word per batch against the
+    worker-global memo, and per-doc totals come from one scatter-add.
+    NULL texts are excluded; empty split pieces dropped (the house
+    tokenization, matching bpe_train's spec)."""
+    merges = [(str(lt), str(rt)) for lt, rt in merges]
+    ranks = {p: i for i, p in enumerate(merges)}
+    # the memo key is the merge table itself (tiny): a hash would
+    # risk a silent cross-table collision poisoning the counts
+    fp = tuple(merges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).combine_chunks()
+        valid = text.is_valid().to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        flat = pc.list_flatten(words)
+        per_doc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(per_doc)), per_doc)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+        enc = flat.dictionary_encode()
+        memo = _BPE_ENC_MEMO.setdefault(fp, {})
+        lens = np.fromiter(
+            (_bpe_encode_len(w, ranks, merges, memo)
+             for w in enc.dictionary.to_pylist()),
+            np.int64, len(enc.dictionary))
+        ntok = np.zeros(len(per_doc), np.int64)
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(ntok, doc_idx, lens[inv])
+        mask = pa.array(valid)
+        ids = batch.column(id_col).combine_chunks().filter(mask)
+        return pa.table({id_col: ids,
+                         "n_tokens": pa.array(ntok[valid])})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _iter_driver_tables(ds: ray.data.Dataset):
     """Collect a SMALL dataset's blocks on the driver through the
     schema-probe-safe block-ref path (functions/parts.arrow_block_refs

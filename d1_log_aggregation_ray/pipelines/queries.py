@@ -529,6 +529,28 @@ def q_bpe_vocab(sf_dir: str):
     return bpe_train(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLY: per-doc token counts under the corpus-trained
+    BPE merge table (ops/text.bpe_encode_counts) — the pricing step
+    every packing/budgeting pipeline runs after training.  The merge
+    table is BOUNDED (<= 60 rows: the bpe_train contract), so the
+    driver take_all is a constant, and the encode pass is MAP-ONLY
+    with the table riding the task closure.  Deterministic at any
+    parallelism (per-word encode, per-doc scatter-add) but the
+    trained table is iterative -> pinned golden generated from the
+    independent Sennrich-formulation reference
+    (tests/bpe_reference.py, cross-checked at pin time)."""
+    from ..ops.text import bpe_encode_counts, bpe_train
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    rules = bpe_train(docs)  # driver-side bounded pa.Table
+    if hasattr(rules, "take_all"):  # tolerate a Dataset-returning impl
+        rules = pa.Table.from_pylist(rules.take_all())
+    order = pc.sort_indices(rules.column("rank"))
+    merges = list(zip(rules.column("left").take(order).to_pylist(),
+                      rules.column("right").take(order).to_pylist()))
+    return bpe_encode_counts(docs, merges)
+
+
 #: decontamination operating point: 8-gram overlap vs a 10% hash-split
 #: benchmark slice (in production the benchmark is an explicit eval
 #: suite; the deterministic split keeps the sandbox self-contained)
@@ -4413,6 +4435,7 @@ RAY_QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "vocab_df": q_vocab_df,
     "bpe_vocab": q_bpe_vocab,
+    "bpe_encode": q_bpe_encode,
     "lm_score": q_lm_score,
     "cluster_sample": q_cluster_sample,
     "compress_ratio": q_compress_ratio,

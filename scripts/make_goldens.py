@@ -153,6 +153,29 @@ def main() -> None:
                           "rows": sorted([r[c] for c in cols]
                                          for r in rows)}
             print(f"{sf} {q}: {len(rows)} pinned rows")
+        # bpe_encode pin: generated from the INDEPENDENT pure-python
+        # Sennrich-formulation reference (tests/bpe_reference.py —
+        # retrain via recount-from-scratch, encode via rank-order
+        # rule application) and cross-checked exactly vs the engine.
+        import pyarrow.parquet as _pq_enc
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from bpe_reference import ref_bpe_merges, ref_encode_counts
+        _dt = _pq_enc.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        _dids = _dt.column("doc_id").to_pylist()
+        _texts = _dt.column("text").to_pylist()
+        _rules = [(lt, rt) for _, lt, rt, _ in ref_bpe_merges(_texts)]
+        enc_ref = {int(i): int(n) for i, n in
+                   ref_encode_counts(_dids, _texts, _rules).items()}
+        enc_eng = {r["doc_id"]: r["n_tokens"] for r in
+                   RAY_QUERIES["bpe_encode"](sf_dir).take_all()}
+        if enc_eng != enc_ref:
+            raise AssertionError(f"bpe_encode engine != reference at {sf}")
+        out[sf]["bpe_encode"] = {
+            "columns": ["doc_id", "n_tokens"],
+            "rows": sorted([i, n] for i, n in enc_ref.items())}
+        print(f"{sf} bpe_encode: {len(enc_ref)} pinned rows")
         # kmeans pin: generated from the independent reference and
         # cross-checked against the engine so a divergence fails
         # loudly at pin time instead of shipping a wrong golden.

@@ -89,6 +89,52 @@ def test_bpe_matches_independent_reference():
     assert len(got) > 10  # the corpus is rich enough to be a real test
 
 
+def test_bpe_encode_matches_independent_reference():
+    """Engine encode (GPT-2 min-rank loop, Arrow flatten + memo +
+    scatter-add) vs the independent Sennrich one-pass-per-rule
+    reference (tests/bpe_reference.py), rules from the independent
+    trainer — nulls excluded, empty/whitespace texts count 0."""
+    from bpe_reference import ref_bpe_merges, ref_encode_counts
+
+    from d1_log_aggregation_ray.ops.text import bpe_encode_counts
+    rng = np.random.default_rng(17)
+    vocab = ["".join(rng.choice(list("abcdefgh"),
+                                size=rng.integers(3, 9)))
+             for _ in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(200)]
+    texts += [None, "", "   ", "zq"]  # nulls / empties / untrained word
+    rules = [(lt, rt) for _, lt, rt, _ in ref_bpe_merges(texts)]
+    assert len(rules) > 10
+    want = ref_encode_counts(range(len(texts)), texts, rules)
+    out = bpe_encode_counts(_ds(texts), rules).take_all()
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert got == want
+    assert len(texts) - 1 == len(got)  # only the null row dropped
+    # partition-count independence
+    ds7 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(7)
+    got7 = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode_counts(ds7, rules).take_all()}
+    assert got7 == want
+
+
+def test_bpe_encode_string_ids_and_empty_rules():
+    from d1_log_aggregation_ray.ops.text import bpe_encode_counts
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "text": pa.array(["low lower", "low"])}))
+    # no rules -> character counts per word, summed per doc
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode_counts(ds, []).take_all()}
+    assert got == {"a": 8, "b": 3}
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode_counts(
+               ds, [("l", "o"), ("lo", "w")]).take_all()}
+    assert got == {"a": 1 + 3, "b": 1}
+
+
 def test_bpe_parallelism_independent_and_max_words():
     texts = ["lo lo lo lower lowest", "lo lower lowest west west"] * 40
     a = _rows(bpe_train(_ds(texts)))
