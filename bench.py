@@ -153,7 +153,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # embedding-space benchmark decontamination
                      "semantic_decontam",
                      # BPE merge-rule induction (tokenizer training)
-                     "bpe_vocab",
+                     # + tokenizer apply (per-doc token counts)
+                     "bpe_vocab", "bpe_encode",
                      # CCNet-style bigram-LM quality scoring
                      "lm_score",
                      # cluster-balanced sampling (topic rebalancing)
