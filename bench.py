@@ -201,7 +201,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # sparse-signal forward fill (LOCF imputation)
                      "locf_fill",
                      # grouped percentile clipping
-                     "winsorize"]:
+                     "winsorize",
+                     # per-key Pearson correlation (pure combiner)
+                     "price_qty_corr"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

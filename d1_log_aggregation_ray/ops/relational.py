@@ -576,6 +576,98 @@ def zscore_per_key(ds: ray.data.Dataset, key: str, val_col: str,
         scan, batch_format="pyarrow")
 
 
+def grouped_corr(ds: ray.data.Dataset, key: str, x_col: str,
+                 y_col: str, out_col: str = "corr") -> ray.data.Dataset:
+    """Per-key Pearson correlation of two numeric columns — the
+    feature-screening / drift-detection aggregate (does x track y
+    within each group?).
+
+    Scale shape: PURE COMBINER.  Every batch segment-reduces to at
+    most uniques-per-block (key, n, sx, sy, sxx, syy, sxy) partial
+    rows — only those cross the hash(key) exchange, never the input
+    rows — and each partition merges partials per key with one
+    sort+reduceat pass.  Keys are type-generic (_seg_keys: int
+    identity / md5-low64 for strings) and the ORIGINAL key values are
+    carried through and emitted (never the hash encoding).
+
+    Degenerate groups (n < 2, or zero variance on either side) are
+    dropped, matching the oracle's WHERE guards.  Float alignment:
+    the finish formula evaluates in the SQL oracle's exact
+    association order — cov = sxy - sx*sy/n, vx = sxx - sx*sx/n,
+    vy = syy - sy*sy/n, corr = cov / sqrt(vx * vy) — then rounds
+    half-away to 6 decimals, absorbing partial-sum-order ulps."""
+    P = _asof_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        korig = batch.column(key)
+        if isinstance(korig, pa.ChunkedArray):
+            korig = korig.combine_chunks()
+        k = _seg_keys(korig)
+        x = batch.column(x_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.argsort(k, kind="stable")
+        ks, xs, ys = k[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.array([], np.int64)
+        seg = lambda a: (np.add.reduceat(a, starts) if len(starts)
+                         else np.array([], np.float64))
+        return pa.table({
+            "_part": pa.array(_key_parts(ks[starts], P)
+                              if len(starts)
+                              else np.array([], np.int64)),
+            "k": pa.array(ks[starts]),
+            "key_orig": korig.take(pa.array(order[starts],
+                                            pa.int64())),
+            "n": pa.array(np.diff(np.r_[starts, len(ks)])
+                          .astype(np.int64)),
+            "sx": pa.array(seg(xs)), "sy": pa.array(seg(ys)),
+            "sxx": pa.array(seg(xs * xs)),
+            "syy": pa.array(seg(ys * ys)),
+            "sxy": pa.array(seg(xs * ys))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    _EMPTY = pa.table({key: pa.array([], key_type),
+                       out_col: pa.array([], pa.float64())})
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "k" not in group.schema.names:
+            return _EMPTY
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        col = lambda c: group.column(c).to_numpy(
+            zero_copy_only=False)[order]
+        n = np.add.reduceat(col("n"), starts)
+        sx = np.add.reduceat(col("sx"), starts)
+        sy = np.add.reduceat(col("sy"), starts)
+        sxx = np.add.reduceat(col("sxx"), starts)
+        syy = np.add.reduceat(col("syy"), starts)
+        sxy = np.add.reduceat(col("sxy"), starts)
+        # EXACT oracle association order (see docstring)
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        ok = (n >= 2) & (vx > 0) & (vy > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = cov / np.sqrt(np.where(ok, vx * vy, 1.0))
+        # duckdb ROUND: half away from zero, both signs
+        r = np.where(r >= 0, np.floor(r * 1e6 + 0.5),
+                     -np.floor(-r * 1e6 + 0.5)) / 1e6
+        keys = group.column("key_orig").combine_chunks().take(
+            pa.array(order[starts][ok], pa.int64()))
+        return pa.table({key: keys,
+                         out_col: pa.array(r[ok], pa.float64())})
+
+    return partials.groupby("_part").map_groups(
+        scan, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds: ray.data.Dataset, key_col: str, val_col: str,
                       qs: list[float],
                       value_type: pa.DataType = pa.int64()

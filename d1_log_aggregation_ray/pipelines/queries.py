@@ -1519,6 +1519,21 @@ def q_zscore_events(sf_dir: str):
                           id_col="event_id")
 
 
+def q_price_qty_corr(sf_dir: str):
+    """Per-part Pearson correlation of quantity vs extended price —
+    the grouped feature-screening aggregate (ops/relational.
+    grouped_corr).  PURE COMBINER at corpus key cardinality: only
+    per-block (key, moments) partial rows cross the one hash
+    exchange; the finish formula runs once per group in the oracle's
+    exact association order and rounds half-away to 6 decimals."""
+    from ..ops.relational import grouped_corr
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, key="l_partkey", x_col="l_quantity",
+                        y_col="l_extendedprice", out_col="corr_qp")
+
+
 def q_winsorize(sf_dir: str):
     """Grouped percentile clipping (winsorization): every event value
     clipped to its event_type's [p05, p95] — the outlier-robust
@@ -3877,6 +3892,22 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    WHERE o_custkey IS NOT NULL
                      AND o_orderdate >= TIMESTAMP '{_LAPSED_CUT}')""",
 
+        "price_qty_corr": """
+            WITH m AS (
+              SELECT l_partkey, count(*) AS n,
+                     SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                     SUM(l_quantity * l_quantity) AS sxx,
+                     SUM(l_extendedprice * l_extendedprice) AS syy,
+                     SUM(l_quantity * l_extendedprice) AS sxy
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   ROUND((sxy - sx * sy / n)
+                         / SQRT((sxx - sx * sx / n)
+                                * (syy - sy * sy / n)), 6) AS corr_qp
+            FROM m
+            WHERE n >= 2 AND (sxx - sx * sx / n) > 0
+                  AND (syy - sy * sy / n) > 0""",
         "zscore_events": """
             WITH m AS (
               SELECT user_id, count(*) AS n, SUM(value) AS s,
@@ -4494,6 +4525,7 @@ RAY_QUERIES = {
     "snapshot_merge": q_snapshot_merge,
     "cust_no_orders": q_cust_no_orders,
     "zscore_events": q_zscore_events,
+    "price_qty_corr": q_price_qty_corr,
     "window_distinct": q_window_distinct,
     "event_seq": q_event_seq,
     "sft_pairs": q_sft_pairs,

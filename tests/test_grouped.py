@@ -148,3 +148,34 @@ def test_percent_rank_tie_and_singleton_semantics():
     assert got == ref
     # all three identical values in group b share rank 1 -> pct 0.0
     assert got[5] == got[6] == got[7] == 0.0
+
+
+def test_grouped_corr_matches_numpy_and_guards():
+    """grouped_corr vs np.corrcoef per key; degenerate groups (n=1,
+    zero variance either side) dropped; string keys emit ORIGINAL
+    key values; partition-count independent."""
+    from d1_log_aggregation_ray.ops.relational import grouped_corr
+    rng = np.random.default_rng(3)
+    keys = [f"u{int(i)}" for i in rng.integers(0, 40, 3000)]
+    x = rng.normal(10, 3, 3000)
+    y = 0.6 * x + rng.normal(0, 2, 3000)
+    # degenerate rows: singleton key, zero-variance-x key
+    keys += ["solo", "flatx", "flatx", "flatx"]
+    x = np.r_[x, 1.0, 5.0, 5.0, 5.0]
+    y = np.r_[y, 2.0, 1.0, 2.0, 3.0]
+    t = pa.table({"k": pa.array(keys), "x": pa.array(x),
+                  "y": pa.array(y)})
+    got = {r["k"]: r["corr"] for r in grouped_corr(
+        ray.data.from_arrow(t), "k", "x", "y").take_all()}
+    assert "solo" not in got and "flatx" not in got
+    assert set(got) == {f"u{i}" for i in range(40)}
+    df = pd.DataFrame({"k": keys, "x": x, "y": y})
+    for k, g in df.groupby("k"):
+        if k in ("solo", "flatx"):
+            continue
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert math.isclose(got[k], want, abs_tol=2e-6), (k, got[k], want)
+    got7 = {r["k"]: r["corr"] for r in grouped_corr(
+        ray.data.from_arrow(t).repartition(7), "k", "x", "y")
+        .take_all()}
+    assert got7 == got
