@@ -190,6 +190,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "embedding_outliers",
                      # row-producing large x large equi join
                      "order_lines",
+                     # skew-aware hybrid join (hot-key broadcast +
+                     # cold-key co-partition)
+                     "order_segments",
                      # full-scan group report (TPC-H Q1 analog)
                      "pricing_summary",
                      # six-table star join (TPC-H Q5 analog)

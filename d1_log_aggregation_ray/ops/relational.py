@@ -1152,3 +1152,228 @@ def value_deltas(ds: ray.data.Dataset, key: str, ts_col: str,
         add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("part").map_groups(partition_scan,
                                             batch_format="pyarrow")
+
+
+def detect_hot_keys(ds: ray.data.Dataset, key: str,
+                    hot_min_rows: int = 100_000,
+                    top_m: int = 64) -> np.ndarray:
+    """Sampled heavy-hitter detection for skew-aware joins: per-block
+    exact top-M key counts (a combiner — a globally hot key is locally
+    frequent in nearly every block, so block-level top-M partials
+    cannot miss it) merged on the driver into the set of keys whose
+    observed count reaches `hot_min_rows`.
+
+    Returns the hot keys in _seg_keys space (int64; identity for
+    integer keys, md5 low-64 for strings), sorted.  UNDER-estimation is
+    safe by construction: a key the partials miss simply rides the
+    co-partition branch of skew_join_rows.  The pass reads ONLY the key
+    column (prune at the read); at corpus scale it can be replaced by
+    table statistics without touching the join itself."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.sort(_seg_keys(batch.column(key)))
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.array([], np.int64)
+        counts = np.diff(np.r_[starts, len(u)])
+        if len(starts) > top_m:
+            sel = np.argpartition(counts, -top_m)[-top_m:]
+            starts, counts = starts[sel], counts[sel]
+        return pa.table({"_k": pa.array(u[starts], pa.int64()),
+                         "_n": pa.array(counts, pa.int64())})
+
+    parts = [t for t in ray.get(arrow_block_refs(
+        ds.select_columns([key]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)))
+        if t.num_rows]
+    if not parts:
+        return np.array([], dtype=np.int64)
+    t = pa.concat_tables(parts)
+    k = t.column("_k").to_numpy(zero_copy_only=False)
+    n = t.column("_n").to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    k, n = k[order], n[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    tot = np.add.reduceat(n, starts)
+    ku = k[starts]
+    return np.sort(ku[tot >= hot_min_rows])
+
+
+def skew_join_rows(left: ray.data.Dataset, right: ray.data.Dataset,
+                   key_l: str, key_r: str,
+                   carry_l: list[str], carry_r: list[str],
+                   hot_min_rows: int = 100_000,
+                   hot_keys: np.ndarray | None = None) -> ray.data.Dataset:
+    """Skew-aware INNER equi join producing one row per matched pair
+    (columns: key_l + carry_l + carry_r).
+
+    The classic hot-key problem: a co-partition join sends every row
+    of a hot key to ONE partition, so a key holding 1% of a 100 TB
+    fact table serializes 1 TB onto a single task.  This operator
+    splits the plan by observed key frequency:
+
+      hot keys  -> the (few) left rows for those keys are collected
+                   and broadcast once (ray.put); right rows join
+                   map-side inside map_batches with NO shuffle, so a
+                   hot key's rows stay spread across all input blocks.
+      cold keys -> the standard union co-partition exchange keyed
+                   hash(key) % P with a vectorized expansion scan per
+                   partition (the order_lines kernel).
+
+    Assumptions (documented per the SURVEY custom-operator rule): the
+    LEFT side is the dimension-like side — its hot-key row subset must
+    fit in the object store (rows_per_hot_key x n_hot_keys); integer
+    keys match exactly, string keys via md5-64 (collision ~2^-64,
+    house-accepted).  NULL keys never match (SQL inner-join
+    semantics).  With no hot keys detected the plan degrades to the
+    pure co-partition join at zero extra cost beyond the detection
+    pass (key column only)."""
+    from ..functions.parts import hash_parts, key_parts
+
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(right, key_r, hot_min_rows=hot_min_rows)
+    hot_keys = np.asarray(hot_keys, dtype=np.int64)
+
+    lt = left.schema()
+    rt = right.schema()
+    l_types = {n: t for n, t in zip(lt.names, lt.types)}
+    r_types = {n: t for n, t in zip(rt.names, rt.types)}
+    key_type = l_types[key_l]
+    out_schema = pa.schema(
+        [(key_l, key_type)]
+        + [(c, l_types[c]) for c in carry_l]
+        + [(c, r_types[c]) for c in carry_r])
+
+    def _valid_keys(batch: pa.Table, key: str) -> pa.Table:
+        col = batch.column(key)
+        if col.null_count:
+            batch = batch.filter(col.combine_chunks().is_valid())
+        return batch
+
+    # ---- hot branch: broadcast the left rows of hot keys ----------
+    hot_side = None
+    if hot_keys.size:
+        def left_hot(batch: pa.Table) -> pa.Table:
+            batch = _valid_keys(batch, key_l)
+            u = _seg_keys(batch.column(key_l))
+            pos = np.searchsorted(hot_keys, u)
+            pos = np.minimum(pos, hot_keys.size - 1)
+            return batch.filter(pa.array(hot_keys[pos] == u))
+
+        lparts = [t for t in ray.get(arrow_block_refs(
+            left.map_batches(left_hot, batch_format="pyarrow",
+                             zero_copy_batch=True))) if t.num_rows]
+        if lparts:
+            lhot = pa.concat_tables(lparts).combine_chunks()
+            lu = _seg_keys(lhot.column(key_l))
+            lorder = np.argsort(lu, kind="stable")
+            lhot = lhot.take(pa.array(lorder))
+            hot_side = ray.put((np.ascontiguousarray(lu[lorder]),
+                                lhot.select([key_l] + carry_l)))
+
+    def right_hot_join(batch: pa.Table, *, side_ref) -> pa.Table:
+        lkeys, ltab = ray.get(side_ref) if not isinstance(
+            side_ref, tuple) else side_ref
+        batch = _valid_keys(batch, key_r)
+        u = _seg_keys(batch.column(key_r))
+        lo = np.searchsorted(lkeys, u, side="left")
+        hi = np.searchsorted(lkeys, u, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return out_schema.empty_table()
+        lo, cnt = lo[m], cnt[m]
+        # expansion: left indices are ranges [lo, lo+cnt) per right row
+        l_idx = np.repeat(lo + cnt - np.cumsum(cnt), cnt) \
+            + np.arange(int(cnt.sum()))
+        r_idx = np.repeat(np.flatnonzero(m), cnt)
+        lsel = ltab.take(pa.array(l_idx))
+        rsel = batch.select(carry_r).take(pa.array(r_idx))
+        cols = {key_l: lsel.column(key_l)}
+        for c in carry_l:
+            cols[c] = lsel.column(c)
+        for c in carry_r:
+            cols[c] = rsel.column(c)
+        return pa.table(cols).cast(out_schema)
+
+    # ---- cold branch: union co-partition expansion join ------------
+    P = hash_parts()
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        batch = _valid_keys(batch, key_l)
+        u = _seg_keys(batch.column(key_l))
+        if hot_keys.size:
+            pos = np.minimum(np.searchsorted(hot_keys, u),
+                             hot_keys.size - 1)
+            cold = hot_keys[pos] != u
+            batch, u = batch.filter(pa.array(cold)), u[cold]
+        cols = {"_part": pa.array(key_parts(u, P)), "_u": pa.array(u),
+                "_side": pa.array(np.zeros(len(u), np.int8)),
+                key_l: batch.column(key_l)}
+        for c in carry_l:
+            cols[c] = batch.column(c)
+        for c in carry_r:
+            cols[c] = pa.nulls(len(u), r_types[c])
+        return pa.table(cols)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        batch = _valid_keys(batch, key_r)
+        u = _seg_keys(batch.column(key_r))
+        if hot_keys.size:
+            pos = np.minimum(np.searchsorted(hot_keys, u),
+                             hot_keys.size - 1)
+            cold = hot_keys[pos] != u
+            batch, u = batch.filter(pa.array(cold)), u[cold]
+        cols = {"_part": pa.array(key_parts(u, P)), "_u": pa.array(u),
+                "_side": pa.array(np.ones(len(u), np.int8)),
+                key_l: pa.nulls(len(u), key_type)}
+        for c in carry_l:
+            cols[c] = pa.nulls(len(u), l_types[c])
+        for c in carry_r:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def join_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_side" not in group.column_names:
+            return out_schema.empty_table()
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        u = group.column("_u").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        ltab = group.filter(pa.array(lmask))
+        lu = u[lmask]
+        if ltab.num_rows == 0:
+            return out_schema.empty_table()
+        lorder = np.argsort(lu, kind="stable")
+        ltab, lu = ltab.take(pa.array(lorder)), lu[lorder]
+        ru = u[~lmask]
+        rtab = group.filter(pa.array(~lmask))
+        lo = np.searchsorted(lu, ru, side="left")
+        hi = np.searchsorted(lu, ru, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return out_schema.empty_table()
+        lo, cnt = lo[m], cnt[m]
+        l_idx = np.repeat(lo + cnt - np.cumsum(cnt), cnt) \
+            + np.arange(int(cnt.sum()))
+        r_idx = np.repeat(np.flatnonzero(m), cnt)
+        lsel = ltab.take(pa.array(l_idx))
+        rsel = rtab.take(pa.array(r_idx))
+        cols = {key_l: lsel.column(key_l)}
+        for c in carry_l:
+            cols[c] = lsel.column(c)
+        for c in carry_r:
+            cols[c] = rsel.column(c)
+        return pa.table(cols).cast(out_schema)
+
+    lcold = left.map_batches(left_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    rcold = right.map_batches(right_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cold = lcold.union(rcold).groupby("_part").map_groups(
+        join_scan, batch_format="pyarrow")
+    if hot_side is None:
+        return cold
+    hot = right.map_batches(right_hot_join, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"side_ref": hot_side})
+    return cold.union(hot)

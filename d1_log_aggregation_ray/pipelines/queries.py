@@ -3124,6 +3124,30 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
     return out
 
 
+def q_order_segments(sf_dir: str):
+    """Skew-aware large x large INNER join (ops/relational.
+    skew_join_rows): every order tagged with its customer's market
+    segment.  The plan splits by OBSERVED key frequency — a sampled
+    heavy-hitter pass (per-block top-M combiner over the fact side's
+    key column only) picks hot customers whose dimension rows are
+    broadcast once (ray.put) and joined map-side with NO shuffle,
+    while cold keys ride the standard union co-partition exchange.
+    At 100 TB this is the hot-key lever: a customer holding 1% of the
+    fact table never serializes onto one partition task.  Both
+    branches are live at every sf (hot_min_rows=15 vs ~10 orders per
+    customer median)."""
+    from ..ops.relational import skew_join_rows
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return skew_join_rows(cust, orders, "c_custkey", "o_custkey",
+                          ["c_mktsegment"], ["o_orderkey", "o_totalprice"],
+                          hot_min_rows=15)
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -3892,6 +3916,12 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    WHERE o_custkey IS NOT NULL
                      AND o_orderdate >= TIMESTAMP '{_LAPSED_CUT}')""",
 
+        "order_segments": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   o.o_orderkey, o.o_totalprice
+            FROM customer c JOIN orders o
+                 ON o.o_custkey = c.c_custkey""",
+
         "price_qty_corr": """
             WITH m AS (
               SELECT l_partkey, count(*) AS n,
@@ -4564,6 +4594,7 @@ RAY_QUERIES = {
     "order_fill": q_order_fill,
     "order_fill_outer": q_order_fill_outer,
     "order_lines": q_order_lines,
+    "order_segments": q_order_segments,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
