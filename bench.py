@@ -178,7 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "tool_trigrams", "tool_paths",
                      "assistant_templates",
                      # rolling window sum/mean + LAG deltas per key
-                     "rolling_window", "value_deltas",
+                     # + exponential decay feature (exact recursion)
+                     "rolling_window", "value_deltas", "ewma_value",
                      # large x large LEFT OUTER join (null fill)
                      # + its FULL OUTER completion, and the per-user
                      # event-type pivot feature vectors

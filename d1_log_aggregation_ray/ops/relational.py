@@ -1377,3 +1377,74 @@ def skew_join_rows(left: ray.data.Dataset, right: ray.data.Dataset,
                             zero_copy_batch=True,
                             fn_kwargs={"side_ref": hot_side})
     return cold.union(hot)
+
+
+def grouped_ewma(ds: ray.data.Dataset, key: str, ts_col: str,
+                 val_col: str, id_col: str = "event_id",
+                 ) -> ray.data.Dataset:
+    """Per-key exponential decay feature (EWMA, alpha=1/4) — the
+    streaming "recent behavior" signal feature stores compute per
+    entity: y_1 = cents_1; y_t = (cents_t + 3 * y_{t-1}) // 4 over
+    the key's events ordered by (ts, id).
+
+    EXACT int64 fixed-point recursion (floor(val*100) cents first), so
+    the result hashes identically to the oracle's recursive-CTE
+    formulation; values must be nonnegative for the floor-division vs
+    trunc-division agreement (DuckDB `//` truncates, numpy floors —
+    equal on nonnegatives; asserted per partition).
+
+    Shape: ONE hash exchange on the key, then a rank-synchronous
+    vectorized recursion per partition — the loop runs max-events-
+    per-key times (bounded, ~100 here), each step updating EVERY key's
+    rank-k event at once; never a per-row python loop.  NULL key / ts
+    / value rows are dropped (mirrored by the oracle)."""
+    P = _asof_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(
+            batch.column(val_col).combine_chunks().is_valid(),
+            batch.column(key).combine_chunks().is_valid()),
+            batch.column(ts_col).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = _seg_keys(batch.column(key))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_u": pa.array(u),
+            "_ts": batch.column(ts_col).combine_chunks().cast(pa.int64()),
+            "_cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            "_part": pa.array(_key_parts(u, P))})
+
+    empty = pa.schema([(id_col, pa.int64()), ("ewma_cents", pa.int64())])
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return empty.empty_table()
+        ids = group.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = group.column("_u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("_ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = group.column("_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        assert cents.min() >= 0, \
+            "grouped_ewma requires nonnegative values (floor==trunc)"
+        order = np.lexsort((ids, ts, u))
+        us, cs = u[order], cents[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        rank = np.arange(len(us)) - starts[seg_id]
+        y = cs.copy()
+        for k in range(1, int(rank.max()) + 1 if len(us) else 0):
+            p = np.flatnonzero(rank == k)
+            y[p] = (cs[p] + 3 * y[p - 1]) // 4
+        return pa.table({id_col: pa.array(ids[order]),
+                         "ewma_cents": pa.array(y, pa.int64())})
+
+    parts = ds.select_columns([id_col, key, ts_col, val_col]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("_part").map_groups(partition_scan,
+                                             batch_format="pyarrow")

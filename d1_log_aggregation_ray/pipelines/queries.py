@@ -3148,6 +3148,18 @@ def q_order_segments(sf_dir: str):
                           hot_min_rows=15)
 
 
+def q_ewma_value(sf_dir: str):
+    """Per-user exponential decay feature (EWMA alpha=1/4) over the
+    event stream — exact int64 fixed-point recursion, one hash
+    exchange + a rank-synchronous vectorized recursion per partition
+    (ops/relational.grouped_ewma); the oracle expresses the identical
+    recursion as a recursive CTE."""
+    from ..ops.relational import grouped_ewma
+    return grouped_ewma(_events(sf_dir,
+                                ["event_id", "user_id", "ts", "value"]),
+                        key="user_id", ts_col="ts", val_col="value")
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -3916,6 +3928,26 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    WHERE o_custkey IS NOT NULL
                      AND o_orderdate >= TIMESTAMP '{_LAPSED_CUT}')""",
 
+        "ewma_value": """
+            WITH RECURSIVE ranked AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+                    AND ts IS NOT NULL
+            ), s AS (
+              SELECT event_id, user_id, rn, cents AS y
+              FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT r.event_id, r.user_id, r.rn,
+                     (r.cents + 3 * s.y) // 4
+              FROM ranked r JOIN s
+                   ON r.user_id = s.user_id AND r.rn = s.rn + 1
+            )
+            SELECT event_id, y AS ewma_cents FROM s""",
+
         "order_segments": """
             SELECT c.c_custkey, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
@@ -4595,6 +4627,7 @@ RAY_QUERIES = {
     "order_fill_outer": q_order_fill_outer,
     "order_lines": q_order_lines,
     "order_segments": q_order_segments,
+    "ewma_value": q_ewma_value,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

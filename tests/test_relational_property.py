@@ -321,3 +321,26 @@ def test_value_deltas_matches_duckdb(data):
                      CAST(floor(value * 100) AS BIGINT) AS cents
               FROM events WHERE value IS NOT NULL)""").fetchall()))
     assert got == want
+
+
+@given(events)
+@settings(max_examples=40, deadline=None)
+def test_grouped_ewma_matches_python_recursion(data):
+    """grouped_ewma's rank-synchronous vectorized recursion must equal
+    the naive per-row integer recursion on arbitrary tables (ts ties
+    broken by event_id, null user/ts rows dropped)."""
+    from d1_log_aggregation_ray.ops.relational import grouped_ewma
+    t = _table(data)
+    got = {r["event_id"]: r["ewma_cents"] for r in
+           grouped_ewma(ray.data.from_arrow(t), key="user_id",
+                        ts_col="ts", val_col="value").take_all()}
+    rows = [(i, u, s, int(np.floor(v * 100.0)))
+            for i, (u, _, s, v) in enumerate(data)
+            if u is not None and s is not None]
+    rows.sort(key=lambda r: (r[1], r[2], r[0]))
+    want, last_u, y = {}, None, 0
+    for eid, u, _, cents in rows:
+        y = cents if u != last_u else (cents + 3 * y) // 4
+        want[eid] = y
+        last_u = u
+    assert got == want
