@@ -113,6 +113,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # corpus bookkeeping (split/shuffle/stats) + PCA
                      # projection + BM25 ranked retrieval
                      "train_split", "shuffle_shards", "source_stats",
+                     "events_profile",
                      "pca_project", "bm25_topk",
                      # entropy quality signal + budgeted mixture sampler
                      "doc_entropy", "mixture_sample",
@@ -122,7 +123,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "cust_no_orders", "incremental_dedup",
                      "strip_dup_spans", "weighted_sample",
                      # grouped standardization (aggregate-then-rejoin)
-                     "zscore_events", "window_distinct", "event_seq",
+                     "zscore_events", "window_distinct",
+                     "sliding_distinct", "event_seq",
                      "organize_embeddings",
                      "media_summary",
                      # per-conv bucket scans: SFT pair extraction,

@@ -1448,3 +1448,50 @@ def grouped_ewma(ds: ray.data.Dataset, key: str, ts_col: str,
         add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("_part").map_groups(partition_scan,
                                              batch_format="pyarrow")
+
+
+def sliding_distinct(ds: ray.data.Dataset, key: str, ts_col: str,
+                     window_s: int = 3600,
+                     slide_s: int = 900) -> ray.data.Dataset:
+    """Distinct keys per SLIDING window — the sliding-DAU metric.
+    Unlike sliding_counts, distinct cannot pre-aggregate across
+    overlapping windows, so the combiner dedups (window, key) PAIRS
+    per batch (each event expands into window_s/slide_s windows via
+    the vectorized repeat+offset kernel, then collapses to unique
+    pairs before the exchange); distinct_count finishes per window.
+    Null ts / null key rows are dropped (COUNT(DISTINCT ...) SQL
+    semantics)."""
+    win_us = window_s * 1_000_000
+    slide_us = slide_s * 1_000_000
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(ts_col).combine_chunks().is_valid())
+        n = batch.num_rows
+        ts = batch.column(ts_col).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lo = (ts - win_us) // slide_us + 1
+        hi = ts // slide_us
+        counts = (hi - lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1],
+                                                             counts)
+        w = (np.repeat(lo, counts) + intra) * slide_us
+        t = pa.table({"window_start": pa.array(w),
+                      key: batch.column(key).take(
+                          pa.array(np.repeat(np.arange(n), counts)))})
+        return t.group_by(["window_start", key]).aggregate([])
+
+    pairs = ds.select_columns([key, ts_col]).map_batches(
+        expand_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    counts = distinct_count(pairs, key="window_start", distinct_col=key)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start").cast(
+                pa.timestamp("us")),
+            "n_distinct": batch.column("n_distinct")})
+
+    return counts.map_batches(finish, batch_format="pyarrow")

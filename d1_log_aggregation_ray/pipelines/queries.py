@@ -3160,6 +3160,28 @@ def q_ewma_value(sf_dir: str):
                         key="user_id", ts_col="ts", val_col="value")
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Distinct users per sliding 1-hour window every 15 min (the
+    sliding-DAU metric).  Distinct cannot pre-aggregate across
+    overlapping windows, so the combiner dedups expanded (window,
+    user) PAIRS per batch before the one hash exchange
+    (ops/relational.sliding_distinct)."""
+    from ..ops.relational import sliding_distinct
+    return sliding_distinct(_events(sf_dir, ["user_id", "ts"]),
+                            key="user_id", ts_col="ts",
+                            window_s=3600, slide_s=900)
+
+
+def q_events_profile(sf_dir: str):
+    """Single-pass table audit (ops/profile.profile_columns): per
+    events column — rows, nulls, numeric/timestamp min-max — with a
+    bytes-sized per-block combiner; partial volume is n_columns x
+    n_blocks, never rows."""
+    from ..ops.profile import profile_columns
+    return profile_columns(ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet")))
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4262,6 +4284,41 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "events_profile": """
+            SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(event_id) AS n_null,
+                   CAST(MIN(event_id) AS DOUBLE) AS min_v,
+                   CAST(MAX(event_id) AS DOUBLE) AS max_v FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   CAST(MIN(epoch_us(ts)) AS DOUBLE),
+                   CAST(MAX(epoch_us(ts)) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                   COUNT(*) - COUNT(event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   MIN(value), MAX(value) FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events""",
+
+        "sliding_distinct": """
+            SELECT make_timestamp(w * 900000000) AS window_start,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM (SELECT user_id,
+                         UNNEST(range((epoch_us(ts) - 3600000000) // 900000000 + 1,
+                                      epoch_us(ts) // 900000000 + 1)) AS w
+                  FROM events WHERE ts IS NOT NULL)
+            GROUP BY 1""",
+
         "rolling_window": """
             SELECT event_id,
                    CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
@@ -4628,6 +4685,8 @@ RAY_QUERIES = {
     "order_lines": q_order_lines,
     "order_segments": q_order_segments,
     "ewma_value": q_ewma_value,
+    "sliding_distinct": q_sliding_distinct,
+    "events_profile": q_events_profile,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

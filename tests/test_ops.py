@@ -527,3 +527,32 @@ def test_media_decoder_vectorized_fake_path_bit_identical():
     for row, p, k in zip(got, t.column("payload").to_pylist(), kinds):
         want = dec._decode_fake(p, k)
         assert {f: row[f] for f in want} == want, (p, k)
+
+
+def test_profile_columns_nulls_and_empty():
+    """profile_columns: all-null column -> NULL min/max with full null
+    count; timestamp profiled as epoch us; empty dataset -> typed
+    empty table."""
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.profile import profile_columns
+
+    t = pa.table({
+        "a": pa.array([1, None, 3], pa.int64()),
+        "b": pa.array([None, None, None], pa.float64()),
+        "s": pa.array(["x", None, "z"]),
+        "ts": pa.array([1_000_000, 2_000_000, None], pa.timestamp("us")),
+    })
+    prof = profile_columns(ray.data.from_arrow(t).repartition(2))
+    rows = {r["col"]: r for r in prof.to_pylist()}
+    assert rows["a"] == {"col": "a", "n_rows": 3, "n_null": 1,
+                         "min_v": 1.0, "max_v": 3.0}
+    assert rows["b"]["n_null"] == 3 and rows["b"]["min_v"] is None
+    assert rows["s"]["min_v"] is None and rows["s"]["n_null"] == 1
+    assert rows["ts"]["min_v"] == 1e6 and rows["ts"]["max_v"] == 2e6
+
+    empty = profile_columns(ray.data.from_arrow(t.slice(0, 0)))
+    # a 0-row block still profiles its columns (n_rows 0) or collapses
+    # to the typed empty table; both are schema-stable
+    assert empty.schema.names == ["col", "n_rows", "n_null",
+                                  "min_v", "max_v"]
