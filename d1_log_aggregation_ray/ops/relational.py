@@ -1495,3 +1495,80 @@ def sliding_distinct(ds: ray.data.Dataset, key: str, ts_col: str,
             "n_distinct": batch.column("n_distinct")})
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def mad_outliers(ds: ray.data.Dataset, key: str, val_col: str,
+                 id_col: str = "event_id",
+                 k_mad: int = 5) -> ray.data.Dataset:
+    """Per-key robust outlier flags: |x - median| > k_mad * MAD, the
+    median-absolute-deviation screen that survives the heavy tails a
+    mean/stddev z-score does not.
+
+    EXACT int64 fixed-point (floor(val*100) cents; quantile_disc
+    semantics — element at rank max(ceil(n/2)-1, 0) — identical to the
+    oracle's nested quantile_disc CTEs).  Shape: ONE hash exchange on
+    the key; median, deviations, MAD and flags all compute inside the
+    partition scan with two segment lexsorts — a composition that
+    would cost a naive plan two grouped aggregates plus two rejoins.
+    NULL key/value rows are dropped (SQL aggregate semantics)."""
+    P = _asof_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            batch.column(val_col).combine_chunks().is_valid(),
+            batch.column(key).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = _seg_keys(batch.column(key))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_u": pa.array(u),
+            "_cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            "_part": pa.array(_key_parts(u, P))})
+
+    empty = pa.schema([(id_col, pa.int64()), ("is_outlier", pa.int64())])
+
+    def _disc_per_segment(sorted_vals: np.ndarray, starts: np.ndarray,
+                          lens: np.ndarray) -> np.ndarray:
+        # quantile_disc(0.5): 0-based rank ceil(n/2) - 1 per segment
+        rank = np.maximum((lens + 1) // 2 - 1, 0)
+        return sorted_vals[starts + rank]
+
+    def partition_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return empty.empty_table()
+        ids = group.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = group.column("_u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = group.column("_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((cents, u))
+        us, cs = u[order], cents[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        lens = np.diff(np.r_[starts, len(us)])
+        med = _disc_per_segment(cs, starts, lens)
+        # deviations in ORIGINAL row order: map each row to its
+        # segment's median via a sort-free inverse-permutation gather
+        seg_of_row = np.empty(len(us), np.int64)
+        seg_of_row[order] = seg_id
+        dev = np.abs(cents - med[seg_of_row])
+        order2 = np.lexsort((dev, u))
+        ds2, us2 = dev[order2], u[order2]
+        first2 = np.r_[True, us2[1:] != us2[:-1]]
+        starts2 = np.flatnonzero(first2)
+        lens2 = np.diff(np.r_[starts2, len(us2)])
+        mad = _disc_per_segment(ds2, starts2, lens2)
+        seg_of_row2 = np.empty(len(us), np.int64)
+        seg_of_row2[order2] = np.cumsum(first2) - 1
+        flag = (dev > k_mad * mad[seg_of_row2]).astype(np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "is_outlier": pa.array(flag, pa.int64())})
+
+    parts = ds.select_columns([id_col, key, val_col]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("_part").map_groups(partition_scan,
+                                             batch_format="pyarrow")

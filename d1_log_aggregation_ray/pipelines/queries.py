@@ -3182,6 +3182,17 @@ def q_events_profile(sf_dir: str):
         os.path.join(sf_dir, "events.parquet")))
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-user robust outlier flags (|x - median| > 5 * MAD) — the
+    heavy-tail-proof screen upstream of feature pipelines.  ONE hash
+    exchange; median, deviations, MAD and flags all inside the
+    partition scan (ops/relational.mad_outliers); exact int64 cents so
+    the nested quantile_disc oracle hash-matches."""
+    from ..ops.relational import mad_outliers
+    return mad_outliers(_events(sf_dir, ["event_id", "user_id", "value"]),
+                        key="user_id", val_col="value", k_mad=5)
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4284,6 +4295,27 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "mad_outliers": """
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ), med AS (
+              SELECT user_id, quantile_disc(cents, 0.5) AS m
+              FROM c GROUP BY user_id
+            ), dev AS (
+              SELECT c.event_id, c.user_id,
+                     ABS(c.cents - med.m) AS d
+              FROM c JOIN med USING (user_id)
+            ), mad AS (
+              SELECT user_id, quantile_disc(d, 0.5) AS md
+              FROM dev GROUP BY user_id
+            )
+            SELECT dev.event_id,
+                   CAST(dev.d > 5 * mad.md AS BIGINT) AS is_outlier
+            FROM dev JOIN mad USING (user_id)""",
+
         "events_profile": """
             SELECT 'event_id' AS col, COUNT(*) AS n_rows,
                    COUNT(*) - COUNT(event_id) AS n_null,
@@ -4687,6 +4719,7 @@ RAY_QUERIES = {
     "ewma_value": q_ewma_value,
     "sliding_distinct": q_sliding_distinct,
     "events_profile": q_events_profile,
+    "mad_outliers": q_mad_outliers,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

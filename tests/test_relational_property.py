@@ -344,3 +344,36 @@ def test_grouped_ewma_matches_python_recursion(data):
         want[eid] = y
         last_u = u
     assert got == want
+
+
+@given(events)
+@settings(max_examples=40, deadline=None)
+def test_mad_outliers_matches_duckdb(data):
+    """mad_outliers' in-partition median/MAD composition must equal
+    the nested quantile_disc SQL on arbitrary tables (ties, singleton
+    users, null keys/values)."""
+    from d1_log_aggregation_ray.ops.relational import mad_outliers
+    t = _table(data)
+    got = {r["event_id"]: r["is_outlier"] for r in
+           mad_outliers(ray.data.from_arrow(t), key="user_id",
+                        val_col="value", k_mad=5).take_all()}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = {eid: flag for eid, flag in con.execute("""
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), med AS (
+          SELECT user_id, quantile_disc(cents, 0.5) AS m
+          FROM c GROUP BY user_id
+        ), dev AS (
+          SELECT c.event_id, c.user_id, ABS(c.cents - med.m) AS d
+          FROM c JOIN med USING (user_id)
+        ), mad AS (
+          SELECT user_id, quantile_disc(d, 0.5) AS md
+          FROM dev GROUP BY user_id
+        )
+        SELECT dev.event_id, CAST(dev.d > 5 * mad.md AS BIGINT)
+        FROM dev JOIN mad USING (user_id)""").fetchall()}
+    assert got == want
