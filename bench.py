@@ -183,7 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # + exponential decay feature (exact recursion)
                      "rolling_window", "value_deltas", "ewma_value",
                      # robust per-key outlier screen (median + MAD)
-                     "mad_outliers",
+                     # + snapshot drift monitor (histogram terms)
+                     "mad_outliers", "drift_terms",
                      # large x large LEFT OUTER join (null fill)
                      # + its FULL OUTER completion, and the per-user
                      # event-type pivot feature vectors

@@ -1572,3 +1572,87 @@ def mad_outliers(ds: ray.data.Dataset, key: str, val_col: str,
         add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("_part").map_groups(partition_scan,
                                              batch_format="pyarrow")
+
+
+def drift_terms(ds: ray.data.Dataset, key: str, ts_col: str,
+                val_col: str, cut_iso: str,
+                bin_cents: int = 5000) -> ray.data.Dataset:
+    """Distribution-drift detection per key: fixed-bin value histograms
+    of the EARLY (ts < cut) vs LATE (ts >= cut) halves, emitting one
+    per-(key, bin) triangular-discrimination term
+    (p - q)^2 / (p + q) — the data-drift monitor a training pipeline
+    runs between snapshots.  (Triangular discrimination rather than
+    PSI/KL: addition, multiplication and division are IEEE
+    correctly-rounded, so the terms hash-match the SQL oracle exactly;
+    ln is not.)  Per-bin TERMS are emitted, not the per-key sum, so no
+    cross-engine float-association order exists at all.
+
+    Shape: per-batch arrow combiner to (key, half, bin, n) rows — the
+    exchange volume is keys x 2 x bins x blocks, never rows — then one
+    tiny hash exchange on the key; totals and terms compute inside the
+    partition scan.  Keys missing either half are dropped (no
+    reference distribution to compare against)."""
+    cut_us = int(np.datetime64(cut_iso, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(
+            batch.column(val_col).combine_chunks().is_valid(),
+            batch.column(ts_col).combine_chunks().is_valid()),
+            batch.column(key).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        ts = batch.column(ts_col).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        t = pa.table({
+            key: batch.column(key),
+            "late": pa.array((ts >= cut_us).astype(np.int8)),
+            "bin": pa.array(np.floor(cents / float(bin_cents)
+                                     ).astype(np.int64))})
+        agg = t.group_by([key, "late", "bin"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names])
+
+    empty = pa.schema([(key, pa.string()), ("bin", pa.int64()),
+                       ("p_early", pa.float64()),
+                       ("p_late", pa.float64()),
+                       ("drift_term", pa.float64())])
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_part"])
+             .group_by([key, "late", "bin"]).aggregate([("n", "sum")]))
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas()
+        outs = []
+        for k, g in df.groupby(key, sort=True):
+            ne = g[g["late"] == 0].set_index("bin")["n_sum"]
+            nl = g[g["late"] == 1].set_index("bin")["n_sum"]
+            if ne.empty or nl.empty:
+                continue  # no reference half to drift against
+            bins = np.array(sorted(set(ne.index) | set(nl.index)))
+            p = ne.reindex(bins, fill_value=0).to_numpy(
+                dtype=np.float64) / float(ne.sum())
+            q = nl.reindex(bins, fill_value=0).to_numpy(
+                dtype=np.float64) / float(nl.sum())
+            s = p + q
+            term = np.where(s > 0, (p - q) * (p - q) / np.where(
+                s > 0, s, 1.0), 0.0)
+            outs.append(pa.table({
+                key: pa.array([k] * len(bins)),
+                "bin": pa.array(bins, pa.int64()),
+                "p_early": pa.array(p), "p_late": pa.array(q),
+                "drift_term": pa.array(term)}))
+        return pa.concat_tables(outs) if outs else empty.empty_table()
+
+    from ..stages.aggregate import add_part_column
+    parts = (ds.select_columns([key, ts_col, val_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(add_part_column, batch_format="pyarrow",
+                          fn_kwargs={"key": key,
+                                     "n_parts": _asof_parts()}))
+    return parts.groupby("_part").map_groups(scan,
+                                             batch_format="pyarrow")

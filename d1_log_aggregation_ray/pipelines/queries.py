@@ -3193,6 +3193,22 @@ def q_mad_outliers(sf_dir: str):
                         key="user_id", val_col="value", k_mad=5)
 
 
+_DRIFT_CUT = "2024-01-16"
+
+
+def q_drift_terms(sf_dir: str):
+    """Distribution drift per event type between the early and late
+    halves of the stream: fixed-bin value histograms, one
+    triangular-discrimination term per (type, bin)
+    (ops/relational.drift_terms) — the snapshot-to-snapshot data-drift
+    monitor.  Transcendental-free so every float hashes identically
+    to the SQL oracle."""
+    from ..ops.relational import drift_terms
+    return drift_terms(_events(sf_dir, ["event_type", "ts", "value"]),
+                       key="event_type", ts_col="ts", val_col="value",
+                       cut_iso=_DRIFT_CUT, bin_cents=5000)
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4295,6 +4311,42 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "drift_terms": f"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(ts >= TIMESTAMP '{_DRIFT_CUT}' AS INT) AS late,
+                     CAST(FLOOR(FLOOR(value * 100.0) / 5000.0)
+                          AS BIGINT) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+                    AND event_type IS NOT NULL
+            ), n AS (
+              SELECT event_type, late, bin, COUNT(*) AS n
+              FROM c GROUP BY 1, 2, 3
+            ), tot AS (
+              SELECT event_type, late, SUM(n) AS t FROM n GROUP BY 1, 2
+            ), bins AS (
+              SELECT DISTINCT event_type, bin FROM n
+            ), pq AS (
+              SELECT b.event_type, b.bin,
+                     COALESCE(ne.n, 0) / CAST(te.t AS DOUBLE) AS p,
+                     COALESCE(nl.n, 0) / CAST(tl.t AS DOUBLE) AS q
+              FROM bins b
+              JOIN tot te ON te.event_type = b.event_type
+                             AND te.late = 0
+              JOIN tot tl ON tl.event_type = b.event_type
+                             AND tl.late = 1
+              LEFT JOIN n ne ON ne.event_type = b.event_type
+                                AND ne.bin = b.bin AND ne.late = 0
+              LEFT JOIN n nl ON nl.event_type = b.event_type
+                                AND nl.bin = b.bin AND nl.late = 1
+            )
+            SELECT event_type, bin, p AS p_early, q AS p_late,
+                   CASE WHEN p + q > 0
+                        THEN (p - q) * (p - q) / (p + q)
+                        ELSE 0.0 END AS drift_term
+            FROM pq""",
+
         "mad_outliers": """
             WITH c AS (
               SELECT event_id, user_id,
@@ -4720,6 +4772,7 @@ RAY_QUERIES = {
     "sliding_distinct": q_sliding_distinct,
     "events_profile": q_events_profile,
     "mad_outliers": q_mad_outliers,
+    "drift_terms": q_drift_terms,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
