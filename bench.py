@@ -147,7 +147,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # equi+range interval join, sampled quantiles,
                      # tar-shard export, day-2 minhash vs band index
                      "interval_join", "approx_quantiles",
-                     "export_tar", "incremental_minhash",
+                     "export_tar", "sorted_export",
+                     "incremental_minhash",
                      # quality-aware near-dup survivor selection
                      "dedup_keep_best",
                      # temperature-based language rebalancing

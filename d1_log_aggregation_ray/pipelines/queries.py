@@ -3209,6 +3209,28 @@ def q_drift_terms(sf_dir: str):
                        cut_iso=_DRIFT_CUT, bin_cents=5000)
 
 
+#: fixed n_chars cut points for the oracle-mirrored sorted export
+#: (sample-derived bounds are exercised in pytest; explicit bounds
+#: keep the SQL oracle able to reproduce the shard assignment)
+_SORTED_BOUNDS = [150, 250, 350, 450]
+
+
+def q_sorted_export(sf_dir: str):
+    """Range-partitioned sorted parquet export (sources/export_sorted):
+    documents laid out as length-sorted shards — shard i's keys all
+    precede shard i+1's, each shard internally sorted and written
+    atomically in-task.  Returns the manifest minus the tempdir-
+    dependent path column; file-level sortedness is byte-verified in
+    pytest."""
+    import tempfile
+    from ..sources.export_sorted import export_sorted_parquet
+    out = tempfile.mkdtemp(prefix="sorted_export_", dir="/tmp")
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "n_chars"])
+    man = export_sorted_parquet(docs, "n_chars", out,
+                                bounds=_SORTED_BOUNDS)
+    return man.select_columns(["shard_id", "n_rows", "min_v", "max_v"])
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4311,6 +4333,18 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "sorted_export": """
+            SELECT CASE WHEN n_chars < 150 THEN 0
+                        WHEN n_chars < 250 THEN 1
+                        WHEN n_chars < 350 THEN 2
+                        WHEN n_chars < 450 THEN 3
+                        ELSE 4 END AS shard_id,
+                   COUNT(*) AS n_rows,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_v,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_v
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1""",
+
         "drift_terms": f"""
             WITH c AS (
               SELECT event_type,
@@ -4773,6 +4807,7 @@ RAY_QUERIES = {
     "events_profile": q_events_profile,
     "mad_outliers": q_mad_outliers,
     "drift_terms": q_drift_terms,
+    "sorted_export": q_sorted_export,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
