@@ -98,6 +98,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "ngram_decontaminate", "doc_repetition",
                      "length_quantiles", "pii_redact",
                      "dup_ngram_stats", "distinctive_terms",
+                     # cross-source contamination matrix
+                     "source_overlap",
                      # corpus-organization k-means (integer-exact Lloyd)
                      # + training-shard packing (distributed prefix sum)
                      "kmeans_clusters", "pack_shards",

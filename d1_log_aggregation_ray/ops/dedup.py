@@ -1265,3 +1265,97 @@ def incremental_minhash_dedup(new_ds: ray.data.Dataset, index_dir: str,
     marked = band.union(idx).groupby("part").map_groups(
         partition_scan, batch_format="pyarrow")
     return _survivors(marked, id_col)
+
+
+def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
+                   src_col: str = "source", prefix_chars: int = 64
+                   ) -> ray.data.Dataset:
+    """Cross-source contamination matrix: for every source pair, the
+    number of document pairs sharing an identical leading
+    `prefix_chars` characters — the audit that tells a curation run
+    WHICH feeds duplicate each other before deciding what to dedup.
+
+    Never expands doc pairs: the per-batch combiner collapses blocks
+    to (prefix_md5, source, n) rows, one hash exchange on the prefix
+    key co-locates each prefix group, and the pair counts come from
+    the per-source COUNT VECTOR (n_a * n_b across sources, C(n, 2)
+    within one) — a hot prefix with a million copies costs one row
+    per (prefix, source), not 10^12 pairs.  Pairs are oriented
+    source-first (src_a <= src_b), mirroring the oracle's join
+    predicate; md5-64 prefix keys carry the house-accepted ~2^-64
+    collision.  NULL text/source rows are dropped (SQL join
+    semantics)."""
+    from ..functions.hashing import md5_lower64_array
+    from ..stages.aggregate import hash_partition_aggregate
+    P = _num_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch.column(text_col).combine_chunks().is_valid(),
+                       batch.column(src_col).combine_chunks().is_valid())
+        batch = batch.filter(keep)
+        pref = pc.utf8_slice_codeunits(
+            batch.column(text_col).combine_chunks(), 0, prefix_chars)
+        ph = md5_lower64_array(pref).view(np.int64)
+        t = pa.table({"_ph": pa.array(ph),
+                      src_col: batch.column(src_col)})
+        agg = t.group_by(["_ph", src_col]).aggregate([([], "count_all")])
+        agg = agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names])
+        return agg.append_column("_part", pa.array(
+            (agg.column("_ph").to_numpy(zero_copy_only=False)
+             .view(np.uint64) % np.uint64(P)).astype(np.int64)))
+
+    empty = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                       ("cnt", pa.int64())])
+
+    def scan(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_part"])
+             .group_by(["_ph", src_col]).aggregate([("n", "sum")]))
+        if t.num_rows == 0:
+            return empty.empty_table()
+        t = t.sort_by([("_ph", "ascending"), (src_col, "ascending")])
+        ph = t.column("_ph").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False)
+        src = t.column(src_col)
+        first = np.r_[True, ph[1:] != ph[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(ph)])
+        seg_id = np.cumsum(first) - 1
+        rank = np.arange(len(ph)) - starts[seg_id]
+        # cross-source pairs: row i pairs with the (len - 1 - rank)
+        # FOLLOWING rows of its segment (source order = sort order)
+        cnt_follow = (lens[seg_id] - 1 - rank).astype(np.int64)
+        total = int(cnt_follow.sum())
+        outs = []
+        if total:
+            offs = np.zeros(len(ph) + 1, np.int64)
+            np.cumsum(cnt_follow, out=offs[1:])
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                offs[:-1], cnt_follow)
+            li = np.repeat(np.arange(len(ph)), cnt_follow)
+            ri = li + 1 + intra
+            outs.append(pa.table({
+                "src_a": src.take(pa.array(li)),
+                "src_b": src.take(pa.array(ri)),
+                "cnt": pa.array(n[li] * n[ri], pa.int64())}))
+        same = n >= 2
+        if same.any():
+            ns = n[same]
+            outs.append(pa.table({
+                "src_a": src.filter(pa.array(same)),
+                "src_b": src.filter(pa.array(same)),
+                "cnt": pa.array(ns * (ns - 1) // 2, pa.int64())}))
+        if not outs:
+            return empty.empty_table()
+        return pa.concat_tables([o.cast(empty) for o in outs])
+
+    parts = ds.select_columns([text_col, src_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_partition_aggregate(
+        parts.groupby("_part").map_groups(scan, batch_format="pyarrow"),
+        ["src_a", "src_b"], [("cnt", "sum")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "src_a": b.column("src_a"), "src_b": b.column("src_b"),
+            "n_pairs": pc.cast(b.column("cnt_sum"), pa.int64())}),
+        batch_format="pyarrow")

@@ -3231,6 +3231,17 @@ def q_sorted_export(sf_dir: str):
     return man.select_columns(["shard_id", "n_rows", "min_v", "max_v"])
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix (ops/dedup.source_overlap):
+    per source pair, how many document pairs share an identical
+    64-char leading prefix — the which-feeds-duplicate-each-other
+    audit.  Pair counts come from per-(prefix, source) count vectors;
+    doc pairs are never expanded."""
+    from ..ops.dedup import source_overlap
+    return source_overlap(_docs(sf_dir), text_col="text",
+                          src_col="source", prefix_chars=64)
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4333,6 +4344,17 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "source_overlap": """
+            SELECT d1.source AS src_a, d2.source AS src_b,
+                   COUNT(*) AS n_pairs
+            FROM documents d1 JOIN documents d2
+              ON substr(d1.text, 1, 64) = substr(d2.text, 1, 64)
+             AND (d1.source < d2.source
+                  OR (d1.source = d2.source
+                      AND d1.doc_id < d2.doc_id))
+            WHERE d1.text IS NOT NULL AND d1.source IS NOT NULL
+            GROUP BY 1, 2""",
+
         "sorted_export": """
             SELECT CASE WHEN n_chars < 150 THEN 0
                         WHEN n_chars < 250 THEN 1
@@ -4808,6 +4830,7 @@ RAY_QUERIES = {
     "mad_outliers": q_mad_outliers,
     "drift_terms": q_drift_terms,
     "sorted_export": q_sorted_export,
+    "source_overlap": q_source_overlap,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

@@ -644,3 +644,38 @@ def test_semantic_decontam_fixture_gap_exceeds_float_rounding():
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m[lab != 0] @ m[lab == 0].T
         assert float(np.abs(sims - _SEMDECON_T).min()) >= 1e-5
+
+
+def test_source_overlap_planted_counts():
+    """Planted duplicate prefixes: one prefix shared 2x2x1 across
+    three sources plus a 3-copy run inside one source — count vectors,
+    never pair expansion, must give exactly n_a*n_b / C(n,2)."""
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.dedup import source_overlap
+
+    pref_a = "A" * 64
+    pref_b = "B" * 64
+    rows = (
+        [("s1", pref_a + f"tail{i}") for i in range(2)]
+        + [("s2", pref_a + f"x{i}") for i in range(2)]
+        + [("s3", pref_a)]
+        + [("s2", pref_b + f"y{i}") for i in range(3)]
+        + [("s1", "unique text " + str(i)) for i in range(5)]
+        + [(None, pref_a), ("s1", None)]   # dropped rows
+    )
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([s for s, _ in rows]),
+        "text": pa.array([x for _, x in rows]),
+    })
+    got = {(r["src_a"], r["src_b"]): r["n_pairs"]
+           for r in source_overlap(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    assert got == {
+        ("s1", "s2"): 4,   # 2 x 2 on pref_a
+        ("s1", "s3"): 2,   # 2 x 1
+        ("s2", "s3"): 2,
+        ("s1", "s1"): 1,   # C(2,2)=1 within s1 on pref_a
+        ("s2", "s2"): 1 + 3,  # C(2,2) on pref_a + C(3,2) on pref_b
+    }
