@@ -107,3 +107,167 @@ def quantize_digest(ds: ray.data.Dataset, id_col: str = "vec_id",
 
     return ds.map_batches(digest, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the vector-compression half of the
+# standard IVF+PQ recipe for billion-scale ANN.  The dim axis splits
+# into m contiguous subspaces; each learns its own k-code codebook
+# with the SAME integer-exact Lloyd machinery as ops/cluster.py (one
+# task per cached block per pass, all m subspaces' partials computed
+# in that one task; only m x k x d_sub integer rows cross the wire).
+# A 64-dim float vector becomes m uint8 codes — 64x smaller — and
+# queries scan codes with an ADC lookup-table sum (no float math in
+# the hot loop).  Vectors are L2-normalized BEFORE quantization so
+# ADC's integer L2 order equals the cosine order the other ANN ops
+# rank by; all distances are exact int64, ties break to the lowest
+# id, so results are bit-identical at any parallelism (pinned-golden
+# safe).
+# ---------------------------------------------------------------------
+
+from ..functions.parts import arrow_block_refs as _block_refs  # noqa: E402
+
+
+def _unit_quantize(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """L2-normalize rows then fixed-point quantize (round(x * 2^20))."""
+    from .cluster import KMEANS_SCALE
+    col = batch.column(vec_col).combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    m = flat.reshape(batch.num_rows, -1) if batch.num_rows else \
+        np.empty((0, 1), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return np.rint((m / n) * KMEANS_SCALE).astype(np.int64)
+
+
+@ray.remote
+def _pq_part(tbl: pa.Table, cb: np.ndarray, vec_col: str):
+    """One block's Lloyd partials for ALL m subspaces: per subspace
+    (cluster ids, counts, integer sums) — m x k rows total."""
+    from .cluster import _assign
+    if tbl.num_rows == 0:
+        return None
+    q = _unit_quantize(tbl, vec_col)
+    m, k, dsub = cb.shape
+    outs = []
+    for s in range(m):
+        qs = np.ascontiguousarray(q[:, s * dsub:(s + 1) * dsub])
+        a = _assign(qs, cb[s])
+        order = np.argsort(a, kind="stable")
+        a_s, q_s = a[order], qs[order]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        outs.append((a_s[starts],
+                     np.diff(np.r_[starts, len(a_s)]).astype(np.int64),
+                     np.add.reduceat(q_s, starts, axis=0)))
+    return outs
+
+
+def pq_train(ds: ray.data.Dataset, m: int = 4, k: int = 16,
+             iters: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Learn the (m, k, d/m) int64 PQ codebook.  Returns
+    (codebook, cached_dataset) — the cached narrow projection is
+    returned so encode/search reuse it without re-reading parquet."""
+    from .cluster import _cached_blocks, _seed_centroids
+    mat, refs = _cached_blocks(ds, id_col, vec_col)
+    # seeds: the k smallest-(md5(id), id) rows' subvectors, unit-space
+    seeds_full = _seed_centroids(refs, k, id_col, vec_col)
+    d = seeds_full.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # _seed_centroids quantizes UNnormalized rows; re-derive the unit
+    # seeds by normalizing the float view (same rows, deterministic)
+    from .cluster import KMEANS_SCALE
+    f = seeds_full.astype(np.float64) / KMEANS_SCALE
+    n = np.linalg.norm(f, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    seeds = np.rint((f / n) * KMEANS_SCALE).astype(np.int64)
+    cb = np.stack([np.ascontiguousarray(seeds[:, s * dsub:(s + 1) * dsub])
+                   for s in range(m)])
+    for _ in range(iters):
+        cref = ray.put(cb)
+        parts = [p for p in ray.get(
+            [_pq_part.remote(r, cref, vec_col) for r in refs])
+            if p is not None]
+        S = np.zeros((m, k, dsub), dtype=np.int64)
+        N = np.zeros((m, k), dtype=np.int64)
+        for blk in parts:
+            for s, (cl, cnt, sums) in enumerate(blk):
+                N[s, cl] += cnt
+                S[s, cl] += sums
+        cb = cb.copy()
+        for s in range(m):
+            nz = N[s] > 0
+            cb[s, nz] = S[s, nz] // N[s, nz, None]
+    return cb, mat
+
+
+def pq_encode(mat: ray.data.Dataset, cb: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> ray.data.Dataset:
+    """(id, code_0..code_{m-1} uint8) — the 64x-compressed corpus."""
+    from .cluster import _assign
+    m, k, dsub = cb.shape
+    cref = ray.put(cb)
+
+    def encode(batch: pa.Table, *, cb_ref) -> pa.Table:
+        c = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+        q = _unit_quantize(batch, vec_col)
+        cols = {id_col: pa.array(
+            batch.column(id_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64))}
+        for s in range(m):
+            qs = np.ascontiguousarray(q[:, s * dsub:(s + 1) * dsub])
+            cols[f"code_{s}"] = pa.array(
+                _assign(qs, c[s]).astype(np.uint8), pa.uint8())
+        return pa.table(cols)
+
+    return mat.map_batches(encode, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"cb_ref": cref})
+
+
+def pq_topk(codes: ray.data.Dataset, cb: np.ndarray, query: np.ndarray,
+            k: int = 10, id_col: str = "vec_id") -> ray.data.Dataset:
+    """ADC top-k over the PQ codes: the (m x k_codes) query-to-
+    centroid distance table computes ONCE on the driver; each batch
+    scores rows with m uint8-indexed gathers + an int64 sum — no
+    float ops, no decompression.  Local top-k per block, k-row merge
+    (the brute_force_topk shape).  Ascending distance, ties to the
+    lowest id."""
+    m, kc, dsub = cb.shape
+    from .cluster import KMEANS_SCALE
+    q = np.asarray(query, dtype=np.float64)
+    nq = np.linalg.norm(q) or 1.0
+    qi = np.rint((q / nq) * KMEANS_SCALE).astype(np.int64)
+    table = np.empty((m, kc), dtype=np.int64)
+    for s in range(m):
+        diff = cb[s] - qi[s * dsub:(s + 1) * dsub][None, :]
+        table[s] = np.einsum("kd,kd->k", diff, diff)
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        d = np.zeros(batch.num_rows, dtype=np.int64)
+        for s in range(m):
+            d += table[s][batch.column(f"code_{s}").to_numpy(
+                zero_copy_only=False)]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        return pa.table({id_col: pa.array(ids[order].astype(np.int64)),
+                         "dist": pa.array(d[order], pa.int64())})
+
+    local_tops = codes.map_batches(local, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        return pa.table({id_col: pa.array(ids[order].astype(np.int64)),
+                         "dist": pa.array(d[order], pa.int64())})
+
+    return local_tops.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)

@@ -849,6 +849,26 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["vec_id"])
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-10 — the vector-compression half
+    of the billion-scale IVF+PQ recipe (ops/quantize.pq_train/encode/
+    topk): 16 subspaces x 64 codes learned with the integer-exact
+    Lloyd machinery, 64-dim floats become 16 uint8 codes (16x), queries
+    scan codes via an int64 lookup-table sum.  Deterministic at any
+    parallelism -> pinned golden; recall@10 vs exact cosine gated in
+    tests/test_ann_recall.py."""
+    from ..ops.quantize import pq_train, pq_encode, pq_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cb, mat = pq_train(ds, m=16, k=64, iters=4)
+    codes = pq_encode(mat, cb)
+    return pq_topk(codes, cb, _query_vec(sf_dir),
+                   k=10).select_columns(["vec_id"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Corpus-organization k-means: (vec_id, cluster) after 5
     integer-exact Lloyd iterations (ops/cluster.py).  Deterministic at
@@ -3117,7 +3137,8 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
                       f"AS t({cols})")
         else:
             col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
-                                    "semantic_dedup", "pca_ann_topk") \
+                                    "semantic_dedup", "pca_ann_topk",
+                                    "ann_pq_topk") \
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
@@ -4831,6 +4852,7 @@ RAY_QUERIES = {
     "drift_terms": q_drift_terms,
     "sorted_export": q_sorted_export,
     "source_overlap": q_source_overlap,
+    "ann_pq_topk": q_ann_pq_topk,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,
