@@ -93,7 +93,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "dedup_ngram", "dedup_embedding",
                      "vocab_df", "dedup_clusters",
                      "ann_multi_topk", "ann_pq_topk",
-                     "stratified_sample",
+                     "ann_ivfpq_topk", "stratified_sample",
                      # round-3 curation ops: benchmark decontamination,
                      # repetition signals, exact quantiles
                      "ngram_decontaminate", "doc_repetition",

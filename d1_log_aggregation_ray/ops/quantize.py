@@ -271,3 +271,83 @@ def pq_topk(codes: ray.data.Dataset, cb: np.ndarray, query: np.ndarray,
 
     return local_tops.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None)
+
+
+def build_ivfpq_index(ds: ray.data.Dataset, index_dir: str,
+                      n_lists: int = 16, m: int = 16, k_codes: int = 64,
+                      iters_pq: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """The full billion-scale ANN recipe, persisted: IVF coarse
+    pruning OVER PQ-compressed codes.  The coarse quantizer
+    (similarity.coarse_centroids) decides WHICH partitions a query
+    reads; the PQ codes decide how CHEAP reading them is — each
+    partition holds (id, m uint8 codes), 16x smaller than the raw
+    vectors, so probe IO shrinks by both factors multiplied.
+
+    Artifacts under index_dir: `_centroids.npy` + `_codebook.npy`
+    ("_" prefix: invisible to parquet dataset discovery) and one
+    parquet partition per list_id.  Everything is deterministic
+    (lowest-id coarse sample, integer-exact PQ Lloyd), so the index is
+    byte-reproducible at any parallelism."""
+    import os
+    from .similarity import coarse_centroids, _as_matrix, _normalize
+    from .cluster import _assign
+    cent = coarse_centroids(ds, n_lists, id_col=id_col, vec_col=vec_col)
+    cb, mat = pq_train(ds, m=m, k=k_codes, iters=iters_pq,
+                       id_col=id_col, vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "_codebook.npy"), cb)
+    cref = ray.put((cent, cb))
+    dsub = cb.shape[2]
+
+    def rows(batch: pa.Table, *, ref) -> pa.Table:
+        c, codebook = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+            else ref
+        mb = _normalize(_as_matrix(batch, vec_col))
+        lid = (mb @ c.T).argmax(axis=1).astype(np.int32) \
+            if batch.num_rows else np.empty(0, np.int32)
+        q = _unit_quantize(batch, vec_col)
+        cols = {id_col: pa.array(
+            batch.column(id_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64))}
+        for s in range(codebook.shape[0]):
+            qs = np.ascontiguousarray(q[:, s * dsub:(s + 1) * dsub])
+            cols[f"code_{s}"] = pa.array(
+                _assign(qs, codebook[s]).astype(np.uint8), pa.uint8())
+        cols["list_id"] = pa.array(lid)
+        return pa.table(cols)
+
+    mat.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True,
+                    fn_kwargs={"ref": cref}).write_parquet(
+        index_dir, partition_cols=["list_id"])
+    return cent, cb
+
+
+def ivfpq_topk(index_dir: str, query: np.ndarray, k: int = 10,
+               n_probe: int = 4,
+               id_col: str = "vec_id") -> ray.data.Dataset:
+    """Query a persisted IVF+PQ index: rank coarse centroids by cosine,
+    read ONLY the n_probe nearest partitions AND only the uint8 code
+    columns, ADC-score them against the driver-computed lookup table.
+    IO = (n_probe / n_lists) x (code bytes / vector bytes) of a full
+    scan."""
+    import glob
+    import os
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    cb = np.load(os.path.join(index_dir, "_codebook.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = np.argsort(-(cent @ qn))[:n_probe]
+    paths = []
+    for p in probes:
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"list_id={int(p)}", "*.parquet"))))
+    if not paths:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}))
+    m = cb.shape[0]
+    codes = ray.data.read_parquet(
+        paths, columns=[id_col] + [f"code_{s}" for s in range(m)])
+    return pq_topk(codes, cb, query, k=k, id_col=id_col)

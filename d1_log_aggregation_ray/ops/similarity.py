@@ -68,21 +68,15 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
                      "score": pa.array(scores[order])})
 
 
-def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
-                    sample_n: int = 20_000, iters: int = 8,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> np.ndarray:
-    """Build a persisted IVF index: deterministic k-means coarse
-    quantizer (Lloyd on a driver-held sample — the sample is small and
-    bounded; assignment itself is distributed), then every vector is
-    written ONCE to parquet partitioned by its nearest-centroid list
-    id.  Queries then read only their probed partitions.  Returns the
-    (n_lists, dim) centroid matrix, which is also persisted as
-    `_centroids.npy` ("_" prefix: invisible to dataset discovery).
-
-    Determinism: sample = lowest-id vectors, seeded init, fixed
-    iteration count — identical across runs and cluster sizes."""
-    import os
+def coarse_centroids(ds: ray.data.Dataset, n_lists: int = 64,
+                     sample_n: int = 20_000, iters: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer for IVF-family indexes: Lloyd on
+    a driver-held lowest-id sample (small and bounded; assignment
+    itself stays distributed).  Sample = lowest-id vectors, seeded
+    init, fixed iteration count — identical across runs and cluster
+    sizes."""
 
     def local_smallest(batch: pa.Table) -> pa.Table:
         ids_ = batch.column(id_col).to_numpy()
@@ -119,6 +113,21 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cent[c] = v / n
+    return cent
+
+
+def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
+                    sample_n: int = 20_000, iters: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Build a persisted IVF index: deterministic coarse quantizer
+    (coarse_centroids), then every vector is written ONCE to parquet
+    partitioned by its nearest-centroid list id.  Queries then read
+    only their probed partitions.  Returns the (n_lists, dim) centroid
+    matrix, which is also persisted as `_centroids.npy` ("_" prefix:
+    invisible to dataset discovery)."""
+    import os
+    cent = coarse_centroids(ds, n_lists, sample_n, iters, id_col, vec_col)
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "_centroids.npy"), cent)
     cref = ray.put(cent)

@@ -869,6 +869,37 @@ def q_ann_pq_topk(sf_dir: str):
                    k=10).select_columns(["vec_id"])
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+def q_ann_ivfpq_topk(sf_dir: str):
+    """The full billion-scale ANN recipe end-to-end: IVF coarse
+    pruning over PQ-compressed partitions (ops/quantize.
+    build_ivfpq_index / ivfpq_topk) — a probe reads n_probe/n_lists of
+    the corpus AND only uint8 codes, the two IO factors multiplied.
+    Byte-reproducible index (lowest-id coarse sample + integer-exact
+    PQ Lloyd) -> pinned golden; recall gated in test_ann_recall."""
+    import hashlib as _hl
+    import shutil as _sh
+    from ..ops.quantize import build_ivfpq_index, ivfpq_topk
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/graft_ivfpq/{tag}"
+    key = (sf_dir, index_dir)
+    if key not in _IVFPQ_CACHE or not os.path.isdir(index_dir):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("vec_id"), 0))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        _sh.rmtree(index_dir, ignore_errors=True)
+        build_ivfpq_index(ds, index_dir, n_lists=16, m=16, k_codes=64)
+        _IVFPQ_CACHE.clear()
+        _IVFPQ_CACHE[key] = True
+    return ivfpq_topk(index_dir, _query_vec(sf_dir), k=10,
+                      n_probe=6).select_columns(["vec_id"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Corpus-organization k-means: (vec_id, cluster) after 5
     integer-exact Lloyd iterations (ops/cluster.py).  Deterministic at
@@ -3138,7 +3169,7 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
         else:
             col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
                                     "semantic_dedup", "pca_ann_topk",
-                                    "ann_pq_topk") \
+                                    "ann_pq_topk", "ann_ivfpq_topk") \
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
@@ -4853,6 +4884,7 @@ RAY_QUERIES = {
     "sorted_export": q_sorted_export,
     "source_overlap": q_source_overlap,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

@@ -173,3 +173,29 @@ def test_pq_codes_parallelism_independent(corpus):
     cb2, c2 = run(7)
     assert (cb1 == cb2).all()
     assert c1.equals(c2)
+
+
+def test_ivfpq_recall(corpus, tmp_path):
+    """IVF pruning stacked on PQ lossiness: with n_probe=6 of 16
+    lists the combined recall floor is lower than pure PQ's, but must
+    still clear 0.4 — and the probed-partition read must only touch
+    code columns (asserted via the index schema)."""
+    from d1_log_aggregation_ray.ops.quantize import (build_ivfpq_index,
+                                                     ivfpq_topk)
+    path, ids, mat = corpus
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    index_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds, index_dir, n_lists=8, m=16, k_codes=64)
+    # the persisted partitions hold codes, never raw vectors
+    import glob
+    f = glob.glob(os.path.join(index_dir, "list_id=*", "*.parquet"))[0]
+    names = pq.read_schema(f).names
+    assert "embedding" not in names and "code_0" in names
+    recalls = []
+    for qid in QUERY_IDS:
+        q = mat[np.flatnonzero(ids == qid)[0]]
+        got = set(r["vec_id"] for r in
+                  ivfpq_topk(index_dir, q, k=K, n_probe=4).take_all())
+        want = _exact_topk(ids, mat, q)
+        recalls.append(len(got & want) / K)
+    assert np.mean(recalls) >= 0.4, recalls
