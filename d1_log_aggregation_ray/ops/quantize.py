@@ -129,15 +129,14 @@ from ..functions.parts import arrow_block_refs as _block_refs  # noqa: E402
 
 
 def _unit_quantize(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """L2-normalize rows then fixed-point quantize (round(x * 2^20))."""
+    """L2-normalize rows then fixed-point quantize (round(x * 2^20)) —
+    composed from the house kernels (similarity._as_matrix/_normalize
+    + cluster.KMEANS_SCALE) so the zero-norm / empty-batch edge cases
+    live in one place."""
     from .cluster import KMEANS_SCALE
-    col = batch.column(vec_col).combine_chunks()
-    flat = np.asarray(col.flatten(), dtype=np.float64)
-    m = flat.reshape(batch.num_rows, -1) if batch.num_rows else \
-        np.empty((0, 1), dtype=np.float64)
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0.0] = 1.0
-    return np.rint((m / n) * KMEANS_SCALE).astype(np.int64)
+    from .similarity import _as_matrix, _normalize
+    return np.rint(_normalize(_as_matrix(batch, vec_col))
+                   * KMEANS_SCALE).astype(np.int64)
 
 
 @ray.remote

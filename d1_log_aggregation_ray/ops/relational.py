@@ -1226,7 +1226,17 @@ def skew_join_rows(left: ray.data.Dataset, right: ray.data.Dataset,
     house-accepted).  NULL keys never match (SQL inner-join
     semantics).  With no hot keys detected the plan degrades to the
     pure co-partition join at zero extra cost beyond the detection
-    pass (key column only)."""
+    pass (key column only).
+
+    Cost trade (the snapshot_merge double-consumption caveat applies):
+    when hot keys exist, the RIGHT lineage executes twice — once for
+    the cold exchange rows, once for the map-side hot join — plus the
+    key-only detection pass.  The alternative (emit pre-joined hot
+    rows from the cold pass) would push the hot rows through the
+    exchange and re-create the hotspot being avoided; column-pruned
+    re-reads are the cheaper side of that trade.  Callers joining a
+    derived (non-parquet-read) right side should materialize its
+    narrow projection first."""
     from ..functions.parts import hash_parts, key_parts
 
     if hot_keys is None:
@@ -1387,11 +1397,11 @@ def grouped_ewma(ds: ray.data.Dataset, key: str, ts_col: str,
     entity: y_1 = cents_1; y_t = (cents_t + 3 * y_{t-1}) // 4 over
     the key's events ordered by (ts, id).
 
-    EXACT int64 fixed-point recursion (floor(val*100) cents first), so
-    the result hashes identically to the oracle's recursive-CTE
-    formulation; values must be nonnegative for the floor-division vs
-    trunc-division agreement (DuckDB `//` truncates, numpy floors —
-    equal on nonnegatives; asserted per partition).
+    EXACT int64 fixed-point recursion (floor(val*100) cents first),
+    FLOOR-division semantics for every sign (numpy // floors; the
+    oracle spells the same floor out of DuckDB's trunc-division `//`
+    via a nonnegative-modulus correction), so the result hashes
+    identically to the recursive-CTE formulation on any input.
 
     Shape: ONE hash exchange on the key, then a rank-synchronous
     vectorized recursion per partition — the loop runs max-events-
@@ -1429,8 +1439,6 @@ def grouped_ewma(ds: ray.data.Dataset, key: str, ts_col: str,
             zero_copy_only=False)
         cents = group.column("_cents").combine_chunks().to_numpy(
             zero_copy_only=False)
-        assert cents.min() >= 0, \
-            "grouped_ewma requires nonnegative values (floor==trunc)"
         order = np.lexsort((ids, ts, u))
         us, cs = u[order], cents[order]
         first = np.r_[True, us[1:] != us[:-1]]
@@ -1459,14 +1467,16 @@ def sliding_distinct(ds: ray.data.Dataset, key: str, ts_col: str,
     per batch (each event expands into window_s/slide_s windows via
     the vectorized repeat+offset kernel, then collapses to unique
     pairs before the exchange); distinct_count finishes per window.
-    Null ts / null key rows are dropped (COUNT(DISTINCT ...) SQL
-    semantics)."""
+    Null ts / null KEY rows are dropped up front, so a window whose
+    only events carry null keys is OMITTED entirely (not emitted as
+    n_distinct=0) — the oracle mirrors the filter."""
     win_us = window_s * 1_000_000
     slide_us = slide_s * 1_000_000
 
     def expand_pairs(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            batch.column(ts_col).combine_chunks().is_valid())
+        batch = batch.filter(pc.and_(
+            batch.column(ts_col).combine_chunks().is_valid(),
+            batch.column(key).combine_chunks().is_valid()))
         n = batch.num_rows
         ts = batch.column(ts_col).combine_chunks().cast(
             pa.int64()).to_numpy(zero_copy_only=False)
@@ -1615,16 +1625,22 @@ def drift_terms(ds: ray.data.Dataset, key: str, ts_col: str,
         return agg.rename_columns(
             ["n" if c == "count_all" else c for c in agg.column_names])
 
-    empty = pa.schema([(key, pa.string()), ("bin", pa.int64()),
-                       ("p_early", pa.float64()),
-                       ("p_late", pa.float64()),
-                       ("drift_term", pa.float64())])
+    def _empty(key_type: pa.DataType) -> pa.Table:
+        return pa.schema([(key, key_type), ("bin", pa.int64()),
+                          ("p_early", pa.float64()),
+                          ("p_late", pa.float64()),
+                          ("drift_term", pa.float64())]).empty_table()
 
     def scan(group: pa.Table) -> pa.Table:
+        # empty schema keyed by the group's ACTUAL key type (a string
+        # default would produce mixed block schemas for int keys)
+        key_type = (group.schema.field(key).type
+                    if key in group.schema.names else pa.string())
+        empty = _empty(key_type)
         t = (group.drop_columns(["_part"])
              .group_by([key, "late", "bin"]).aggregate([("n", "sum")]))
         if t.num_rows == 0:
-            return empty.empty_table()
+            return empty
         df = t.to_pandas()
         outs = []
         for k, g in df.groupby(key, sort=True):
@@ -1641,11 +1657,11 @@ def drift_terms(ds: ray.data.Dataset, key: str, ts_col: str,
             term = np.where(s > 0, (p - q) * (p - q) / np.where(
                 s > 0, s, 1.0), 0.0)
             outs.append(pa.table({
-                key: pa.array([k] * len(bins)),
+                key: pa.array([k] * len(bins)).cast(key_type),
                 "bin": pa.array(bins, pa.int64()),
                 "p_early": pa.array(p), "p_late": pa.array(q),
                 "drift_term": pa.array(term)}))
-        return pa.concat_tables(outs) if outs else empty.empty_table()
+        return pa.concat_tables(outs) if outs else empty
 
     from ..stages.aggregate import add_part_column
     parts = (ds.select_columns([key, ts_col, val_col])

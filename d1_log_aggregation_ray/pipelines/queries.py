@@ -4075,8 +4075,11 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               SELECT event_id, user_id, rn, cents AS y
               FROM ranked WHERE rn = 1
               UNION ALL
+              -- floor division for any sign: DuckDB // truncates,
+              -- so subtract the nonnegative modulus first
               SELECT r.event_id, r.user_id, r.rn,
-                     (r.cents + 3 * s.y) // 4
+                     (r.cents + 3 * s.y
+                      - (((r.cents + 3 * s.y) % 4) + 4) % 4) // 4
               FROM ranked r JOIN s
                    ON r.user_id = s.user_id AND r.rn = s.rn + 1
             )
@@ -4508,7 +4511,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM (SELECT user_id,
                          UNNEST(range((epoch_us(ts) - 3600000000) // 900000000 + 1,
                                       epoch_us(ts) // 900000000 + 1)) AS w
-                  FROM events WHERE ts IS NOT NULL)
+                  FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
             GROUP BY 1""",
 
         "rolling_window": """

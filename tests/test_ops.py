@@ -556,3 +556,30 @@ def test_profile_columns_nulls_and_empty():
     # to the typed empty table; both are schema-stable
     assert empty.schema.names == ["col", "n_rows", "n_null",
                                   "min_v", "max_v"]
+
+
+def test_drift_terms_int_key_schema_stable():
+    """drift_terms with an INT key: partitions whose keys lack one
+    half return typed empties matching the populated partitions'
+    schema (a string-typed default would break block unification)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.relational import drift_terms
+
+    n = 400
+    ts = np.r_[np.full(200, np.datetime64("2024-01-10", "us")),
+               np.full(200, np.datetime64("2024-01-20", "us"))]
+    t = pa.table({
+        "k": pa.array(np.r_[np.zeros(390, np.int64),
+                            np.full(10, 7, np.int64)]),
+        "ts": pa.array(ts),
+        # key 7 exists ONLY in the late half -> dropped (no reference)
+        "value": pa.array(np.linspace(1.0, 400.0, n)),
+    })
+    out = drift_terms(ray.data.from_arrow(t).repartition(4), key="k",
+                      ts_col="ts", val_col="value",
+                      cut_iso="2024-01-16", bin_cents=5000).to_pandas()
+    assert set(out["k"]) == {0}
+    assert out["drift_term"].notna().all()
+    assert str(out["k"].dtype) == "int64"

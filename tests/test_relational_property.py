@@ -323,20 +323,44 @@ def test_value_deltas_matches_duckdb(data):
     assert got == want
 
 
-@given(events)
+ewma_events = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),    # user index or NULL
+        st.sampled_from(["view", "click", "other"]),
+        st.one_of(st.none(), st.integers(0, 50)),   # ts seconds or null
+        st.one_of(st.none(),                        # null value or
+                  st.integers(-9, 9)),              # NEGATIVE-capable
+    ),
+    min_size=1, max_size=50)
+
+
+def _ewma_table(data):
+    return pa.table({
+        "event_id": pa.array(range(len(data)), pa.int64()),
+        "user_id": pa.array([u for u, _, _, _ in data], pa.int64()),
+        "event_type": pa.array([e for _, e, _, _ in data]),
+        "ts": pa.array([None if s is None else s * US
+                        for _, _, s, _ in data], pa.timestamp("us")),
+        "value": pa.array([None if v is None else float(v)
+                           for _, _, _, v in data], pa.float64()),
+    })
+
+
+@given(ewma_events)
 @settings(max_examples=40, deadline=None)
 def test_grouped_ewma_matches_python_recursion(data):
     """grouped_ewma's rank-synchronous vectorized recursion must equal
-    the naive per-row integer recursion on arbitrary tables (ts ties
-    broken by event_id, null user/ts rows dropped)."""
+    the naive per-row integer recursion on arbitrary tables — ts ties
+    broken by event_id, null user/ts/VALUE rows dropped, NEGATIVE
+    values exercising the floor-vs-trunc division boundary."""
     from d1_log_aggregation_ray.ops.relational import grouped_ewma
-    t = _table(data)
+    t = _ewma_table(data)
     got = {r["event_id"]: r["ewma_cents"] for r in
            grouped_ewma(ray.data.from_arrow(t), key="user_id",
                         ts_col="ts", val_col="value").take_all()}
     rows = [(i, u, s, int(np.floor(v * 100.0)))
             for i, (u, _, s, v) in enumerate(data)
-            if u is not None and s is not None]
+            if u is not None and s is not None and v is not None]
     rows.sort(key=lambda r: (r[1], r[2], r[0]))
     want, last_u, y = {}, None, 0
     for eid, u, _, cents in rows:
