@@ -123,7 +123,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # adaptive quantile length gate + CMS heavy hitters
                      "length_trim", "heavy_tokens",
                      # large x large ANTI join (lapsed customers)
-                     "cust_no_orders", "incremental_dedup",
+                     # + SEMI join (TPC-H Q4 analog)
+                     "cust_no_orders", "priority_semi",
+                     "incremental_dedup",
                      "strip_dup_spans", "weighted_sample",
                      # grouped standardization (aggregate-then-rejoin)
                      "zscore_events", "window_distinct",

@@ -1672,3 +1672,72 @@ def drift_terms(ds: ray.data.Dataset, key: str, ts_col: str,
                                      "n_parts": _asof_parts()}))
     return parts.groupby("_part").map_groups(scan,
                                              batch_format="pyarrow")
+
+
+def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str,
+              carry_l: list[str]) -> ray.data.Dataset:
+    """Distributed SEMI join: left rows (key + carry columns) whose
+    key has AT LEAST ONE match on the right — SQL EXISTS — completing
+    the join family (inner/left/full-outer/anti/asof/interval/knn/
+    skew all exist; this is the membership-keep dual of
+    anti_join_keys).
+
+    Scale shape (both sides large): union co-partition — ONE
+    sort-exchange keyed hash(key) % P; the right side collapses to
+    unique keys per block BEFORE the exchange (a membership probe
+    needs each key once), left rows ride with their carry columns, and
+    a vectorized searchsorted scan per partition keeps the hits.
+    NULL left keys never match (SQL EXISTS semantics)."""
+    P = _asof_parts()
+
+    lt = left.schema()
+    l_types = {n: t for n, t in zip(lt.names, lt.types)}
+    out_schema = pa.schema([(left_key, l_types[left_key])]
+                           + [(c, l_types[c]) for c in carry_l])
+
+    def l_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(left_key).combine_chunks()
+        if col.null_count:
+            batch = batch.filter(col.is_valid())
+            col = batch.column(left_key).combine_chunks()
+        k = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {"_part": pa.array(_key_parts(k, P)), "_k": pa.array(k),
+                "_side": pa.array(np.zeros(len(k), np.int8)),
+                left_key: batch.column(left_key)}
+        for c in carry_l:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def r_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(right_key).combine_chunks()
+        k = np.unique(pc.cast(col, pa.int64()).drop_null().to_numpy(
+            zero_copy_only=False))
+        cols = {"_part": pa.array(_key_parts(k, P)), "_k": pa.array(k),
+                "_side": pa.array(np.ones(len(k), np.int8)),
+                left_key: pa.nulls(len(k), l_types[left_key])}
+        for c in carry_l:
+            cols[c] = pa.nulls(len(k), l_types[c])
+        return pa.table(cols)
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_side" not in group.schema.names:
+            return out_schema.empty_table()
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        k = group.column("_k").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lk = k[lmask]
+        rk = np.unique(k[~lmask])
+        if len(lk) == 0 or len(rk) == 0:
+            return out_schema.empty_table()
+        pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+        hit = rk[pos] == lk
+        return (group.filter(pa.array(lmask)).filter(pa.array(hit))
+                .select([left_key] + carry_l).cast(out_schema))
+
+    lr = left.select_columns([left_key] + carry_l).map_batches(
+        l_rows, batch_format="pyarrow", zero_copy_batch=True)
+    rr = right.select_columns([right_key]).map_batches(
+        r_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return lr.union(rr).groupby("_part").map_groups(
+        scan, batch_format="pyarrow")

@@ -3294,6 +3294,52 @@ def q_source_overlap(sf_dir: str):
                           src_col="source", prefix_chars=64)
 
 
+_SEMI_LO, _SEMI_HI = "1997-07-01", "1997-10-01"
+
+
+def q_priority_semi(sf_dir: str):
+    """TPC-H Q4 analog: orders per priority having AT LEAST ONE
+    lineitem shipped in the quarter — the distributed SEMI join
+    (ops/relational.semi_join; EXISTS semantics, right side collapsed
+    to unique keys per block before the one exchange) finished by a
+    bounded-cardinality priority count."""
+    from ..ops.relational import semi_join
+    from ..stages.aggregate import hash_partition_aggregate
+    lo = np.datetime64(_SEMI_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(_SEMI_HI).astype("datetime64[us]").astype(np.int64)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    lines = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(pc.cast(
+                b.column("l_shipdate").combine_chunks(), pa.int64()), lo),
+            pc.less(pc.cast(
+                b.column("l_shipdate").combine_chunks(), pa.int64()), hi)
+        )).select(["l_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hits = semi_join(orders, lines, "o_orderkey", "l_orderkey",
+                     ["o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["o_orderpriority"]).group_by(
+            ["o_orderpriority"]).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names])
+
+    agg = hash_partition_aggregate(
+        hits.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["o_orderpriority"], [("n", "sum")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_orders": pc.cast(b.column("n_sum"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB SQL equivalents.  Transcript-family SQL reads the
     generated corpus by absolute path (generation is triggered here so
@@ -4399,6 +4445,15 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM events WHERE ts IS NOT NULL)
             GROUP BY 1, 2""",
 
+        "priority_semi": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >= TIMESTAMP '{_SEMI_LO}'
+                            AND l.l_shipdate < TIMESTAMP '{_SEMI_HI}')
+            GROUP BY 1""",
+
         "source_overlap": """
             SELECT d1.source AS src_a, d2.source AS src_b,
                    COUNT(*) AS n_pairs
@@ -4889,6 +4944,7 @@ RAY_QUERIES = {
     "source_overlap": q_source_overlap,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "priority_semi": q_priority_semi,
     "user_features": q_user_features,
     "sliding_counts": q_sliding_counts,
     "sample_per_source": q_sample_per_source,

@@ -583,3 +583,24 @@ def test_drift_terms_int_key_schema_stable():
     assert set(out["k"]) == {0}
     assert out["drift_term"].notna().all()
     assert str(out["k"].dtype) == "int64"
+
+
+def test_semi_join_exists_semantics():
+    """semi_join: EXISTS keep, duplicates preserved on the left,
+    right-side duplicates collapse, null keys never match."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from d1_log_aggregation_ray.ops.relational import semi_join
+
+    left = pa.Table.from_pandas(pd.DataFrame({
+        "k": pd.array([1, 1, 2, 3, None], dtype="Int64"),
+        "p": ["a", "b", "c", "d", "e"]}))
+    right = pa.Table.from_pandas(pd.DataFrame({
+        "rk": pd.array([1, 1, 3, None, 9], dtype="Int64")}))
+    got = semi_join(ray.data.from_arrow(left).repartition(2),
+                    ray.data.from_arrow(right).repartition(2),
+                    "k", "rk", ["p"]).to_pandas()
+    got = got.sort_values(["k", "p"]).reset_index(drop=True)
+    assert got["k"].tolist() == [1, 1, 3]
+    assert got["p"].tolist() == ["a", "b", "d"]
