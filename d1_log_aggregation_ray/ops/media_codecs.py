@@ -1,0 +1,314 @@
+"""Pure-stdlib media container codecs (struct/zlib only).
+
+Real header-level ENCODERS + DECODERS for the four container formats a
+no-codec-library environment can still handle honestly:
+
+  - PNG  : signature + IHDR (width/height, CRC-verified) + zlib IDAT
+  - BMP  : BITMAPFILEHEADER + BITMAPINFOHEADER (also COREHEADER reads)
+  - GIF  : GIF89a logical screen descriptor + full block walk — frame
+           count = image descriptors, duration = sum of GCE delays
+           (animated GIF is the repo's honest stand-in for video)
+  - WAV  : RIFF chunk walk — fmt (rate/channels/bits) + data size ->
+           sample-frame count and duration
+
+The encoders emit STRUCTURALLY VALID files (correct CRCs, padded BMP
+rows, well-formed LZW sub-blocks, even-padded RIFF chunks), generated
+deterministically from (geometry, seed) so an analytic oracle can
+state the expected metadata without running the decoder.  The decoders
+parse headers only — pixel/sample payloads are never decompressed, so
+decode cost is O(header + block walk), not O(pixels).
+
+This is the `MediaDecoder._decode_real` kernel (ops/multimodal.py):
+the Ray-side plumbing stays the same actor-pool map_batches stage; the
+per-payload parse is necessarily per-row Python (bytes are opaque to
+Arrow), but each parse is a handful of struct.unpack_from calls.
+
+Reference analog: none (DataONEorg/d1_log_aggregation has no media) —
+this family comes from the builder's brief (multimodal columns as
+first-class binary + typed metadata).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# encoders (fixture generators)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 8-bit RGB PNG: IHDR + one zlib IDAT (filter-0
+    scanlines, deterministic pixel bytes) + IEND."""
+    if width <= 0 or height <= 0:
+        raise ValueError("png geometry must be positive")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = bytes((seed + i) % 256 for i in range(width * 3))
+    raw = b"".join(b"\x00" + row for _ in range(height))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24-bpp bottom-up BMP (BITMAPINFOHEADER), rows
+    padded to 4 bytes per spec."""
+    if width <= 0 or height <= 0:
+        raise ValueError("bmp geometry must be positive")
+    row_bytes = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height):
+        pix += bytes((seed + x + y) % 256 for x in range(width * 3))
+        pix += b"\x00" * (row_bytes - width * 3)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pix), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    return hdr + dib + bytes(pix)
+
+
+def _gif_lzw_uniform(n_pixels: int) -> bytes:
+    """Valid LZW stream (min code size 2) for `n_pixels` color-0
+    pixels: a CLEAR before every literal keeps the code width at the
+    initial 3 bits, so packing is a fixed-width little-endian roll —
+    spec-correct and trivially verifiable."""
+    CLEAR, END = 4, 5
+    codes = [CLEAR]
+    for _ in range(n_pixels):
+        codes += [0, CLEAR]
+    codes[-1] = END  # final CLEAR slot becomes END
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """GIF data sub-block framing: <=255-byte length-prefixed chunks +
+    zero terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, n_frames: int = 1,
+               delay_cs: int = 4, seed: int = 0) -> bytes:
+    """Valid animated GIF89a: logical screen descriptor + 4-entry
+    global color table + per frame (graphic control extension carrying
+    `delay_cs` centiseconds + full-frame image descriptor + LZW data)
+    + trailer.  Deterministic: the color table derives from `seed`."""
+    if width <= 0 or height <= 0 or n_frames <= 0:
+        raise ValueError("gif geometry/frames must be positive")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x91, 0, 0])  # GCT present, 4 entries; bg 0; aspect 0
+    for i in range(4):          # 4-entry global color table
+        out += bytes(((seed + i * 67 + ch * 29) % 256) for ch in range(3))
+    lzw = _sub_blocks(_gif_lzw_uniform(width * height))
+    for _ in range(n_frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00])          # GCE
+        out += struct.pack("<H", delay_cs) + bytes([0x00, 0x00])
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00, 0x02])                      # no LCT; min code 2
+        out += lzw
+    out += b"\x3B"
+    return bytes(out)
+
+
+def encode_wav(sample_rate: int, n_samples: int, channels: int = 1,
+               seed: int = 0) -> bytes:
+    """Valid PCM-16 RIFF/WAVE: fmt chunk + data chunk with
+    deterministic sample bytes (even-padded per RIFF spec)."""
+    if sample_rate <= 0 or n_samples <= 0 or channels <= 0:
+        raise ValueError("wav params must be positive")
+    bits = 16
+    block = channels * bits // 8
+    data = bytes(((seed + i * 7) % 256) for i in range(n_samples * block))
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = bytearray(b"WAVE")
+    for tag, payload in ((b"fmt ", fmt), (b"data", data)):
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# decoders (header parsers)
+# ---------------------------------------------------------------------------
+
+class MediaParseError(ValueError):
+    """Raised on malformed/truncated container bytes."""
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Container format from magic bytes: png | bmp | gif | wav, or
+    None when unrecognized."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def parse_png(payload: bytes) -> dict:
+    """PNG IHDR parse with CRC verification (the corruption gate a
+    real ingest needs); IDAT is never decompressed."""
+    if not payload.startswith(_PNG_SIG) or len(payload) < 33:
+        raise MediaParseError("not a PNG")
+    (length,) = struct.unpack_from(">I", payload, 8)
+    tag = payload[12:16]
+    if tag != b"IHDR" or length != 13:
+        raise MediaParseError("PNG first chunk is not IHDR")
+    data = payload[16:29]
+    (crc,) = struct.unpack_from(">I", payload, 29)
+    if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+        raise MediaParseError("PNG IHDR CRC mismatch")
+    w, h = struct.unpack_from(">II", data, 0)
+    return {"format": "png", "width": int(w), "height": int(h),
+            "n_frames": 1, "duration_ms": 0}
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """BMP DIB header parse: BITMAPINFOHEADER (and larger V4/V5
+    variants) plus the legacy 12-byte COREHEADER."""
+    if payload[:2] != b"BM" or len(payload) < 26:
+        raise MediaParseError("not a BMP")
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size >= 40:
+        w, h = struct.unpack_from("<ii", payload, 18)
+    elif dib_size == 12:
+        w, h = struct.unpack_from("<HH", payload, 18)
+    else:
+        raise MediaParseError(f"unknown BMP DIB header size {dib_size}")
+    if w <= 0 or h == 0:
+        raise MediaParseError("degenerate BMP geometry")
+    return {"format": "bmp", "width": int(w), "height": abs(int(h)),
+            "n_frames": 1, "duration_ms": 0}
+
+
+def parse_gif(payload: bytes) -> dict:
+    """GIF logical-screen parse + full block walk: frames = image
+    descriptors, duration = sum of graphic-control delays x 10 ms.
+    LZW data is skipped sub-block by sub-block, never decoded."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise MediaParseError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:                       # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    delay_cs = 0
+    n = len(payload)
+
+    def skip_sub_blocks(p: int) -> int:
+        while p < n:
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        raise MediaParseError("GIF truncated inside sub-blocks")
+
+    while pos < n:
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:                       # trailer
+            break
+        if b == 0x21:                       # extension
+            if pos >= n:
+                raise MediaParseError("GIF truncated at extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and pos < n and payload[pos] >= 4:
+                (d,) = struct.unpack_from("<H", payload, pos + 2)
+                delay_cs += d
+            pos = skip_sub_blocks(pos)
+        elif b == 0x2C:                     # image descriptor
+            if pos + 9 > n:
+                raise MediaParseError("GIF truncated at image descriptor")
+            flags = payload[pos + 8]
+            pos += 9
+            if flags & 0x80:                # local color table
+                pos += 3 * (2 << (flags & 0x07))
+            pos += 1                        # LZW min code size
+            pos = skip_sub_blocks(pos)
+            n_frames += 1
+        else:
+            raise MediaParseError(f"unknown GIF block 0x{b:02x}")
+    if n_frames == 0:
+        raise MediaParseError("GIF has no image frames")
+    return {"format": "gif", "width": int(w), "height": int(h),
+            "n_frames": n_frames, "duration_ms": delay_cs * 10}
+
+
+def parse_wav(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk: fmt -> (channels, rate, bits), data ->
+    byte size; sample frames = data_size // block_align, duration_ms
+    floor-divides (the analytic oracle states the same floor)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" \
+            or len(payload) < 12:
+        raise MediaParseError("not a WAV")
+    pos = 12
+    n = len(payload)
+    rate = channels = bits = None
+    data_size = None
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8
+        if tag == b"fmt " and size >= 16:
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos)
+        elif tag == b"data":
+            data_size = size
+        pos += size + (size & 1)            # chunks are even-padded
+    if not rate or not channels or not bits or data_size is None:
+        raise MediaParseError("WAV missing fmt or data chunk")
+    block = channels * bits // 8
+    frames = data_size // block if block else 0
+    return {"format": "wav", "width": 0, "height": 0,
+            "n_frames": int(frames),
+            "duration_ms": int(frames * 1000 // rate)}
+
+
+_PARSERS = {"png": parse_png, "bmp": parse_bmp, "gif": parse_gif,
+            "wav": parse_wav}
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff the container from magic bytes and parse its header:
+    {format, width, height, n_frames, duration_ms}.  Raises
+    MediaParseError on unrecognized or malformed payloads (callers
+    wanting error-tolerant ingest wrap this with the skip-and-count
+    pattern, pipelines/harvest.py)."""
+    fmt = sniff_format(payload)
+    if fmt is None:
+        raise MediaParseError("unrecognized container magic")
+    return _PARSERS[fmt](payload)

@@ -2,12 +2,17 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The decode kernels themselves are STUBBED (image/audio libraries are
-not available in this environment): `MediaDecoder(fake=False)` raises
-NotImplementedError from the decode step; `fake=True` substitutes a
-deterministic fake decode (dimensions derived from the payload hash)
-so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested end-to-end.
+The DECODE kernel is REAL for the four stdlib-parseable containers —
+PNG/BMP (image), animated GIF (video stand-in), WAV (audio) — via the
+pure struct/zlib header parsers in ops/media_codecs.py (CRC-verified
+IHDR, full GIF block walk, RIFF chunk walk).  Pixel/sample payloads
+are never decompressed: decode cost is O(header), which is exactly
+what a metadata-extraction pass over 100 TB of media should pay.
+`MediaDecoder(fake=True)` keeps the old hash-derived fake decode for
+plumbing tests.  The resize/featurize kernels remain honestly stubbed
+(`fake=False` raises — pixel resampling and model inference need
+codec/model libraries this container lacks); their fake paths keep
+the actor shapes testable.
 
 Scale notes: media payloads are large, so the stage uses a SMALL
 batch_size (payload bytes x batch_size x concurrency must fit the
@@ -23,6 +28,9 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+from .media_codecs import (decode_media, encode_bmp, encode_gif,
+                           encode_png, encode_wav)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -48,16 +56,75 @@ def make_fake_media_table(texts: list[str], kinds: list[str]) -> pa.Table:
     })
 
 
+#: deterministic geometry formulas shared with the SQL oracle
+#: (pipelines/queries._media_decode_sql): media_id % 4 picks the
+#: container, every dimension is integer arithmetic on media_id, so
+#: the oracle states the EXPECTED metadata analytically — independent
+#: of both the encoder and the decoder it gates.
+_MEDIA_KINDS = ("image", "image", "video", "audio")
+_MEDIA_CTYPES = ("image/png", "image/bmp", "image/gif", "audio/wav")
+_WAV_RATE = 8000
+
+
+def _media_params(mid: int) -> tuple:
+    """(fmt_idx, width, height, n_frames, delay_cs, n_samples,
+    channels) for one media_id — the single source of truth for the
+    synthesizer; the oracle SQL spells the same arithmetic."""
+    k = mid % 4
+    if k == 0:   # png
+        return k, 16 + (mid * 7) % 33, 16 + (mid * 11) % 29, 1, 0, 0, 0
+    if k == 1:   # bmp
+        return k, 8 + (mid * 5) % 25, 8 + (mid * 3) % 21, 1, 0, 0, 0
+    if k == 2:   # animated gif (video stand-in)
+        return (k, 8 + mid % 17, 8 + (mid * 13) % 15,
+                1 + (mid // 4) % 5, 4 + mid % 7, 0, 0)
+    # wav
+    return k, 0, 0, 0, 0, 800 + (mid * 37) % 4000, 1 + mid % 2
+
+
+def synth_media_payload(mid: int) -> bytes:
+    """One deterministic, structurally valid container payload per
+    media_id (see _media_params)."""
+    k, w, h, nf, delay, ns, ch = _media_params(mid)
+    seed = mid % 256
+    if k == 0:
+        return encode_png(w, h, seed)
+    if k == 1:
+        return encode_bmp(w, h, seed)
+    if k == 2:
+        return encode_gif(w, h, nf, delay, seed)
+    return encode_wav(_WAV_RATE, ns, ch, seed)
+
+
+def synth_media_batch(batch: pa.Table,
+                      id_col: str = "doc_id") -> pa.Table:
+    """Fixture-synthesis map_batches stage: (id) -> MEDIA_SCHEMA rows
+    with REAL encoded payloads (ops/media_codecs encoders).  Encoding
+    is per-row Python by nature (binary containers), but each payload
+    is tiny (<=~7 KB) and the stage runs distributed."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    payloads = [synth_media_payload(int(m)) for m in ids]
+    kinds = [_MEDIA_KINDS[int(m) % 4] for m in ids]
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64)),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "content_type": pa.array(
+            [_MEDIA_CTYPES[int(m) % 4] for m in ids], pa.string()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
 class MediaDecoder:
     """Actor-pool decode/feature stage.
 
-    Usage: ds.map_batches(MediaDecoder, fn_constructor_kwargs={"fake": True},
-                          batch_size=64, concurrency=(2, 8), num_cpus=1)
+    Usage: ds.map_batches(MediaDecoder, batch_size=64,
+                          concurrency=(2, 8), num_cpus=1)
     """
 
     def __init__(self, fake: bool = False, keep_payload: bool = False):
-        # real implementation would load codecs / models HERE, once per
-        # actor (PIL/ffmpeg/torchaudio are not in this container)
+        # a heavier codec/model load would happen HERE, once per actor;
+        # the stdlib header parsers need no setup
         self.fake = fake
         # keep_payload=True threads the raw bytes through for chained
         # stages (resize/featurize); drop them at the earliest stage
@@ -65,10 +132,13 @@ class MediaDecoder:
         self.keep_payload = keep_payload
 
     def _decode_real(self, payload: bytes, kind: str):
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in "
-            "this environment; construct MediaDecoder(fake=True) for the "
-            "deterministic fake decode path")
+        """Header-level container parse (ops/media_codecs.decode_media:
+        PNG/BMP/GIF/WAV, CRC/structure-checked).  `kind` is advisory —
+        the container magic is the truth."""
+        m = decode_media(payload)
+        return {"width": m["width"], "height": m["height"],
+                "n_frames": m["n_frames"],
+                "duration_ms": m["duration_ms"]}
 
     def _decode_fake(self, payload: bytes, kind: str):
         h = zlib.crc32(payload)

@@ -36,7 +36,7 @@ from ..ops.similarity import brute_force_topk, lsh_topk
 from ..ops.sessions import sessionize
 from ..ops.text import (token_count_batch, quality_batch, lang_id_batch,
                         fingerprint_batch, _BPE_PATTERN)
-from ..ops.multimodal import MediaDecoder, make_fake_media_table
+from ..ops.multimodal import MediaDecoder
 
 CFG = DEFAULT_CONFIG
 GATE_SQL = "('" + "','".join(CFG.gate_roles) + "')"
@@ -2472,23 +2472,40 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing, full chain: binary payload -> actor-pool
-    DECODE -> frame-sample plan -> actor-pool RESIZE -> actor-pool
-    FEATURIZE (batched fake model -> unit embedding) -> payload
-    dropped.  Deterministic fake kernels; real codecs stubbed per
-    environment, every Ray-side shape (schema, small batch, init-once
-    actors) real."""
+    """REAL stdlib media decode: one valid container payload per doc
+    (PNG/BMP/animated-GIF/WAV, ops/media_codecs encoders, geometry =
+    integer arithmetic on media_id) -> actor-pool header-parse DECODE
+    (CRC-verified IHDR, GIF block walk, RIFF chunk walk; payloads
+    never decompressed).  The oracle states the expected metadata
+    ANALYTICALLY from the same arithmetic (_media_decode_sql) — fully
+    independent of both encoder and decoder."""
+    from ..ops.multimodal import synth_media_batch
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ds = ds.map_batches(MediaDecoder, batch_size=64,
+                        batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["media_id", "kind", "width", "height",
+                              "n_frames", "duration_ms"])
+
+
+def _media_chain(sf_dir: str):
+    """Full multimodal chain over REAL container payloads: synthesize
+    -> actor-pool DECODE (real header parse) -> frame-sample plan ->
+    actor-pool RESIZE -> actor-pool FEATURIZE (batched fake model ->
+    unit embedding) -> payload dropped.  Resize/featurize kernels stay
+    honestly fake (no pixel/model libs in this container); every
+    Ray-side shape (schema, small batches, init-once actors) is
+    real."""
     from ..ops.multimodal import (MediaResizer, MediaFeaturizer,
-                                  frame_sample_batch)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["text"])
-    texts = [t or "" for t in docs.column("text").to_pylist()[:500]]
-    kinds = ["image", "audio", "video"] * (len(texts) // 3 + 1)
-    tbl = make_fake_media_table(texts, kinds[:len(texts)])
-    ds = ray.data.from_arrow(tbl)
+                                  frame_sample_batch, synth_media_batch)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
     ds = ds.map_batches(MediaDecoder,
-                        fn_constructor_kwargs={"fake": True,
-                                               "keep_payload": True},
+                        fn_constructor_kwargs={"keep_payload": True},
                         batch_size=64, batch_format="pyarrow",
                         concurrency=(1, 4))
     ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
@@ -2501,6 +2518,35 @@ def q_media_decode(sf_dir: str):
                         batch_size=64, batch_format="pyarrow",
                         concurrency=(1, 4))
     return ds.drop_columns(["payload"])
+
+
+def _media_decode_sql() -> str:
+    """Analytic oracle for q_media_decode: the expected container
+    metadata as integer arithmetic on media_id — the SAME formulas the
+    synthesizer encodes (ops/multimodal._media_params), stated in SQL
+    without touching encoder or decoder.  All-positive ints, so
+    DuckDB's truncating // equals floor."""
+    return """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 2 THEN 'video' WHEN 3 THEN 'audio'
+                    ELSE 'image' END AS kind,
+               CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 33
+                               WHEN 1 THEN 8 + (doc_id * 5) % 25
+                               WHEN 2 THEN 8 + doc_id % 17
+                               ELSE 0 END AS width,
+               CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 11) % 29
+                               WHEN 1 THEN 8 + (doc_id * 3) % 21
+                               WHEN 2 THEN 8 + (doc_id * 13) % 15
+                               ELSE 0 END AS height,
+               CASE doc_id % 4 WHEN 2 THEN 1 + (doc_id // 4) % 5
+                               WHEN 3 THEN 800 + (doc_id * 37) % 4000
+                               ELSE 1 END AS n_frames,
+               CASE doc_id % 4
+                    WHEN 2 THEN (1 + (doc_id // 4) % 5)
+                                * (4 + doc_id % 7) * 10
+                    WHEN 3 THEN (800 + (doc_id * 37) % 4000) * 1000 // 8000
+                    ELSE 0 END AS duration_ms
+        FROM documents"""
 
 
 # --------------------------------------------------------------------------
@@ -2699,7 +2745,7 @@ def q_media_summary(sf_dir: str):
     golden — the chain's outputs are value-gated even though the
     full row-level result carries list columns the VALUES oracle
     can't express."""
-    ds = q_media_decode(sf_dir)
+    ds = _media_chain(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         emb = batch.column("embedding").combine_chunks()
@@ -4814,6 +4860,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               ON l.user_id = r.user_id
              AND l.ts BETWEEN r.ts - INTERVAL {_IVL_WINDOW_S} SECOND
                           AND r.ts""",
+
+        "media_decode": _media_decode_sql(),
 
         **_golden_dedup_sql(sf_dir),
     }

@@ -9,10 +9,10 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: legitimately-no-oracle queries (approximate sketch estimates whose
-#: pinned goldens live in the SQL pins, media stubs) — everything else
-#: in RAY_QUERIES must have an oracle_sql_strings entry
-ROWS_ONLY = {"media_decode"}
+#: legitimately-no-oracle queries — EMPTY since round 4 (media_decode
+#: gained a real stdlib decoder + analytic oracle); everything in
+#: RAY_QUERIES must have an oracle_sql_strings entry
+ROWS_ONLY: set[str] = set()
 
 
 def _bench_names() -> list[str]:

@@ -1,0 +1,141 @@
+"""Real stdlib media codecs (ops/media_codecs.py): decoder checks
+against HANDCRAFTED byte fixtures (independent of the encoders),
+encoder->decoder round trips, corruption gates, and the distributed
+decode query against the analytic formulas."""
+
+import struct
+
+import pytest
+
+from d1_log_aggregation_ray.ops.media_codecs import (
+    MediaParseError, decode_media, encode_bmp, encode_gif, encode_png,
+    encode_wav, parse_bmp, parse_gif, parse_png, parse_wav, sniff_format)
+
+# the widely-published minimal 1x1 RGBA PNG header (sig + IHDR with
+# its canonical CRC 0x1F15C489) — bytes written out by hand, NOT
+# produced by encode_png
+_PNG_1x1 = (b"\x89PNG\r\n\x1a\n"
+            b"\x00\x00\x00\x0dIHDR"
+            b"\x00\x00\x00\x01\x00\x00\x00\x01\x08\x06\x00\x00\x00"
+            b"\x1f\x15\xc4\x89")
+
+
+def test_parse_png_handcrafted():
+    m = parse_png(_PNG_1x1)
+    assert (m["width"], m["height"], m["n_frames"],
+            m["duration_ms"]) == (1, 1, 1, 0)
+
+
+def test_parse_png_crc_gate():
+    bad = bytearray(_PNG_1x1)
+    bad[20] ^= 0x01  # flip a width bit without fixing the CRC
+    with pytest.raises(MediaParseError, match="CRC"):
+        parse_png(bytes(bad))
+
+
+def test_parse_gif_handcrafted():
+    # hand-built GIF89a: 2x3 screen, no GCT, one frame, no GCE
+    gif = (b"GIF89a" + struct.pack("<HH", 2, 3) + b"\x00\x00\x00"
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 3) + b"\x00"
+           + b"\x02" + b"\x01\x44\x00"   # min code 2; 1 sub-block; term
+           + b"\x3b")
+    m = parse_gif(gif)
+    assert (m["width"], m["height"], m["n_frames"],
+            m["duration_ms"]) == (2, 3, 1, 0)
+
+
+def test_parse_bmp_handcrafted_topdown():
+    # negative height = top-down BMP; parser reports abs(height)
+    dib = struct.pack("<IiiHHIIiiII", 40, 5, -7, 1, 24, 0, 0, 0, 0, 0, 0)
+    bmp = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + dib
+    m = parse_bmp(bmp)
+    assert (m["width"], m["height"]) == (5, 7)
+
+
+def test_parse_wav_handcrafted_chunk_order_and_padding():
+    # data chunk BEFORE fmt, with an ODD size (RIFF pads to even) —
+    # exercises the chunk walk, not just the happy layout
+    data = b"\x01" * 7
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+    body = (b"WAVE"
+            + b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO")  # foreign chunk
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = parse_wav(wav)
+    assert m["n_frames"] == 7 // 2 == 3
+    assert m["duration_ms"] == 3 * 1000 // 1000
+
+
+@pytest.mark.parametrize("w,h,seed", [(1, 1, 0), (48, 44, 255),
+                                      (16, 29, 7), (33, 16, 128)])
+def test_png_roundtrip(w, h, seed):
+    m = parse_png(encode_png(w, h, seed))
+    assert (m["width"], m["height"]) == (w, h)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (25, 21), (8, 28), (32, 8)])
+def test_bmp_roundtrip(w, h):
+    m = parse_bmp(encode_bmp(w, h, 9))
+    assert (m["width"], m["height"]) == (w, h)
+
+
+@pytest.mark.parametrize("w,h,nf,delay", [(1, 1, 1, 0), (24, 22, 5, 10),
+                                          (8, 8, 3, 4), (17, 9, 2, 6)])
+def test_gif_roundtrip(w, h, nf, delay):
+    m = parse_gif(encode_gif(w, h, nf, delay, seed=3))
+    assert (m["width"], m["height"], m["n_frames"],
+            m["duration_ms"]) == (w, h, nf, nf * delay * 10)
+
+
+@pytest.mark.parametrize("rate,ns,ch", [(8000, 800, 1), (8000, 4799, 2),
+                                        (44100, 44100, 2), (1, 1, 1)])
+def test_wav_roundtrip(rate, ns, ch):
+    m = parse_wav(encode_wav(rate, ns, ch, seed=11))
+    assert m["n_frames"] == ns
+    assert m["duration_ms"] == ns * 1000 // rate
+
+
+def test_sniff_and_dispatch():
+    payloads = {"png": encode_png(2, 2), "bmp": encode_bmp(2, 2),
+                "gif": encode_gif(2, 2), "wav": encode_wav(8000, 10)}
+    for fmt, p in payloads.items():
+        assert sniff_format(p) == fmt
+        assert decode_media(p)["format"] == fmt
+    assert sniff_format(b"\x00\x01garbage") is None
+    with pytest.raises(MediaParseError, match="magic"):
+        decode_media(b"not media at all")
+
+
+def test_truncation_gates():
+    with pytest.raises(MediaParseError):
+        parse_gif(encode_gif(4, 4, 2, 5)[:-10])  # cut inside LZW blocks
+    with pytest.raises(MediaParseError):
+        parse_png(encode_png(4, 4)[:20])
+    with pytest.raises(MediaParseError):
+        parse_wav(b"RIFF\x04\x00\x00\x00WAVE")   # no fmt/data chunks
+    with pytest.raises(MediaParseError):
+        parse_bmp(b"BM" + b"\x00" * 30)          # bogus DIB size 0
+
+
+def test_media_decode_query_matches_analytic_formulas(ray_session):
+    """Distributed synth -> real decode equals the _media_params
+    arithmetic recomputed here per row (the same truth the SQL oracle
+    states) — covers the Ray plumbing without DuckDB."""
+    from d1_log_aggregation_ray.ops.multimodal import _media_params
+    from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
+    rows = RAY_QUERIES["media_decode"]("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500
+    kinds = ("image", "image", "video", "audio")
+    for r in rows:
+        mid = r["media_id"]
+        k, w, h, nf, delay, ns, ch = _media_params(mid)
+        assert r["kind"] == kinds[k]
+        if k in (0, 1):
+            exp = (w, h, 1, 0)
+        elif k == 2:
+            exp = (w, h, nf, nf * delay * 10)
+        else:
+            exp = (0, 0, ns, ns * 1000 // 8000)
+        got = (r["width"], r["height"], r["n_frames"], r["duration_ms"])
+        assert got == exp, (mid, got, exp)

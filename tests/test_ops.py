@@ -265,8 +265,14 @@ def test_media_plumbing():
     vid = next(r for r in out if r["kind"] == "video")
     assert vid["n_frames"] >= 1
     assert len(frame_sample_indices(100, 30)) == 4
-    with pytest.raises(NotImplementedError):
+    # the real decode kernel is live since round 4 (stdlib header
+    # parsers); garbage bytes fail loudly, valid containers parse
+    from d1_log_aggregation_ray.ops.media_codecs import (MediaParseError,
+                                                         encode_png)
+    with pytest.raises(MediaParseError):
         MediaDecoder(fake=False)._decode_real(b"x", "image")
+    real = MediaDecoder(fake=False)._decode_real(encode_png(9, 4), "image")
+    assert (real["width"], real["height"]) == (9, 4)
 
 
 def test_media_chain_resize_featurize_framesample():

@@ -76,10 +76,11 @@ def test_query_matches_oracle(name, con, fx_dir):
 
 
 def test_rows_only_queries_run(fx_dir):
-    """The remaining legitimately-no-oracle ops (approximate sketch,
-    stubbed media decode): smoke-run, assert non-trivial row counts.
-    Everything else — including every dedup family — now has a driver-
-    checkable oracle (SQL or pinned golden) covered above."""
+    """Smoke-run the queries whose oracle is a pinned golden that the
+    parametrized gate above already covers via the VALUES SQL — kept
+    as a belt-and-braces row-count check.  Since round 4 EVERY
+    RAY_QUERIES entry has a driver-checkable oracle (media_decode
+    gained a real stdlib decoder + analytic SQL)."""
     from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
     for name in ["approx_distinct_users", "media_decode"]:
         res = _to_pandas(RAY_QUERIES[name](SF_DIR))
