@@ -353,9 +353,33 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 11) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
-def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int = 8,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> ray.data.Dataset:
+def knn_planes_for(n_rows: int, target_bucket_rows: int = 2048,
+                   min_planes: int = 8, max_planes: int = 30) -> int:
+    """Scale-adaptive LSH plane count for knn_join: enough planes that
+    the EXPECTED bucket (n_rows / 2^planes) holds at most
+    `target_bucket_rows` vectors, clamped to [min_planes, max_planes].
+    Derives the operator's heap lever from the corpus size instead of
+    a fixed default (round-3 verdict item 2): 1e12 rows -> 29 planes
+    -> ~2k expected rows/bucket.  Shared with the generated SQL oracle
+    (both sides count the corpus), so bucket assignment cannot
+    drift."""
+    import math
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return int(min(max_planes, max(
+        min_planes, math.ceil(math.log2(n_rows / target_bucket_rows)))))
+
+
+#: neighbor-axis chunk for the within-bucket scan — bounds the scores
+#: temporary at ~CHUNK x rows-chunk doubles even for a degenerate
+#: mega-bucket (all-identical vectors defeat any plane count); tests
+#: monkeypatch it small to exercise the merge path
+_KNN_COL_CHUNK = 262_144
+
+
+def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             target_bucket_rows: int = 2048) -> ray.data.Dataset:
     """All-pairs approximate kNN join: every vector gets its exact
     cosine top-k among the vectors sharing its LSH bucket (seeded
     random-hyperplane signature, `lsh_planes`).  Returns
@@ -364,25 +388,34 @@ def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int = 8,
     SQL oracle's inner self-join on the same signature).
 
     Scale shape: ONE exchange keyed on the signature (vectors ride it
-    once, ~8*dim bytes/row); each bucket is scanned with a chunked
-    (chunk x bucket) matmul so memory stays O(chunk * bucket), never
-    O(bucket^2).  Partitioning assumption (documented, like the dedup
-    families): one bucket's vectors fit a worker heap — n_planes
-    controls bucket count (2^n_planes expected buckets), so raise it
-    with corpus size.  The within-bucket cost is inherently
-    O(bucket^2 * dim) multiply-adds — that is the exact-within-bucket
-    kNN contract; callers wanting sub-quadratic use the IVF index.
+    once, ~8*dim bytes/row).  n_planes defaults to the SCALE-ADAPTIVE
+    derivation knn_planes_for(corpus count) — expected rows/bucket is
+    held at `target_bucket_rows` regardless of corpus size (the count
+    is parquet-metadata-cheap on a fresh read).  Within a bucket the
+    exact scan chunks BOTH axes: rows as before, and the neighbor axis
+    at _KNN_COL_CHUNK with a running per-row top-k merge, so the
+    scores temporary stays ~32 MB even for a degenerate mega-bucket
+    (e.g. millions of identical vectors, which no plane count can
+    split).  Remaining partitioning assumption (the house map_groups
+    contract): one hash PARTITION of (id, vec) rows fits a worker
+    heap — P scales with the cluster.  The within-bucket cost is
+    inherently O(bucket^2 * dim) multiply-adds — that is the
+    exact-within-bucket kNN contract; callers wanting sub-quadratic
+    use the IVF index.
 
-    Determinism: neighbor ranking is (score desc, neighbor_id asc) via
-    a stable argsort over id-ascending columns; exact score ties
-    (identical vectors) therefore resolve identically in the engine
-    and the SQL oracle.
+    Determinism: neighbor ranking is (score desc, neighbor_id asc);
+    within a chunk via stable argsort over id-ascending columns, and
+    the cross-chunk merge re-sorts candidates by the same key, so
+    exact score ties (identical vectors) resolve identically in the
+    engine and the SQL oracle at ANY chunk size.
 
     Reference analog: none (the reference has no similarity ops) —
     this is the LLM-data-pipeline family; the bucket-scan shape
     follows ops/dedup.py::embedding_cosine_dedup."""
     from ..functions.parts import hash_parts
     P = hash_parts()
+    if n_planes is None:
+        n_planes = knn_planes_for(ds.count(), target_bucket_rows)
     out_schema = pa.schema([(id_col, pa.int64()),
                             ("neighbor_id", pa.int64()),
                             ("nn_rank", pa.int64())])
@@ -404,6 +437,16 @@ def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int = 8,
             "part": pa.array(sig % np.int64(P)),
         })
 
+    def _merge_topk(ms: np.ndarray, mi: np.ndarray, kk: int):
+        """Per-row top-kk of candidate (score, id) columns under
+        (-score, id) order: one flat lexsort with the row index as the
+        major key — vectorized across the whole row chunk."""
+        R, C = ms.shape
+        rows = np.repeat(np.arange(R, dtype=np.int64), C)
+        flat = np.lexsort((mi.ravel(), -ms.ravel(), rows))
+        pick = flat.reshape(R, C)[:, :kk]
+        return ms.ravel()[pick], mi.ravel()[pick]
+
     def partition_scan(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or id_col not in group.column_names:
             return out_schema.empty_table()
@@ -415,23 +458,42 @@ def knn_join(ds: ray.data.Dataset, k: int = 5, n_planes: int = 8,
         starts = np.flatnonzero(np.r_[True, sig[1:] != sig[:-1]])
         counts = np.diff(np.r_[starts, len(sig)])
         out_id, out_nb, out_rk = [], [], []
+        CHC = _KNN_COL_CHUNK
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            c = int(c)
             bm = _normalize(m[s:s + c])        # bucket rows, ids asc
             bi = ids[s:s + c]
             kk = min(k, c - 1)
-            CH = max(16, 4_000_000 // int(c))  # ~32MB of f64 scores
-            for a in range(0, int(c), CH):
-                b = min(a + CH, int(c))
-                scores = bm[a:b] @ bm.T        # (chunk, c)
-                scores[np.arange(a, b) - a, np.arange(a, b)] = -np.inf
-                # stable argsort over id-ascending columns: ties
-                # (identical vectors) break toward the smaller id,
-                # matching ORDER BY score DESC, neighbor_id
-                nb = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
-                out_id.append(np.repeat(bi[a:b], kk))
-                out_nb.append(bi[nb].ravel())
-                out_rk.append(np.tile(np.arange(1, kk + 1, dtype=np.int64),
-                                      b - a))
+            CHR = max(16, 4_000_000 // min(c, CHC))  # ~32MB of f64 scores
+            for a in range(0, c, CHR):
+                b = min(a + CHR, c)
+                best_s = best_i = None
+                for ca in range(0, c, CHC):    # hot-bucket guard
+                    cb = min(ca + CHC, c)
+                    scores = bm[a:b] @ bm[ca:cb].T   # (rows, col chunk)
+                    rr = np.arange(a, b)
+                    sel = (rr >= ca) & (rr < cb)     # mask self-pairs
+                    scores[np.flatnonzero(sel), rr[sel] - ca] = -np.inf
+                    kc = min(kk, cb - ca)
+                    # stable argsort over id-ascending columns: ties
+                    # break toward the smaller id, matching
+                    # ORDER BY score DESC, neighbor_id
+                    loc = np.argsort(-scores, axis=1,
+                                     kind="stable")[:, :kc]
+                    ls = np.take_along_axis(scores, loc, axis=1)
+                    li = bi[ca + loc]
+                    if best_s is None:
+                        best_s, best_i = ls, li
+                    else:
+                        best_s, best_i = _merge_topk(
+                            np.concatenate([best_s, ls], axis=1),
+                            np.concatenate([best_i, li], axis=1), kk)
+                keep = np.isfinite(best_s)         # rows with < kk nbrs
+                nnb = keep.sum(axis=1).astype(np.int64)
+                out_id.append(np.repeat(bi[a:b], nnb))
+                out_nb.append(best_i[keep])
+                ranks = (np.cumsum(keep, axis=1)[keep]).astype(np.int64)
+                out_rk.append(ranks)
         if not out_id:
             return out_schema.empty_table()
         return pa.table({id_col: pa.array(np.concatenate(out_id)),

@@ -2596,15 +2596,19 @@ def _sig_terms_sql(planes: np.ndarray) -> str:
 
 def _knn_join_sql(sf_dir: str) -> str:
     """DuckDB mirror of ops/similarity.knn_join: same seeded planes
-    (shared lsh_planes), inner self-join on the signature, exact
+    (shared lsh_planes) at the same SCALE-ADAPTIVE plane count (shared
+    knn_planes_for over the corpus row count — parquet metadata here,
+    ds.count() in the engine), inner self-join on the signature, exact
     cosine ranking with (score DESC, neighbor_id) ties.  Score sign /
     ordering agreement between numpy and DuckDB holds unless two
     distinct candidate scores are within float rounding of each other
     (validated in pytest, same caveat as the other ANN oracles);
     exact ties — identical vectors — order identically by id in
     both engines."""
-    from ..ops.similarity import lsh_planes
-    planes = lsh_planes(8, len(_query_vec(sf_dir)))
+    from ..ops.similarity import knn_planes_for, lsh_planes
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    planes = lsh_planes(knn_planes_for(n_rows), len(_query_vec(sf_dir)))
     return f"""
         SELECT vec_id, neighbor_id, nn_rank FROM (
           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

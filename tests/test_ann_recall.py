@@ -133,6 +133,37 @@ def test_knn_join_identical_vector_ties():
                    (12, 10, 1), (12, 11, 2)}
 
 
+def test_knn_planes_for_scale_derivation():
+    """n_planes derives from corpus size (round-3 verdict item 2):
+    expected rows/bucket held at target; floor 8 keeps small corpora
+    (and the pinned oracles) unchanged; cap 30 bounds signature
+    width."""
+    from d1_log_aggregation_ray.ops.similarity import knn_planes_for
+    assert knn_planes_for(500) == 8
+    assert knn_planes_for(5_000) == 8
+    assert knn_planes_for(2048 * 256) == 8
+    assert knn_planes_for(2048 * 257) == 9
+    assert knn_planes_for(10**9) == 19      # ~1907 rows/bucket
+    assert knn_planes_for(10**12) == 29     # ~1862 rows/bucket
+    assert knn_planes_for(10**15) == 30     # capped
+    assert knn_planes_for(100, target_bucket_rows=10) == 8
+    assert knn_planes_for(10_000, target_bucket_rows=10) == 10
+
+
+def test_knn_join_mega_bucket_chunked_guard(corpus, monkeypatch):
+    """The neighbor-axis hot-bucket guard: with the column chunk
+    forced tiny (3 neighbors per matmul), every bucket takes the
+    multi-chunk running top-k merge path — results must still equal
+    the independent reference EXACTLY, including tie order."""
+    import d1_log_aggregation_ray.ops.similarity as sim
+    monkeypatch.setattr(sim, "_KNN_COL_CHUNK", 3)
+    path, ids, mat = corpus
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = sim.knn_join(ds, k=5).take_all()
+    got = {(r["vec_id"], r["neighbor_id"], r["nn_rank"]) for r in out}
+    assert got == _knn_reference(ids, mat, k=5)
+
+
 def test_pq_recall(corpus):
     """PQ is lossy by design (16x64 codes over 64 dims), but ADC
     order must track exact cosine order well: mean recall@10 over the
