@@ -240,3 +240,76 @@ def test_cluster_sample_balances_and_is_layout_independent():
                           target=60, k=3, iters=5).take_all()
     assert sorted((r["vec_id"], r["cluster"]) for r in out) == \
         sorted((r["vec_id"], r["cluster"]) for r in out2)
+
+
+def test_bounded_fit_equals_exact_fit_when_sample_covers_corpus():
+    """The round-4 default (bounded sample fit + streaming assignment)
+    must be BIT-IDENTICAL to the round-3 exact cached-blocks fit when
+    fit_sample_n >= corpus size — the property the pinned goldens rely
+    on at test scales (integer sums are associative, and the sample
+    is then the whole corpus)."""
+    import ray.data
+
+    from d1_log_aggregation_ray.ops.cluster import kmeans_embeddings
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    sampled = sorted((r["vec_id"], r["cluster"]) for r in
+                     kmeans_embeddings(ds, k=10, iters=5).take_all())
+    exact = sorted((r["vec_id"], r["cluster"]) for r in
+                   kmeans_embeddings(ds, k=10, iters=5,
+                                     fit_sample_n=None).take_all())
+    assert sampled == exact
+
+
+def test_bounded_fit_subsample_matches_local_reference():
+    """fit_sample_n SMALLER than the corpus: the engine must fit on
+    exactly the smallest-n (md5(id), id) rows and assign the full
+    corpus — recomputed here with a serial numpy reference sharing
+    only the hash function; also layout-independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from d1_log_aggregation_ray.functions.hashing import md5_lower64_array
+    from d1_log_aggregation_ray.ops.cluster import (KMEANS_SCALE,
+                                                    kmeans_embeddings)
+
+    rng = np.random.default_rng(3)
+    n, d, k, sn = 300, 6, 4, 64
+    mat = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(mat.tolist())})
+
+    # serial reference: sample by rank, integer Lloyd, assign all
+    h = md5_lower64_array(pa.array([str(i) for i in ids]))
+    samp = np.lexsort((ids, h))[:sn]
+    q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+    qs = q[samp]
+    seeds = samp[np.lexsort((ids[samp], h[samp]))[:k]]
+    cent = q[seeds]
+
+    def assign(qq, cc):
+        cross = qq @ cc.T
+        norms = np.einsum("kd,kd->k", cc, cc)
+        return np.argmin(norms[None, :] - 2 * cross, axis=1)
+
+    for _ in range(5):
+        a = assign(qs, cent)
+        cent = cent.copy()
+        for c in range(k):
+            sel = qs[a == c]
+            if len(sel):
+                cent[c] = sel.sum(axis=0) // len(sel)
+    want = {int(i): int(c) for i, c in zip(ids, assign(q, cent))}
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = {r["vec_id"]: r["cluster"] for r in
+               kmeans_embeddings(ds, k=k, iters=5,
+                                 fit_sample_n=sn).take_all()}
+        assert got == want
