@@ -1239,6 +1239,178 @@ def build_minhash_index(ds: ray.data.Dataset, index_dir: str,
      .write_parquet(index_dir))
 
 
+def _index_parquet_files(index_dir: str) -> list[str]:
+    """All live parquet files of a minhash band index, recursive over
+    segment subdirs, skipping `_`/`.`-prefixed path components (tmp
+    dirs, markers) — the single listing rule shared by the reader,
+    the appender and the compactor."""
+    import glob as _glob
+    import os as _os
+    out = []
+    for p in sorted(_glob.glob(_os.path.join(index_dir, "**",
+                                             "*.parquet"),
+                               recursive=True)):
+        rel = _os.path.relpath(p, index_dir)
+        if any(part.startswith(("_", ".")) for part in
+               rel.split(_os.sep)):
+            continue
+        out.append(p)
+    return out
+
+
+def append_minhash_index(ds: ray.data.Dataset, index_dir: str,
+                         num_perm: int = 64, n_bands: int = 16,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Day-N index growth: write the NEW docs' unique band-bucket keys
+    as a fresh SEGMENT subdirectory (`seg-<content-tag>`) beside the
+    existing index — purely additive, never rewrites prior segments,
+    so daily runs stay cheap and crash-trivial (a half-written tmp
+    segment is `_`-prefixed and invisible until its atomic rename).
+    Pair with compact_minhash_index so a year of daily segments
+    doesn't cost 365 segment reads (round-3 verdict item 6).  Returns
+    the segment path."""
+    import os
+    import uuid
+    n_parts = _num_parts()
+    sigs = _signatures(ds, num_perm, text_col, id_col)
+    band = sigs.map_batches(_band_rows,
+                            fn_kwargs={"n_bands": n_bands,
+                                       "n_parts": n_parts,
+                                       "id_col": id_col},
+                            batch_format="pyarrow")
+
+    _EMPTY = pa.table({"part": pa.array([], pa.int64()),
+                       "band_key": pa.array([], pa.int64())})
+
+    def unique_keys(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY
+        k = np.unique(group.column("band_key").to_numpy())
+        part = group.column("part")[0].as_py()
+        return pa.table({"part": pa.array(np.full(len(k), part,
+                                                  np.int64)),
+                         "band_key": pa.array(k)})
+
+    tag = uuid.uuid4().hex[:16]
+    tmp = os.path.join(index_dir, f"_tmp-seg-{tag}")
+    final = os.path.join(index_dir, f"seg-{tag}")
+    (band.select_columns(["part", "band_key"])
+     .groupby("part").map_groups(unique_keys, batch_format="pyarrow")
+     .write_parquet(tmp))
+    os.replace(tmp, final)
+    return final
+
+
+_COMPACT_MARKER = "_compacting.json"
+
+
+def compact_minhash_index(index_dir: str) -> dict:
+    """Size-coalescing compaction of a segmented minhash band index:
+    merge EVERY live file into one new segment of globally-unique
+    (part, band_key) rows, then delete the inputs — so day-365's
+    incremental run reads one compact segment instead of 365.
+
+    Crash-safe with the two-phase marker protocol of
+    sources/compact.py: (1) write `_compacting.json` (tmp + atomic
+    rename) recording the merged segment name and the exact input
+    list; (2) write the merged segment to a `_`-prefixed tmp dir and
+    atomic-rename into place; (3) delete inputs, drop the marker.  A
+    rerun after a crash finishes the deletes if the merged segment
+    exists, else discards the stale marker and starts fresh.  Index
+    semantics are idempotent under duplicate rows (bucket presence),
+    so even the transient merged+inputs window is correct for a
+    concurrent reader; compaction still runs offline like any
+    maintenance pass.
+
+    Distributed: the merge is one hash exchange of narrow (part,
+    band_key) rows + per-partition np.unique — never a driver-side
+    table.  Returns {n_in_files, n_out_files, n_keys}."""
+    import glob as _glob
+    import json
+    import os
+    import uuid
+
+    marker = os.path.join(index_dir, _COMPACT_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        merged = os.path.join(index_dir, m["merged"])
+        if os.path.isdir(merged):       # crash mid-delete: finish
+            for rel in m["inputs"]:
+                p = os.path.join(index_dir, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+            _prune_empty_segments(index_dir)
+            os.remove(marker)
+            return {"n_in_files": len(m["inputs"]), "n_out_files": -1,
+                    "n_keys": -1, "action": "finish"}
+        os.remove(marker)               # crash before data: stale
+
+    files = _index_parquet_files(index_dir)
+    tops = {os.path.relpath(p, index_dir).split(os.sep)[0]
+            for p in files}
+    if len(files) <= 1 or (len(tops) == 1 and next(iter(tops))
+                           .startswith("seg-compact-")):
+        # nothing to coalesce / already one compacted segment
+        return {"n_in_files": len(files), "n_out_files": len(files),
+                "n_keys": -1, "action": "skip"}
+    tag = uuid.uuid4().hex[:16]
+    merged_name = f"seg-compact-{tag}"
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump({"merged": merged_name,
+                   "inputs": [os.path.relpath(p, index_dir)
+                              for p in files]}, f)
+    os.replace(tmp_marker, marker)
+
+    _EMPTY = pa.table({"part": pa.array([], pa.int64()),
+                       "band_key": pa.array([], pa.int64())})
+
+    def unique_keys(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "band_key" not in group.schema.names:
+            return _EMPTY
+        k = np.unique(group.column("band_key").to_numpy())
+        part = group.column("part")[0].as_py()
+        return pa.table({"part": pa.array(np.full(len(k), part,
+                                                  np.int64)),
+                         "band_key": pa.array(k)})
+
+    tmp = os.path.join(index_dir, f"_tmp-{merged_name}")
+    # coalesce the merged segment to ~8 MiB files (input byte size as
+    # the proxy) — without this, map_groups emits one file per hash
+    # partition and a toy compaction would GROW the file count
+    total = sum(os.path.getsize(p) for p in files)
+    n_out = max(1, int(total // (8 << 20)))
+    (ray.data.read_parquet(files, columns=["part", "band_key"])
+     .groupby("part").map_groups(unique_keys, batch_format="pyarrow")
+     .repartition(n_out).write_parquet(tmp))
+    os.replace(tmp, os.path.join(index_dir, merged_name))
+    for p in files:
+        os.remove(p)
+    _prune_empty_segments(index_dir)
+    os.remove(marker)
+    out_files = _index_parquet_files(index_dir)
+    n_keys = sum(pq_file_rows(p) for p in out_files)
+    return {"n_in_files": len(files), "n_out_files": len(out_files),
+            "n_keys": n_keys, "action": "merged"}
+
+
+def pq_file_rows(path: str) -> int:
+    import pyarrow.parquet as _pq
+    return _pq.read_metadata(path).num_rows
+
+
+def _prune_empty_segments(index_dir: str) -> None:
+    """Drop now-empty seg-* dirs after a compaction's deletes."""
+    import os
+    for name in os.listdir(index_dir):
+        p = os.path.join(index_dir, name)
+        if name.startswith("seg-") and os.path.isdir(p) \
+                and not os.listdir(p):
+            os.rmdir(p)
+
+
 def incremental_minhash_dedup(new_ds: ray.data.Dataset, index_dir: str,
                               num_perm: int = 64, n_bands: int = 16,
                               id_col: str = "doc_id",
@@ -1278,14 +1450,16 @@ def incremental_minhash_dedup(new_ds: ray.data.Dataset, index_dir: str,
     # corpus sizes means many tiny files; one read task per tiny file
     # costs more than the data (measured 5.0 -> 2.3 s at sf0.1).
     # Coalesce to ~8 MiB-of-parquet blocks, capped by file count so
-    # large indexes keep their natural parallelism.
-    import glob as _glob
+    # large indexes keep their natural parallelism.  The listing is
+    # segment-aware (base files + day-N seg-* appends, tmp dirs and
+    # markers excluded) — the explicit file list also keeps a
+    # concurrent compaction's `_`-prefixed tmp output invisible.
     import os as _os
-    files = _glob.glob(_os.path.join(index_dir, "*.parquet"))
+    files = _index_parquet_files(index_dir)
     total = sum(_os.path.getsize(f) for f in files)
     n_blocks = max(1, min(len(files) or 1, total // (8 << 20)))
     idx = ray.data.read_parquet(
-        index_dir, columns=["part", "band_key"],
+        files or index_dir, columns=["part", "band_key"],
         override_num_blocks=n_blocks).map_batches(
         index_rows, batch_format="pyarrow", zero_copy_batch=True)
 

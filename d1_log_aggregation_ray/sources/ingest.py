@@ -90,3 +90,69 @@ def read_transcripts_csv(paths: str | list[str]) -> ray.data.Dataset:
             strings_can_be_null=True)).map_batches(
         normalize_transcripts, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+#: reference LogEntry child -> canonical transcript column (the v1/v2
+#: wire shape of samples/v{1,2}/logEntry-valid.xml:1-11: entryId,
+#: identifier, ipAddress, userAgent, subject, event, dateLogged,
+#: nodeIdentifier).  identifier/entryId key the record like
+#: conv_id/turn_idx; subject is the acting principal (role analog);
+#: userAgent is the free-text payload; event is the action tag (tool
+#: analog); dateLogged is the timestamp.  ipAddress/nodeIdentifier
+#: have no transcript analog and drop like any extra column.
+_XML_FIELD_MAP = {"identifier": "conv_id", "entryId": "turn_idx",
+                  "subject": "role", "userAgent": "text",
+                  "event": "tool", "dateLogged": "ts"}
+
+
+def _xml_entry_rows(payload: bytes) -> list[dict]:
+    """Parse one XML document into canonical-name row dicts: every
+    <logEntry> element (any namespace — the reference's v1 and v2
+    differ only in the xmlns), children accepted under EITHER the
+    canonical transcript names or the reference's LogEntry names
+    (_XML_FIELD_MAP).  stdlib ElementTree; trailing 'Z' stripped from
+    timestamps (Arrow's naive-timestamp cast rejects zone suffixes)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(payload)
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    entries = ([root] if local(root.tag) == "logEntry"
+               else [e for e in root.iter() if local(e.tag) == "logEntry"])
+    rows = []
+    for e in entries:
+        f = {}
+        for c in e:
+            name = local(c.tag)
+            f[_XML_FIELD_MAP.get(name, name)] = c.text
+        ts = f.get("ts")
+        rows.append({
+            "conv_id": f.get("conv_id"),
+            "turn_idx": int(f["turn_idx"])
+            if f.get("turn_idx") is not None else None,
+            "role": f.get("role"),
+            "text": f.get("text"),
+            "tool": f.get("tool"),
+            "ts": ts.strip().rstrip("Zz") if ts else None,
+        })
+    return rows
+
+
+def read_transcripts_xml(paths: str | list[str]) -> ray.data.Dataset:
+    """XML transcript source: files of <logEntry> elements in the
+    reference's v1/v2 wire shape (or the canonical names), one row
+    per element.  Parsing is per-file python by nature (XML), but
+    each file parses inside its read task — the stage stays
+    distributed and the normalizer is the same vectorized cast the
+    other formats share."""
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for payload in batch.column("bytes"):
+            rows.extend(_xml_entry_rows(payload.as_py()))
+        if not rows:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        return normalize_transcripts(pa.Table.from_pylist(rows))
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow")

@@ -94,3 +94,63 @@ def test_normalize_rejects_bad_ts_type():
                   "ts": pa.array([1.5], pa.float64())})
     with pytest.raises(TypeError):
         normalize_transcripts(t)
+
+
+_XML_V1 = """<?xml version="1.0" encoding="UTF-8"?>
+<d1:logEntry xmlns:d1="http://ns.dataone.org/service/types/v1">
+    <entryId>7</entryId>
+    <identifier>conv-a</identifier>
+    <ipAddress>10.0.0.1</ipAddress>
+    <userAgent>hello world</userAgent>
+    <subject>user</subject>
+    <event>search</event>
+    <dateLogged>2006-05-04T18:13:51.0Z</dateLogged>
+    <nodeIdentifier>nodeX</nodeIdentifier>
+</d1:logEntry>
+"""
+
+_XML_V2 = _XML_V1.replace("types/v1", "types/v2.0").replace(
+    "conv-a", "conv-b").replace(">7<", ">8<")
+
+_XML_MULTI = """<?xml version="1.0"?>
+<log>
+  <logEntry>
+    <conv_id>conv-c</conv_id><turn_idx>0</turn_idx>
+    <role>assistant</role><text>hi</text><tool>none</tool>
+    <ts>2024-01-02T03:04:05.000006</ts>
+  </logEntry>
+  <logEntry>
+    <conv_id>conv-c</conv_id><turn_idx>1</turn_idx>
+    <role>user</role><text></text>
+  </logEntry>
+</log>
+"""
+
+
+def test_xml_roundtrip_v1_v2_and_canonical(tmp_path):
+    """The reference's v1/v2 LogEntry element shape (samples/
+    v{1,2}/logEntry-valid.xml structure) AND canonical child names
+    normalize to the transcript schema; multi-entry documents expand
+    one row per element; extra children (ipAddress/nodeIdentifier)
+    drop; trailing-Z timestamps parse."""
+    import datetime
+
+    from d1_log_aggregation_ray.sources.ingest import read_transcripts_xml
+
+    for name, content in [("v1.xml", _XML_V1), ("v2.xml", _XML_V2),
+                          ("multi.xml", _XML_MULTI)]:
+        (tmp_path / name).write_text(content)
+    ds = read_transcripts_xml(str(tmp_path))
+    got = _sorted(pa.Table.from_pandas(
+        ds.to_pandas(), schema=TRANSCRIPT_SCHEMA, preserve_index=False))
+    assert got.schema.equals(TRANSCRIPT_SCHEMA)
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in got.to_pylist()}
+    assert set(rows) == {("conv-a", 7), ("conv-b", 8),
+                         ("conv-c", 0), ("conv-c", 1)}
+    a = rows[("conv-a", 7)]
+    assert (a["role"], a["text"], a["tool"]) == ("user", "hello world",
+                                                 "search")
+    assert a["ts"] == datetime.datetime(2006, 5, 4, 18, 13, 51)
+    c0 = rows[("conv-c", 0)]
+    assert c0["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 6)
+    assert rows[("conv-c", 1)]["tool"] is None

@@ -49,12 +49,11 @@ def _sql_names():
     return sorted(oracle_sql_strings(SF_DIR).keys())
 
 
-@pytest.mark.parametrize("name", _sql_names())
-def test_query_matches_oracle(name, con, fx_dir):
+def _check_query_vs_oracle(name, sf_dir, con):
     from d1_log_aggregation_ray.pipelines.queries import (RAY_QUERIES,
                                                           oracle_sql_strings)
-    engine_raw = _to_pandas(RAY_QUERIES[name](SF_DIR))
-    oracle_raw = con.execute(oracle_sql_strings(SF_DIR)[name]).df()
+    engine_raw = _to_pandas(RAY_QUERIES[name](sf_dir))
+    oracle_raw = con.execute(oracle_sql_strings(sf_dir)[name]).df()
     # dtype KIND must match before any normalization — the driver's
     # value-hash may not coerce (e.g. duckdb SUM() returns HUGEINT ->
     # float64 in pandas unless CAST to BIGINT in the oracle SQL)
@@ -73,6 +72,39 @@ def test_query_matches_oracle(name, con, fx_dir):
         e, o = engine[c], oracle[c]
         eq = (e == o) | (e.isna() & o.isna())
         assert eq.all(), f"{name}.{c}: {int((~eq).sum())}/{len(e)} mismatches"
+
+
+@pytest.mark.parametrize("name", _sql_names())
+def test_query_matches_oracle(name, con, fx_dir):
+    _check_query_vs_oracle(name, SF_DIR, con)
+
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+#: sampling/threshold/quantile-sensitive queries re-checked at the
+#: DRIVER'S scale (sf0.01): a gate whose threshold degenerates with
+#: corpus size (e.g. a sampler that keeps everything at tiny scale)
+#: would pass the sf0.001 sweep above yet fail the graded run —
+#: round-3 verdict item 5.
+SCALE_SENSITIVE = ["mixture_sample", "approx_quantiles",
+                   "cluster_sample", "temperature_mix",
+                   "stratified_sample", "length_trim",
+                   "quality_buckets", "weighted_sample", "winsorize",
+                   "length_quantiles", "exact_sample", "sample_docs"]
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF01_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_query_matches_oracle_at_driver_scale(name, con01, fx_dir):
+    _check_query_vs_oracle(name, SF01_DIR, con01)
 
 
 def test_rows_only_queries_run(fx_dir):
