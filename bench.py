@@ -218,7 +218,23 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # grouped percentile clipping
                      "winsorize",
                      # per-key Pearson correlation (pure combiner)
-                     "price_qty_corr"]:
+                     "price_qty_corr",
+                     # round-4: the previously-unbenched registry tail
+                     # (verdict r3 item 7) — harvest-internal stage
+                     # queries, the remaining ANN variants, windowed
+                     # counts, per-source/user samples, real media
+                     # decode — so the band gate watches the WHOLE
+                     # registry
+                     "clean_project", "parse_flags",
+                     "membership_flags", "enrich_meta", "geo_enrich",
+                     "watermark_salted", "harvest_sink_counts",
+                     "token_count_bpe", "sample_docs",
+                     "quality_filter", "ann_ivf_topk", "doc_quality",
+                     "ann_lsh_topk", "dedup_simhash", "pca_ann_topk",
+                     "events_agg", "props_extract", "tumbling_counts",
+                     "sliding_counts", "sample_per_source",
+                     "topk_per_user", "distinct_users",
+                     "media_decode"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

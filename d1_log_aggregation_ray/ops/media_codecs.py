@@ -33,7 +33,17 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _ramp_bytes(n: int, seed: int, step: int = 1) -> bytes:
+    """(seed + i*step) % 256 for i in range(n) — numpy, not a python
+    byte loop (payload synthesis dominates the media bench without
+    this)."""
+    return ((seed + np.arange(n, dtype=np.int64) * step) % 256).astype(
+        np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +61,7 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     if width <= 0 or height <= 0:
         raise ValueError("png geometry must be positive")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    row = bytes((seed + i) % 256 for i in range(width * 3))
+    row = _ramp_bytes(width * 3, seed)
     raw = b"".join(b"\x00" + row for _ in range(height))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw, 6))
@@ -64,10 +74,10 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     if width <= 0 or height <= 0:
         raise ValueError("bmp geometry must be positive")
     row_bytes = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - width * 3)
     pix = bytearray()
     for y in range(height):
-        pix += bytes((seed + x + y) % 256 for x in range(width * 3))
-        pix += b"\x00" * (row_bytes - width * 3)
+        pix += _ramp_bytes(width * 3, seed + y) + pad
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                       len(pix), 2835, 2835, 0, 0)
     off = 14 + 40
@@ -81,22 +91,14 @@ def _gif_lzw_uniform(n_pixels: int) -> bytes:
     initial 3 bits, so packing is a fixed-width little-endian roll —
     spec-correct and trivially verifiable."""
     CLEAR, END = 4, 5
-    codes = [CLEAR]
-    for _ in range(n_pixels):
-        codes += [0, CLEAR]
-    codes[-1] = END  # final CLEAR slot becomes END
-    acc = nbits = 0
-    out = bytearray()
-    for c in codes:
-        acc |= c << nbits
-        nbits += 3
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+    codes = np.zeros(2 * n_pixels + 2, dtype=np.uint8)
+    codes[0::2] = CLEAR              # CLEAR before every literal 0
+    codes[-1] = END                  # final CLEAR slot becomes END
+    # fixed 3-bit little-endian packing, vectorized: 3 bits per code,
+    # LSB first, then packbits(bitorder='little')
+    bits = ((codes[:, None] >> np.arange(3, dtype=np.uint8)) & 1
+            ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def _sub_blocks(data: bytes) -> bytes:
@@ -143,7 +145,7 @@ def encode_wav(sample_rate: int, n_samples: int, channels: int = 1,
         raise ValueError("wav params must be positive")
     bits = 16
     block = channels * bits // 8
-    data = bytes(((seed + i * 7) % 256) for i in range(n_samples * block))
+    data = _ramp_bytes(n_samples * block, seed, step=7)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block, block, bits)
     body = bytearray(b"WAVE")

@@ -2484,7 +2484,11 @@ def q_media_decode(sf_dir: str):
                                  columns=["doc_id"])
     ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
-    ds = ds.map_batches(MediaDecoder, batch_size=64,
+    # batch_size sizes to PAYLOAD bytes x batch x concurrency per the
+    # module contract: these synthetic containers are KB-scale, so 512
+    # rows/batch is ~2 MB; a real image/video corpus drops this to
+    # 16-64
+    ds = ds.map_batches(MediaDecoder, batch_size=512,
                         batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(["media_id", "kind", "width", "height",
                               "n_frames", "duration_ms"])
@@ -2506,16 +2510,16 @@ def _media_chain(sf_dir: str):
                           zero_copy_batch=True)
     ds = ds.map_batches(MediaDecoder,
                         fn_constructor_kwargs={"keep_payload": True},
-                        batch_size=64, batch_format="pyarrow",
+                        batch_size=512, batch_format="pyarrow",
                         concurrency=(1, 4))
     ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
     ds = ds.map_batches(MediaResizer, fn_constructor_kwargs={"fake": True},
-                        batch_size=64, batch_format="pyarrow",
+                        batch_size=512, batch_format="pyarrow",
                         concurrency=(1, 4))
     ds = ds.map_batches(MediaFeaturizer,
                         fn_constructor_kwargs={"fake": True},
-                        batch_size=64, batch_format="pyarrow",
+                        batch_size=512, batch_format="pyarrow",
                         concurrency=(1, 4))
     return ds.drop_columns(["payload"])
 
@@ -2766,22 +2770,28 @@ def q_media_summary(sf_dir: str):
         kinds = batch.column("kind").to_numpy(zero_copy_only=False)
         m = np.asarray(emb.flatten(), dtype=np.float64).reshape(
             batch.num_rows, -1) if batch.num_rows else np.empty((0, 1))
-        sums = {k: float(m[kinds == k].sum())
+        # emb checksum in int64 FIXED POINT (round(x * 2^20) per
+        # element): integer sums are associative, so the pinned value
+        # is immune to batch size / block order / merge order — a raw
+        # float sum drifted in its low bits whenever the plan's
+        # batching changed (observed when batch_size went 64 -> 512)
+        qm = np.rint(m * (1 << 20)).astype(np.int64)
+        sums = {k: int(qm[kinds == k].sum())
                 for k in np.unique(kinds)} if batch.num_rows else {}
-        return g.append_column("emb_sum", pa.array(
+        return g.append_column("emb_sum_q", pa.array(
             [sums[k] for k in g.column("kind").to_pylist()],
-            pa.float64()))
+            pa.int64()))
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
     agg: dict[str, list] = {}
     for r in parts:
-        a = agg.setdefault(r["kind"], [0, 0, 0, 0, 0.0])
+        a = agg.setdefault(r["kind"], [0, 0, 0, 0, 0])
         a[0] += r["n"]
         a[1] += r["sum_bytes"]
         a[2] += r["sum_frames"]
         a[3] += r["sum_rw"]
-        a[4] += r["emb_sum"]
+        a[4] += r["emb_sum_q"]
     kinds = sorted(agg)
     return pa.table({
         "kind": pa.array(kinds),
@@ -2789,10 +2799,7 @@ def q_media_summary(sf_dir: str):
         "sum_bytes": pa.array([agg[k][1] for k in kinds], pa.int64()),
         "sum_frames": pa.array([agg[k][2] for k in kinds], pa.int64()),
         "sum_rw": pa.array([agg[k][3] for k in kinds], pa.int64()),
-        "emb_sum": pa.array(
-            [(np.floor(v * 1e4 + 0.5) if v >= 0
-              else -np.floor(-v * 1e4 + 0.5)) / 1e4
-             for v in (agg[k][4] for k in kinds)], pa.float64()),
+        "emb_sum_q": pa.array([agg[k][4] for k in kinds], pa.int64()),
     })
 
 

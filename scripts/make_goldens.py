@@ -47,7 +47,7 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                # per item (crc math independent of batching); this
                # pins its per-kind aggregate projection
                "media_summary": ["kind", "n", "sum_bytes",
-                                 "sum_frames", "sum_rw", "emb_sum"],
+                                 "sum_frames", "sum_rw", "emb_sum_q"],
                # BPE merge rules: deterministic (integer counts, total
                # pair order) but iterative; cross-checked against the
                # independent reference in tests/test_bpe.py
