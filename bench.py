@@ -234,7 +234,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "events_agg", "props_extract", "tumbling_counts",
                      "sliding_counts", "sample_per_source",
                      "topk_per_user", "distinct_users",
-                     "media_decode"]:
+                     "media_decode",
+                     # error-tolerant media ingest audit (flag+count)
+                     "media_audit"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -122,7 +122,8 @@ class MediaDecoder:
                           concurrency=(2, 8), num_cpus=1)
     """
 
-    def __init__(self, fake: bool = False, keep_payload: bool = False):
+    def __init__(self, fake: bool = False, keep_payload: bool = False,
+                 on_error: str = "raise"):
         # a heavier codec/model load would happen HERE, once per actor;
         # the stdlib header parsers need no setup
         self.fake = fake
@@ -130,6 +131,14 @@ class MediaDecoder:
         # stages (resize/featurize); drop them at the earliest stage
         # that no longer needs them — payload bytes dominate the blocks
         self.keep_payload = keep_payload
+        # error tolerance for corrupt/truncated payloads (the harvest
+        # M3 skip-and-count pattern applied to media): "raise" fails
+        # the task; "flag" emits the row with zeroed metadata and
+        # parse_ok=0 so a downstream audit can count corruption per
+        # kind; "skip" drops the row silently
+        if on_error not in ("raise", "flag", "skip"):
+            raise ValueError(f"on_error={on_error!r}")
+        self.on_error = on_error
 
     def _decode_real(self, payload: bytes, kind: str):
         """Header-level container parse (ops/media_codecs.decode_media:
@@ -155,9 +164,22 @@ class MediaDecoder:
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
         n = len(payloads)
+        ok = np.ones(n, dtype=np.int8)
         if not self.fake:
-            metas = [self._decode_real(p, k)
-                     for p, k in zip(payloads, kinds)]
+            if self.on_error == "raise":
+                metas = [self._decode_real(p, k)
+                         for p, k in zip(payloads, kinds)]
+            else:
+                from .media_codecs import MediaParseError
+                _Z = {"width": 0, "height": 0, "n_frames": 0,
+                      "duration_ms": 0}
+                metas = []
+                for i, (p, k) in enumerate(zip(payloads, kinds)):
+                    try:
+                        metas.append(self._decode_real(p, k))
+                    except MediaParseError:
+                        ok[i] = 0
+                        metas.append(_Z)
             width = np.array([m["width"] for m in metas], np.int64)
             height = np.array([m["height"] for m in metas], np.int64)
             n_frames = np.array([m["n_frames"] for m in metas], np.int64)
@@ -191,6 +213,11 @@ class MediaDecoder:
         })
         if self.keep_payload:
             out = out.append_column("payload", batch.column("payload"))
+        if not self.fake:
+            if self.on_error == "flag":
+                out = out.append_column("parse_ok", pa.array(ok))
+            elif self.on_error == "skip" and not ok.all():
+                out = out.filter(pa.array(ok.astype(bool)))
         return out
 
 

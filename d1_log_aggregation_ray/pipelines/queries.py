@@ -2494,6 +2494,82 @@ def q_media_decode(sf_dir: str):
                               "n_frames", "duration_ms"])
 
 
+def q_media_audit(sf_dir: str):
+    """Error-tolerant media ingest audit — the harvest M3
+    skip-and-count pattern applied to binary payloads: corruption is
+    PLANTED deterministically (every media_id % 37 == 0 payload
+    truncated to 10 bytes, which every container parser rejects), the
+    actor-pool decoder runs with on_error='flag' (corrupt rows emit
+    zeroed metadata + parse_ok=0 instead of failing the task), and a
+    per-kind combiner rollup reports (n_media, n_ok, n_corrupt).
+    Oracle: pure arithmetic on media_id — the corruption rule is SQL,
+    so the expected counts are stated independently of encoder,
+    corrupter and decoder."""
+    from ..ops.multimodal import synth_media_batch
+    from ..stages.aggregate import hash_partition_aggregate
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        bad = ids % 37 == 0
+        if not bad.any():
+            return batch
+        payloads = batch.column("payload").to_pylist()
+        for i in np.flatnonzero(bad):
+            payloads[i] = payloads[i][:10]
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(payloads, pa.binary()))
+
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    ds = ds.map_batches(MediaDecoder,
+                        fn_constructor_kwargs={"on_error": "flag"},
+                        batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "kind": batch.column("kind"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "ok": pc.cast(batch.column("parse_ok"), pa.int64())})
+        g = t.group_by(["kind"]).aggregate([("one", "sum"),
+                                            ("ok", "sum")])
+        return g.rename_columns(["kind", "one", "ok"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = hash_partition_aggregate(parts, ["kind"],
+                                   [("one", "sum"), ("ok", "sum")])
+
+    def final(t: pa.Table) -> pa.Table:
+        n, ok = t.column("one_sum"), t.column("ok_sum")
+        return pa.table({
+            "kind": t.column("kind"),
+            "n_media": pc.cast(n, pa.int64()),
+            "n_ok": pc.cast(ok, pa.int64()),
+            "n_corrupt": pc.cast(pc.subtract(n, ok), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def _media_audit_sql() -> str:
+    """Analytic oracle for q_media_audit: kind from media_id % 4,
+    corruption from media_id % 37 — both planted rules, no decoder
+    involved."""
+    return """
+        SELECT CASE doc_id % 4 WHEN 2 THEN 'video' WHEN 3 THEN 'audio'
+                    ELSE 'image' END AS kind,
+               count(*) AS n_media,
+               CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_ok,
+               CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt
+        FROM documents GROUP BY 1"""
+
+
 def _media_chain(sf_dir: str):
     """Full multimodal chain over REAL container payloads: synthesize
     -> actor-pool DECODE (real header parse) -> frame-sample plan ->
@@ -4874,6 +4950,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
         "media_decode": _media_decode_sql(),
 
+        "media_audit": _media_audit_sql(),
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -5011,6 +5089,7 @@ RAY_QUERIES = {
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
     "media_decode": q_media_decode,
+    "media_audit": q_media_audit,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

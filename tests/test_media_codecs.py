@@ -139,3 +139,33 @@ def test_media_decode_query_matches_analytic_formulas(ray_session):
             exp = (0, 0, ns, ns * 1000 // 8000)
         got = (r["width"], r["height"], r["n_frames"], r["duration_ms"])
         assert got == exp, (mid, got, exp)
+
+
+def test_media_decoder_on_error_modes():
+    """Corrupt payloads: 'raise' fails, 'flag' emits parse_ok=0 with
+    zeroed metadata, 'skip' drops the row — the harvest M3 pattern on
+    binary columns.  Direct __call__ (no Ray needed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from d1_log_aggregation_ray.ops.multimodal import MediaDecoder
+
+    good = encode_png(5, 7)
+    bad = good[:10]
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([good, bad], pa.binary()),
+        "content_type": pa.array(["image/png"] * 2),
+        "n_bytes": pa.array([len(good), len(bad)], pa.int64()),
+    })
+    with pytest.raises(MediaParseError):
+        MediaDecoder()(batch)
+    flagged = MediaDecoder(on_error="flag")(batch)
+    rows = {r["media_id"]: r for r in flagged.to_pylist()}
+    assert rows[0]["parse_ok"] == 1 and rows[0]["width"] == 5
+    assert rows[1]["parse_ok"] == 0 and rows[1]["width"] == 0
+    skipped = MediaDecoder(on_error="skip")(batch)
+    assert skipped.column("media_id").to_pylist() == [0]
+    with pytest.raises(ValueError):
+        MediaDecoder(on_error="bogus")
