@@ -236,7 +236,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "topk_per_user", "distinct_users",
                      "media_decode",
                      # error-tolerant media ingest audit (flag+count)
-                     "media_audit"]:
+                     # + exact binary-payload dedup
+                     "media_audit", "media_dedup"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -44,14 +44,15 @@ def md5_lower64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 
 def md5_bytes_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Full 128-bit md5 digests of an Arrow string array as
+    """Full 128-bit md5 digests of an Arrow string OR binary array as
     fixed-width binary(16) (nulls -> 16 zero bytes).
 
-    The exact-dedup exchange key: 16 fixed bytes instead of raw text.
-    64 bits would see ~birthday(2^64) collisions at 10^12 docs; 128
-    bits is collision-free at any realistic corpus size, so a
-    hash-groupby is equivalent to GROUP BY text.  md5 is inherently
-    per-item; hash each unique value once and scatter (house pattern).
+    The exact-dedup exchange key: 16 fixed bytes instead of raw
+    text/payload.  64 bits would see ~birthday(2^64) collisions at
+    10^12 docs; 128 bits is collision-free at any realistic corpus
+    size, so a hash-groupby is equivalent to GROUP BY text.  md5 is
+    inherently per-item; hash each unique value once and scatter
+    (house pattern).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -60,7 +61,9 @@ def md5_bytes_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     for i in range(len(uniq)):
         s = uniq[i].as_py()
         lut.append(b"\x00" * 16 if s is None
-                   else hashlib.md5(s.encode("utf-8")).digest())
+                   else hashlib.md5(
+                       s if isinstance(s, bytes)
+                       else s.encode("utf-8")).digest())
     idx = pc.index_in(arr, uniq).fill_null(0).to_numpy(zero_copy_only=False)
     lut_np = np.frombuffer(b"".join(lut), dtype=np.uint8).reshape(-1, 16)
     buf = lut_np[idx.astype(np.int64)].tobytes()

@@ -2570,6 +2570,42 @@ def _media_audit_sql() -> str:
         FROM documents GROUP BY 1"""
 
 
+def q_media_dedup(sf_dir: str):
+    """Exact BINARY-payload dedup — the multimodal sibling of
+    dedup_exact: dedupe the encoded media corpus by md5(payload)
+    BEFORE any decode/featurize work is spent on copies.  Duplicates
+    are planted deterministically (payload synthesized from
+    media_id % 400, so ids >= 400 are byte-copies of id % 400);
+    survivors = min id per payload group.  Shape: one narrow
+    (16-byte md5, id) exchange + hash-partition min-aggregate — the
+    binary column itself never crosses a shuffle.  Oracle: the
+    planted mapping makes survivors analytic (dense ids -> doc_id <
+    400), independent of the hashing."""
+    from ..functions.hashing import md5_bytes_array
+    from ..ops.multimodal import synth_media_batch
+    from ..stages.aggregate import hash_partition_aggregate
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False) % 400
+        t = synth_media_batch(
+            pa.table({"_src": pa.array(src.astype(np.int64))}),
+            id_col="_src")
+        fp = md5_bytes_array(t.column("payload").combine_chunks())
+        return pa.table({"fp": fp,
+                         "doc_id": pc.cast(batch.column("doc_id"),
+                                           pa.int64())})
+
+    fps = docs.map_batches(fp_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = hash_partition_aggregate(fps, ["fp"], [("doc_id", "min")])
+    return agg.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id_min")}),
+        batch_format="pyarrow")
+
+
 def _media_chain(sf_dir: str):
     """Full multimodal chain over REAL container payloads: synthesize
     -> actor-pool DECODE (real header parse) -> frame-sample plan ->
@@ -4952,6 +4988,11 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
         "media_audit": _media_audit_sql(),
 
+        # planted payload-dup mapping (id % 400) + dense doc ids make
+        # the min-id-per-payload-group survivors analytic
+        "media_dedup": """
+            SELECT doc_id FROM documents WHERE doc_id < 400""",
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -5090,6 +5131,7 @@ RAY_QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "media_decode": q_media_decode,
     "media_audit": q_media_audit,
+    "media_dedup": q_media_dedup,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

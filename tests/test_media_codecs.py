@@ -169,3 +169,43 @@ def test_media_decoder_on_error_modes():
     assert skipped.column("media_id").to_pylist() == [0]
     with pytest.raises(ValueError):
         MediaDecoder(on_error="bogus")
+
+
+# ---- property tests: random geometry round trips (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 200), h=st.integers(1, 200),
+       seed=st.integers(0, 255))
+def test_png_roundtrip_property(w, h, seed):
+    m = parse_png(encode_png(w, h, seed))
+    assert (m["width"], m["height"]) == (w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 100), h=st.integers(1, 100),
+       seed=st.integers(0, 255))
+def test_bmp_roundtrip_property(w, h, seed):
+    m = parse_bmp(encode_bmp(w, h, seed))
+    assert (m["width"], m["height"]) == (w, h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 40),
+       nf=st.integers(1, 8), delay=st.integers(0, 100),
+       seed=st.integers(0, 255))
+def test_gif_roundtrip_property(w, h, nf, delay, seed):
+    m = parse_gif(encode_gif(w, h, nf, delay, seed))
+    assert (m["width"], m["height"], m["n_frames"],
+            m["duration_ms"]) == (w, h, nf, nf * delay * 10)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rate=st.integers(1, 96_000), ns=st.integers(1, 10_000),
+       ch=st.integers(1, 4), seed=st.integers(0, 255))
+def test_wav_roundtrip_property(rate, ns, ch, seed):
+    m = parse_wav(encode_wav(rate, ns, ch, seed))
+    assert m["n_frames"] == ns
+    assert m["duration_ms"] == ns * 1000 // rate
