@@ -175,14 +175,26 @@ FIT_SAMPLE_N = 65_536
 def _rank_sample_table(ds: ray.data.Dataset, n: int, id_col: str,
                        vec_col: str) -> pa.Table:
     """Deterministic bounded corpus sample: the n rows with the
-    smallest (md5(id), id) rank — per-block smallest-n partials, two
-    coalescing tree-merge levels, then a driver merge of the tiny
-    remainder (the coarse_centroids shape, ops/similarity.py:81-103).
-    ONE streaming pass; never a global sort, never a materialize of
-    the projection.  Returns a driver-held Arrow table (<= n rows)
-    carrying the rank as `_h` so seeding reuses it."""
+    smallest (md5(id), id) rank.  TWO streaming passes, neither of
+    which materializes the projection:
 
-    def local(batch: pa.Table) -> pa.Table:
+      A. rank pass over the ID COLUMN ONLY — per-block smallest-n
+         (_h, id) partials (16 bytes/row) through three coalescing
+         tree-merge levels + a driver merge.  Vectors never ride the
+         merge, so a coalesce task's working set is ~16n bytes at ANY
+         embedding dim (the first formulation carried vectors and
+         would have held GBs per task at d=768).
+      B. gather pass — broadcast the sorted sample ids once
+         (ray.put), filter the (id, vec) projection by searchsorted
+         membership, collect the <= n matching rows.
+
+    Driver memory is O(n * d) for the sample itself — the same bound
+    the local fit needs anyway; callers shrink fit_sample_n for very
+    wide embeddings.  Returns a driver-held table carrying the rank
+    as `_h` so seeding reuses it."""
+    from ..functions.parts import arrow_block_refs
+
+    def rank_local(batch: pa.Table) -> pa.Table:
         if "_h" in batch.schema.names:       # coalesce levels
             h = batch.column("_h").to_numpy(
                 zero_copy_only=False).view(np.uint64)
@@ -192,17 +204,15 @@ def _rank_sample_table(ds: ray.data.Dataset, n: int, id_col: str,
                                           pa.string()))
             t = pa.table({
                 "_h": pa.array(h.view(np.int64)),
-                id_col: pc.cast(batch.column(id_col), pa.int64()),
-                vec_col: batch.column(vec_col)})
+                id_col: pc.cast(batch.column(id_col), pa.int64())})
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h))[:n]
         return t.take(pa.array(order))
 
-    from ..functions.parts import arrow_block_refs
-    s = ds.select_columns([id_col, vec_col]).map_batches(
-        local, batch_format="pyarrow")
-    for _ in range(2):
-        s = s.map_batches(local, batch_format="pyarrow",
+    s = ds.select_columns([id_col]).map_batches(
+        rank_local, batch_format="pyarrow")
+    for _ in range(3):                       # B -> B/8^3 partials
+        s = s.map_batches(rank_local, batch_format="pyarrow",
                           batch_size=8 * n)
     parts = [t for t in ray.get(arrow_block_refs(s)) if t.num_rows]
     if not parts:
@@ -210,7 +220,31 @@ def _rank_sample_table(ds: ray.data.Dataset, n: int, id_col: str,
     tbl = pa.concat_tables(parts).combine_chunks()
     h = tbl.column("_h").to_numpy(zero_copy_only=False).view(np.uint64)
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    return tbl.take(pa.array(np.lexsort((ids, h))[:n]))
+    pick = np.lexsort((ids, h))[:n]
+    want = np.sort(ids[pick])
+    want_ref = ray.put(want)
+
+    def gather(batch: pa.Table, *, ids_ref) -> pa.Table:
+        w = ray.get(ids_ref) if isinstance(
+            ids_ref, ray.ObjectRef) else ids_ref
+        if batch.num_rows == 0:
+            return batch
+        key = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(w, key)
+        pos[pos == len(w)] = 0
+        return batch.filter(pa.array(w[pos] == key))
+
+    sampled = ds.select_columns([id_col, vec_col]).map_batches(
+        gather, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"ids_ref": want_ref})
+    rows = [t for t in ray.get(arrow_block_refs(sampled)) if t.num_rows]
+    out = pa.concat_tables(rows).combine_chunks()
+    out_ids = pc.cast(out.column(id_col), pa.int64())
+    oh = md5_lower64_array(pc.cast(out_ids, pa.string()))
+    return pa.table({"_h": pa.array(oh.view(np.int64)),
+                     id_col: out_ids,
+                     vec_col: out.column(vec_col)})
 
 
 def _lloyd_fit_local(tbl: pa.Table, k: int, iters: int, id_col: str,
