@@ -88,18 +88,44 @@ def _moment_rows(batch: pa.Table, vec_col: str) -> pa.Table:
     return pa.table({"blob": pa.array([blob], pa.binary())})
 
 
+def _merge_moment_blobs(batch: pa.Table) -> pa.Table:
+    """Coalesce level for pickled moment partials: unpickle, sum in
+    python ints (exact, associative), re-pickle ONE blob.  Two levels
+    cut the driver's take_all from one blob per input batch to
+    B/1024 blobs — at d=768 a blob is ~20 MB of py-ints, so without
+    this a million-block corpus would ship terabytes of partials to
+    the driver."""
+    import pickle
+    if batch.num_rows == 0:
+        return batch
+    parts = [pickle.loads(b.as_py()) for b in batch.column("blob")]
+    n_tot = 0
+    s_tot = None
+    ss_tot = None
+    for n, s, ss in parts:
+        n_tot += int(n)
+        s_tot = s if s_tot is None else s_tot + s
+        ss_tot = ss if ss_tot is None else ss_tot + ss
+    blob = pickle.dumps((n_tot, s_tot, ss_tot), protocol=4)
+    return pa.table({"blob": pa.array([blob], pa.binary())})
+
+
 def _fit_components_ds(ds: ray.data.Dataset, d_out: int, vec_col: str):
     """Streaming moment fit: ONE map_batches pass emitting pickled
-    per-batch integer partials, merged on the driver — nothing pinned
-    in the object store (pairs with ops/cluster's bounded Lloyd;
-    exact, unlike the sampled centroid fit: moments are one-pass
-    mergeable, so no sampling is ever needed here)."""
+    per-batch integer partials, tree-merged (two 32-way coalesce
+    levels) before a tiny driver merge — nothing pinned in the object
+    store (pairs with ops/cluster's bounded Lloyd; exact, unlike the
+    sampled centroid fit: moments are one-pass mergeable, so no
+    sampling is ever needed here)."""
     import pickle
     rows = ds.map_batches(_moment_rows, batch_format="pyarrow",
                           zero_copy_batch=True,
-                          fn_kwargs={"vec_col": vec_col}).take_all()
-    return _merge_components([pickle.loads(r["blob"]) for r in rows],
-                             d_out)
+                          fn_kwargs={"vec_col": vec_col})
+    for _ in range(2):
+        rows = rows.map_batches(_merge_moment_blobs,
+                                batch_format="pyarrow", batch_size=32)
+    return _merge_components(
+        [pickle.loads(r["blob"]) for r in rows.take_all()], d_out)
 
 
 def _fit_components(refs: list, d_out: int, vec_col: str):
