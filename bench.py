@@ -237,7 +237,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      "media_decode",
                      # error-tolerant media ingest audit (flag+count)
                      # + exact binary-payload dedup
-                     "media_audit", "media_dedup"]:
+                     "media_audit", "media_dedup",
+                     # role-alternation repair (bucket scan)
+                     "role_repair"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

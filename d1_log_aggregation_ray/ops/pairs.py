@@ -353,6 +353,38 @@ def role_violations_scan(batch: pa.Table) -> pa.Table:
     }).cast(_VIOL_SCHEMA)
 
 
+_REPAIR_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string())])
+
+
+def role_repair_scan(batch: pa.Table) -> pa.Table:
+    """Role-alternation protocol REPAIR — the fix to
+    role_violations_scan's detect: keep the FIRST turn of every
+    same-role run per conversation in turn order (equivalently, drop
+    any turn whose role equals the immediately preceding turn's role),
+    yielding a strictly alternating-role transcript ready for SFT
+    pairing.  NULL roles compare as '' (mirrored by the oracle's
+    COALESCE).  Shuffle-free under the whole-bucket contract; one
+    dictionary-encode + one shifted compare per bucket."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _REPAIR_SCHEMA.empty_table()
+    gidx, _, _ = _segments(batch)
+    ridx = np.asarray(pc.fill_null(
+        batch.column("role").combine_chunks(), "")
+        .dictionary_encode().indices)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (gidx[1:] != gidx[:-1]) | (ridx[1:] != ridx[:-1])
+    mask = pa.array(keep)
+    return pa.table({
+        "conv_id": batch.column("conv_id").filter(mask),
+        "turn_idx": batch.column("turn_idx").filter(mask),
+        "role": batch.column("role").filter(mask),
+    }).cast(_REPAIR_SCHEMA)
+
+
 _FORK_SCHEMA = pa.schema([
     ("part", pa.int64()), ("pfp", pa.string()), ("depth", pa.int64()),
     ("n_turns", pa.int64()), ("conv_id", pa.string())])

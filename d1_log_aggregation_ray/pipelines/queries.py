@@ -1770,6 +1770,16 @@ def q_role_violations(sf_dir: str):
     return _bucket_scan(sf_dir, role_violations_scan)
 
 
+def q_role_repair(sf_dir: str):
+    """Role-alternation protocol REPAIR (the fix to role_violations'
+    detect): keep the first turn of every same-role run per
+    conversation, yielding strictly alternating transcripts ready for
+    SFT pairing — shuffle-free whole-bucket scan
+    (ops/pairs.role_repair_scan)."""
+    from ..ops.pairs import role_repair_scan
+    return _bucket_scan(sf_dir, role_repair_scan)
+
+
 def q_turn_latency(sf_dir: str):
     """Assistant response latency per turn: ts(assistant) − ts(nearest
     preceding user turn) in microseconds, per conversation — the SFT
@@ -4597,6 +4607,15 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS n_violations
             FROM l GROUP BY conv_id""",
 
+        "role_repair": f"""
+            WITH l AS (
+              SELECT conv_id, turn_idx, role,
+                     LAG(COALESCE(role, '')) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM {TP} WHERE {VALID})
+            SELECT conv_id, turn_idx, role FROM l
+            WHERE prev IS NULL OR COALESCE(role, '') <> prev""",
+
         "tumbling_counts": """
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
@@ -5082,6 +5101,7 @@ RAY_QUERIES = {
     "conv_stats": q_conv_stats,
     "conv_text": q_conv_text,
     "role_violations": q_role_violations,
+    "role_repair": q_role_repair,
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
     "tool_trigrams": q_tool_trigrams,

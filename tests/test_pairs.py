@@ -277,3 +277,23 @@ def test_tool_path_and_trigram_semantics():
     tri = tool_trigram_scan(t)
     got = {(r["t1"], r["t2"], r["t3"]): r["n"] for r in tri.to_pylist()}
     assert got == {("grep", "read", "grep"): 2, ("read", "grep", "edit"): 2}
+
+
+def test_role_repair_keeps_first_of_each_run():
+    """A A U U A collapses to A U A; per-conv independent; null/''
+    conv rows dropped by the validity filter."""
+    import pyarrow as pa
+
+    from d1_log_aggregation_ray.ops.pairs import role_repair_scan
+
+    batch = pa.table({
+        "conv_id": pa.array(["c1"] * 5 + ["c2"] * 3 + [None]),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1, 2, 0], pa.int32()),
+        "role": pa.array(["assistant", "assistant", "user", "user",
+                          "assistant", "user", "user", "user",
+                          "assistant"]),
+    })
+    out = role_repair_scan(batch).to_pylist()
+    assert [(r["conv_id"], r["turn_idx"], r["role"]) for r in out] == [
+        ("c1", 0, "assistant"), ("c1", 2, "user"), ("c1", 4, "assistant"),
+        ("c2", 0, "user")]
