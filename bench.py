@@ -238,8 +238,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # error-tolerant media ingest audit (flag+count)
                      # + exact binary-payload dedup
                      "media_audit", "media_dedup",
-                     # role-alternation repair (bucket scan)
-                     "role_repair"]:
+                     # role-alternation repair/merge (bucket scans)
+                     "role_repair", "role_merge"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -385,6 +385,49 @@ def role_repair_scan(batch: pa.Table) -> pa.Table:
     }).cast(_REPAIR_SCHEMA)
 
 
+_MERGE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string()), ("text", pa.large_string()),
+    ("n_merged", pa.int64())])
+
+
+def role_merge_scan(batch: pa.Table) -> pa.Table:
+    """LOSSLESS role-alternation repair — role_repair_scan's sibling:
+    instead of dropping the tail of a same-role run, CONCATENATE the
+    run's texts ('\\n'-joined, NULL -> '') into one turn keyed by the
+    run's first turn_idx — consecutive same-speaker messages become
+    one message, the standard chat-log normalization before SFT
+    pairing.  One vectorized pc.binary_join over run-offset list
+    views (the conv_text_scan kernel at run granularity), shuffle-free
+    under the whole-bucket contract; large_string offsets so a 2 GiB+
+    bucket still assembles."""
+    batch = _valid_sorted(batch)
+    n = batch.num_rows
+    if n == 0:
+        return _MERGE_SCHEMA.empty_table()
+    gidx, _, _ = _segments(batch)
+    role_filled = pc.fill_null(batch.column("role").combine_chunks(), "")
+    ridx = np.asarray(role_filled.dictionary_encode().indices)
+    is_run_start = np.ones(n, dtype=bool)
+    is_run_start[1:] = (gidx[1:] != gidx[:-1]) | (ridx[1:] != ridx[:-1])
+    starts = np.flatnonzero(is_run_start)
+    offsets = pa.array(np.r_[starts, n].astype(np.int64), pa.int64())
+    texts = pc.fill_null(
+        batch.column("text").combine_chunks().cast(pa.large_string()), "")
+    merged = pc.binary_join(pa.LargeListArray.from_arrays(offsets, texts),
+                            pa.scalar("\n", pa.large_string()))
+    sel = pa.array(starts)
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(sel),
+        "turn_idx": batch.column("turn_idx").take(sel),
+        # the run's coalesced role ('' for NULL), matching the
+        # oracle's MIN(COALESCE(role, ''))
+        "role": role_filled.take(sel),
+        "text": merged,
+        "n_merged": pa.array(np.diff(np.r_[starts, n]).astype(np.int64)),
+    }).cast(_MERGE_SCHEMA)
+
+
 _FORK_SCHEMA = pa.schema([
     ("part", pa.int64()), ("pfp", pa.string()), ("depth", pa.int64()),
     ("n_turns", pa.int64()), ("conv_id", pa.string())])

@@ -1780,6 +1780,16 @@ def q_role_repair(sf_dir: str):
     return _bucket_scan(sf_dir, role_repair_scan)
 
 
+def q_role_merge(sf_dir: str):
+    """Lossless role-alternation repair: consecutive same-role turns
+    concatenated into one ('\\n'-joined), keyed by the run's first
+    turn_idx — chat-log normalization before SFT pairing
+    (ops/pairs.role_merge_scan; role_repair's drop becomes a
+    merge)."""
+    from ..ops.pairs import role_merge_scan
+    return _bucket_scan(sf_dir, role_merge_scan)
+
+
 def q_turn_latency(sf_dir: str):
     """Assistant response latency per turn: ts(assistant) − ts(nearest
     preceding user turn) in microseconds, per conversation — the SFT
@@ -4616,6 +4626,27 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT conv_id, turn_idx, role FROM l
             WHERE prev IS NULL OR COALESCE(role, '') <> prev""",
 
+        "role_merge": f"""
+            WITH l AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CASE WHEN LAG(COALESCE(role, '')) OVER (
+                              PARTITION BY conv_id ORDER BY turn_idx)
+                              IS DISTINCT FROM COALESCE(role, '')
+                          THEN 1 ELSE 0 END AS brk
+              FROM {TP} WHERE {VALID}),
+            r AS (
+              SELECT conv_id, turn_idx, role, text,
+                     SUM(brk) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS run_id
+              FROM l)
+            SELECT conv_id,
+                   CAST(MIN(turn_idx) AS INTEGER) AS turn_idx,
+                   MIN(COALESCE(role, '')) AS role,
+                   string_agg(COALESCE(text, ''), chr(10)
+                              ORDER BY turn_idx) AS text,
+                   count(*) AS n_merged
+            FROM r GROUP BY conv_id, run_id""",
+
         "tumbling_counts": """
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
@@ -5102,6 +5133,7 @@ RAY_QUERIES = {
     "conv_text": q_conv_text,
     "role_violations": q_role_violations,
     "role_repair": q_role_repair,
+    "role_merge": q_role_merge,
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
     "tool_trigrams": q_tool_trigrams,

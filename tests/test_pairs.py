@@ -297,3 +297,25 @@ def test_role_repair_keeps_first_of_each_run():
     assert [(r["conv_id"], r["turn_idx"], r["role"]) for r in out] == [
         ("c1", 0, "assistant"), ("c1", 2, "user"), ("c1", 4, "assistant"),
         ("c2", 0, "user")]
+
+
+def test_role_merge_concatenates_runs():
+    """A A U run structure: texts '\n'-joined per run, keyed by the
+    run's first turn_idx, n_merged counts the run length."""
+    import pyarrow as pa
+
+    from d1_log_aggregation_ray.ops.pairs import role_merge_scan
+
+    batch = pa.table({
+        "conv_id": pa.array(["c1"] * 4 + ["c2"] * 2),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "role": pa.array(["a", "a", "u", "a", "u", "u"]),
+        "text": pa.array(["x", None, "y", "z", "p", "q"]),
+    })
+    out = role_merge_scan(batch).to_pylist()
+    assert [(r["conv_id"], r["turn_idx"], r["role"], r["text"],
+             r["n_merged"]) for r in out] == [
+        ("c1", 0, "a", "x\n", 2),
+        ("c1", 2, "u", "y", 1),
+        ("c1", 3, "a", "z", 1),
+        ("c2", 0, "u", "p\nq", 2)]
