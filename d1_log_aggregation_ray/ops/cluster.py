@@ -178,7 +178,9 @@ def _rank_sample_table(ds: ray.data.Dataset, n: int, id_col: str,
     smallest (md5(id), id) rank.  TWO streaming passes, neither of
     which materializes the projection:
 
-      A. rank pass over the ID COLUMN ONLY — per-block smallest-n
+      A. rank pass over the ID COLUMN ONLY via the SHARED
+         order-statistic primitive (ops/split.smallest_rank_table —
+         the same code path exact_sample ships): per-block smallest-n
          (_h, id) partials (16 bytes/row) through three coalescing
          tree-merge levels + a driver merge.  Vectors never ride the
          merge, so a coalesce task's working set is ~16n bytes at ANY
@@ -193,35 +195,13 @@ def _rank_sample_table(ds: ray.data.Dataset, n: int, id_col: str,
     wide embeddings.  Returns a driver-held table carrying the rank
     as `_h` so seeding reuses it."""
     from ..functions.parts import arrow_block_refs
+    from .split import smallest_rank_table
 
-    def rank_local(batch: pa.Table) -> pa.Table:
-        if "_h" in batch.schema.names:       # coalesce levels
-            h = batch.column("_h").to_numpy(
-                zero_copy_only=False).view(np.uint64)
-            t = batch
-        else:                                # first level
-            h = md5_lower64_array(pc.cast(batch.column(id_col),
-                                          pa.string()))
-            t = pa.table({
-                "_h": pa.array(h.view(np.int64)),
-                id_col: pc.cast(batch.column(id_col), pa.int64())})
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:n]
-        return t.take(pa.array(order))
-
-    s = ds.select_columns([id_col]).map_batches(
-        rank_local, batch_format="pyarrow")
-    for _ in range(3):                       # B -> B/8^3 partials
-        s = s.map_batches(rank_local, batch_format="pyarrow",
-                          batch_size=8 * n)
-    parts = [t for t in ray.get(arrow_block_refs(s)) if t.num_rows]
-    if not parts:
+    ranked = smallest_rank_table(ds, n, id_col, levels=3)
+    if ranked.num_rows == 0:
         raise ValueError("empty input: nothing to fit centroids on")
-    tbl = pa.concat_tables(parts).combine_chunks()
-    h = tbl.column("_h").to_numpy(zero_copy_only=False).view(np.uint64)
-    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    pick = np.lexsort((ids, h))[:n]
-    want = np.sort(ids[pick])
+    want = np.sort(pc.cast(ranked.column(id_col), pa.int64())
+                   .to_numpy(zero_copy_only=False))
     want_ref = ray.put(want)
 
     def gather(batch: pa.Table, *, ids_ref) -> pa.Table:

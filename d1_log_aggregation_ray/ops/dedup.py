@@ -233,9 +233,15 @@ class MinHasher:
         self._vocab: dict = {}
 
     def _score(self, batch: pa.Table) -> pa.Array:
-        text = pc.fill_null(batch.column(self.text_col), "")
-        return pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
-                       pa.int64())
+        # DELEGATES to ops/text.token_count_batch — the single source
+        # of truth for the tokenization rule: keep_best_dedup's
+        # survivor semantics require this score to equal the
+        # registry's token_count exactly, so re-implementing the
+        # kernel here would let the two silently diverge
+        from .text import token_count_batch
+        t = pa.table({self.text_col:
+                      pc.fill_null(batch.column(self.text_col), "")})
+        return token_count_batch(t, self.text_col).column("n_tokens")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1329,9 +1335,22 @@ def compact_minhash_index(index_dir: str) -> dict:
     import glob as _glob
     import json
     import os
+    import shutil
     import uuid
 
     marker = os.path.join(index_dir, _COMPACT_MARKER)
+    # sweep orphans first: a crash between marker write and segment
+    # rename leaves a dead `_tmp-*` dir (and possibly a leaked
+    # marker.tmp) that no recovery path references — without this,
+    # repeated crashes accumulate dead parquet forever.  Safe because
+    # compaction runs offline (documented contract), so no live
+    # append's tmp dir can be present.
+    for name in os.listdir(index_dir):
+        if name.startswith("_tmp-"):
+            shutil.rmtree(os.path.join(index_dir, name),
+                          ignore_errors=True)
+    if os.path.exists(marker + ".tmp"):
+        os.remove(marker + ".tmp")
     if os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)

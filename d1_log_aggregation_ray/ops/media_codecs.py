@@ -227,6 +227,7 @@ def parse_gif(payload: bytes) -> dict:
         pos += 3 * (2 << (packed & 0x07))
     n_frames = 0
     delay_cs = 0
+    saw_trailer = False
     n = len(payload)
 
     def skip_sub_blocks(p: int) -> int:
@@ -242,13 +243,14 @@ def parse_gif(payload: bytes) -> dict:
         b = payload[pos]
         pos += 1
         if b == 0x3B:                       # trailer
+            saw_trailer = True
             break
         if b == 0x21:                       # extension
             if pos >= n:
                 raise MediaParseError("GIF truncated at extension")
             label = payload[pos]
             pos += 1
-            if label == 0xF9 and pos < n and payload[pos] >= 4:
+            if label == 0xF9 and pos + 4 < n and payload[pos] >= 4:
                 (d,) = struct.unpack_from("<H", payload, pos + 2)
                 delay_cs += d
             pos = skip_sub_blocks(pos)
@@ -264,6 +266,11 @@ def parse_gif(payload: bytes) -> dict:
             n_frames += 1
         else:
             raise MediaParseError(f"unknown GIF block 0x{b:02x}")
+    if not saw_trailer:
+        # data ran out before the 0x3B trailer: a file truncated at a
+        # block boundary would otherwise return a silent partial
+        # frame count
+        raise MediaParseError("GIF truncated before trailer")
     if n_frames == 0:
         raise MediaParseError("GIF has no image frames")
     return {"format": "gif", "width": int(w), "height": int(h),
@@ -285,6 +292,13 @@ def parse_wav(payload: bytes) -> dict:
         tag = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         pos += 8
+        if pos + size > n:
+            # declared chunk runs past the payload: truncated file or
+            # a size-lying header — either way the data is not there,
+            # so fail loudly instead of reporting inflated frames
+            raise MediaParseError(
+                f"WAV chunk {tag!r} declares {size} bytes but only "
+                f"{n - pos} remain")
         if tag == b"fmt " and size >= 16:
             _, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos)
@@ -307,10 +321,18 @@ _PARSERS = {"png": parse_png, "bmp": parse_bmp, "gif": parse_gif,
 def decode_media(payload: bytes) -> dict:
     """Sniff the container from magic bytes and parse its header:
     {format, width, height, n_frames, duration_ms}.  Raises
-    MediaParseError on unrecognized or malformed payloads (callers
-    wanting error-tolerant ingest wrap this with the skip-and-count
-    pattern, pipelines/harvest.py)."""
+    MediaParseError on ANY unrecognized/malformed/truncated payload —
+    low-level struct/index errors from exotic truncations are
+    normalized here so the error-tolerant decode modes
+    (MediaDecoder on_error='flag'/'skip') can rely on one exception
+    type (a struct.error escaping this boundary would fail the whole
+    Ray task instead of flagging the row)."""
     fmt = sniff_format(payload)
     if fmt is None:
         raise MediaParseError("unrecognized container magic")
-    return _PARSERS[fmt](payload)
+    try:
+        return _PARSERS[fmt](payload)
+    except MediaParseError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise MediaParseError(f"malformed {fmt}: {e}") from e

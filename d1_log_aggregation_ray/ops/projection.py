@@ -48,13 +48,13 @@ from .cluster import KMEANS_SCALE as PCA_SCALE
 from .cluster import _quantize
 
 
-@ray.remote
-def _moment_part(tbl: pa.Table, vec_col: str):
+def _moment_tuple(tbl: pa.Table, vec_col: str):
     """(n, sum, raw second moment) of the quantized block — the
-    fixed-size integer partial that crosses the wire.  The moment is
-    accumulated per 64k-row chunk (int64 matmul, < 2^58 per chunk)
-    into a python-int array, so the partial stays exact for blocks of
-    ANY size."""
+    fixed-size integer partial, SHARED by the block-ref remote and
+    the streaming map so the overflow argument lives in one place.
+    The moment is accumulated per 64k-row chunk (int64 matmul,
+    < 2^58 per chunk) into a python-int array, so the partial stays
+    exact for blocks of ANY size."""
     if tbl.num_rows == 0:
         return None
     q = _quantize(tbl, vec_col)
@@ -68,6 +68,11 @@ def _moment_part(tbl: pa.Table, vec_col: str):
     return (n, q.sum(axis=0).astype(object), ss)
 
 
+@ray.remote
+def _moment_part(tbl: pa.Table, vec_col: str):
+    return _moment_tuple(tbl, vec_col)
+
+
 def _moment_rows(batch: pa.Table, vec_col: str) -> pa.Table:
     """Streaming per-batch moment partial — the map_batches mirror of
     _moment_part: (n, sum, raw second moment) with the moment in
@@ -75,17 +80,11 @@ def _moment_rows(batch: pa.Table, vec_col: str) -> pa.Table:
     ONE binary row.  n_blocks tiny rows reach the driver; the corpus
     never does."""
     import pickle
-    if batch.num_rows == 0:
+    part = _moment_tuple(batch, vec_col)
+    if part is None:
         return pa.table({"blob": pa.array([], pa.binary())})
-    q = _quantize(batch, vec_col)
-    n, dim = q.shape
-    ss = np.zeros((dim, dim), dtype=object)
-    for i in range(0, n, 65536):
-        c = q[i:i + 65536]
-        ss += c.T @ c
-    blob = pickle.dumps((n, q.sum(axis=0).astype(object), ss),
-                        protocol=4)
-    return pa.table({"blob": pa.array([blob], pa.binary())})
+    return pa.table({"blob": pa.array([pickle.dumps(part, protocol=4)],
+                                      pa.binary())})
 
 
 def _merge_moment_blobs(batch: pa.Table) -> pa.Table:

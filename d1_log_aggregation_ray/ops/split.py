@@ -299,11 +299,31 @@ def exact_sample(ds: ray.data.Dataset, n: int = 500,
     Returns (id, sample_rank) with rank 1..n in hash order, mirrored
     exactly by the SQL oracle's ORDER BY md5_number_lower(...) LIMIT n.
 
-    Scale: two 8-partial coalescing tree-merge levels (each keeps the
-    combined smallest-n, so the result is unchanged) cut the driver
-    merge from n * n_blocks rows to n * n_blocks / 64 — at a
-    million-block corpus the straight collect would have been n * 1M
-    16-byte rows on one process."""
+    Scale: the shared smallest_rank_table primitive's coalescing
+    tree-merge (each level keeps the combined smallest-n, so the
+    result is unchanged) cuts the driver merge from n * n_blocks rows
+    to n * n_blocks / 8^levels — at a million-block corpus the
+    straight collect would have been n * 1M 16-byte rows on one
+    process."""
+    tbl = smallest_rank_table(ds, n, id_col)
+    return pa.table({
+        id_col: tbl.column(id_col),
+        "sample_rank": pa.array(np.arange(1, tbl.num_rows + 1,
+                                          dtype=np.int64))})
+
+
+def smallest_rank_table(ds: ray.data.Dataset, n: int, id_col: str,
+                        levels: int = 2) -> pa.Table:
+    """THE deterministic order-statistic primitive shared by
+    exact_sample and ops/cluster's bounded Lloyd sampler: the n rows
+    with the smallest (md5(id), id) rank, returned as a driver-held
+    rank-sorted table (id_col, `_h` uint64).  Per-batch smallest-n
+    partials (the `_h` column marks already-ranked partials for the
+    passthrough), `levels` 8-partial coalescing tree-merge levels,
+    one driver merge of the B/8^levels remainder.  ONE streaming pass
+    over the id column only — never a global sort, and the merge
+    working set is 16 bytes/row regardless of what other columns the
+    caller's dataset carries."""
     from ..functions.hashing import md5_lower64_array
 
     def local_min(batch: pa.Table) -> pa.Table:
@@ -322,14 +342,12 @@ def exact_sample(ds: ray.data.Dataset, n: int = 500,
 
     s = ds.select_columns([id_col]).map_batches(
         local_min, batch_format="pyarrow", zero_copy_batch=True)
-    for _ in range(2):
+    for _ in range(levels):
         s = s.map_batches(local_min, batch_format="pyarrow",
                           batch_size=8 * n)
     rows = s.take_all()
     h = np.array([r["_h"] for r in rows], dtype=np.uint64)
     ids = np.array([r[id_col] for r in rows])
     order = np.lexsort((ids, h))[:n]
-    return pa.table({
-        id_col: pa.array(ids[order]),
-        "sample_rank": pa.array(np.arange(1, len(order) + 1,
-                                          dtype=np.int64))})
+    return pa.table({id_col: pa.array(ids[order]),
+                     "_h": pa.array(h[order], pa.uint64())})

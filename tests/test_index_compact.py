@@ -119,3 +119,20 @@ def test_compact_crash_recovery_finishes_deletes(tmp_path):
     rep3 = compact_minhash_index(idx)
     assert rep3["action"] in ("skip", "merged")
     assert not os.path.exists(os.path.join(idx, _COMPACT_MARKER))
+
+
+def test_compact_sweeps_orphaned_tmp_dirs(tmp_path):
+    """A crash between marker write and segment rename leaves a dead
+    `_tmp-*` dir (and possibly a leaked marker.tmp); the next compact
+    sweeps both before doing anything else (review finding)."""
+    idx, _ = _segmented_index(tmp_path, n_days=2)
+    dead = os.path.join(idx, "_tmp-seg-compact-deadbeef")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    with open(os.path.join(idx, _COMPACT_MARKER + ".tmp"), "w") as f:
+        f.write("{}")
+    rep = compact_minhash_index(idx)
+    assert rep["action"] == "merged"
+    assert not os.path.exists(dead)
+    assert not os.path.exists(os.path.join(idx, _COMPACT_MARKER + ".tmp"))

@@ -209,3 +209,53 @@ def test_wav_roundtrip_property(rate, ns, ch, seed):
     m = parse_wav(encode_wav(rate, ns, ch, seed))
     assert m["n_frames"] == ns
     assert m["duration_ms"] == ns * 1000 // rate
+
+
+def test_decode_media_normalizes_low_level_errors():
+    """Exotic truncations that hit struct.unpack raise MediaParseError
+    (not struct.error) through decode_media, so on_error='flag'/'skip'
+    never crashes the task (review finding, round 4)."""
+    wav_mid_fmt = encode_wav(8000, 10)[:20]   # cut inside fmt chunk
+    with pytest.raises(MediaParseError):
+        decode_media(wav_mid_fmt)
+    gif_mid_gce = encode_gif(4, 4, 1, 5)[:25]  # cut inside the GCE
+    with pytest.raises(MediaParseError):
+        decode_media(gif_mid_gce)
+
+    # and the decoder's flag path survives both
+    import pyarrow as pa
+
+    from d1_log_aggregation_ray.ops.multimodal import MediaDecoder
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["audio", "video"]),
+        "payload": pa.array([wav_mid_fmt, gif_mid_gce], pa.binary()),
+        "content_type": pa.array(["audio/wav", "image/gif"]),
+        "n_bytes": pa.array([20, 25], pa.int64()),
+    })
+    out = MediaDecoder(on_error="flag")(batch)
+    assert out.column("parse_ok").to_pylist() == [0, 0]
+
+
+def test_wav_size_lie_and_gif_missing_trailer_rejected():
+    """A WAV whose data chunk declares more bytes than the payload
+    holds (truncated file or lying header) must FAIL, not report
+    inflated frames; a GIF cut cleanly between blocks (no 0x3B
+    trailer) must fail rather than return a partial frame count."""
+    import struct as _s
+    wav = bytearray(encode_wav(1000, 100))
+    # inflate the data-chunk size field 10x (data chunk is last)
+    pos = wav.rfind(b"data")
+    (real,) = _s.unpack_from("<I", wav, pos + 4)
+    _s.pack_into("<I", wav, pos + 4, real * 10)
+    with pytest.raises(MediaParseError, match="declares"):
+        parse_wav(bytes(wav))
+    # truncate a valid WAV inside its data chunk
+    with pytest.raises(MediaParseError):
+        parse_wav(encode_wav(1000, 100)[:-50])
+
+    gif = encode_gif(4, 4, 2, 5)
+    assert parse_gif(gif)["n_frames"] == 2
+    # drop the trailer byte: a clean between-block truncation
+    with pytest.raises(MediaParseError, match="trailer"):
+        parse_gif(gif[:-1])
