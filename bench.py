@@ -239,7 +239,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # + exact binary-payload dedup
                      "media_audit", "media_dedup",
                      # role-alternation repair/merge (bucket scans)
-                     "role_repair", "role_merge"]:
+                     "role_repair", "role_merge",
+                     # dedup family-agreement audit
+                     "dedup_diff"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -929,6 +929,49 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_dedup_diff(sf_dir: str):
+    """Dedup FAMILY-AGREEMENT audit: docs where minhash-LSH and
+    banded-simhash near-dup disagree — (doc_id, flag) with flag =
+    'minhash_only' (survives minhash, dropped by simhash) or
+    'simhash_only'.  The audit a curation run consults before
+    choosing its dedup operating point: a large asymmetric diff means
+    one family's threshold is off for this corpus.
+
+    Shape: the two survivor streams (each already a narrow one-
+    exchange plan) union with a side tag, then ONE hash-partition
+    aggregate on doc_id — count==1 rows are the symmetric difference,
+    their side-sum names the family.  Oracle: composed from the SAME
+    pinned golden survivor sets the individual families are checked
+    against (EXCEPT in both directions)."""
+    from ..stages.aggregate import hash_partition_aggregate
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    m = minhash_lsh_dedup(docs)
+    s = simhash_near_dedup(docs)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "side": pa.array(np.full(batch.num_rows, side, np.int64)),
+                "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        return fn
+
+    both = m.map_batches(tag(0), batch_format="pyarrow").union(
+        s.map_batches(tag(1), batch_format="pyarrow"))
+    agg = hash_partition_aggregate(both, ["doc_id"],
+                                   [("side", "sum"), ("one", "sum")])
+
+    def diff(t: pa.Table) -> pa.Table:
+        only = t.filter(pc.equal(t.column("one_sum"), 1))
+        side = only.column("side_sum").to_numpy(zero_copy_only=False)
+        flag = np.where(side == 0, "minhash_only", "simhash_only")
+        return pa.table({"doc_id": only.column("doc_id"),
+                         "flag": pa.array(flag.astype(object),
+                                          pa.string())})
+
+    return agg.map_batches(diff, batch_format="pyarrow")
+
+
 def q_dedup_embedding(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_cosine_dedup(ds, threshold=0.99)
@@ -3362,6 +3405,19 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
+    if "dedup_minhash" in pins and "dedup_simhash_near" in pins:
+        # family-agreement audit composed from the SAME pinned
+        # survivor sets the individual families are checked against
+        m = ", ".join(str(i) for i in pins["dedup_minhash"])
+        s = ", ".join(str(i) for i in pins["dedup_simhash_near"])
+        out["dedup_diff"] = f"""
+            WITH m AS (SELECT unnest([{m}]) AS id),
+                 s AS (SELECT unnest([{s}]) AS id)
+            SELECT CAST(id AS BIGINT) AS doc_id, 'minhash_only' AS flag
+            FROM (SELECT id FROM m EXCEPT SELECT id FROM s)
+            UNION ALL
+            SELECT CAST(id AS BIGINT) AS doc_id, 'simhash_only' AS flag
+            FROM (SELECT id FROM s EXCEPT SELECT id FROM m)"""
     return out
 
 
@@ -5134,6 +5190,7 @@ RAY_QUERIES = {
     "role_violations": q_role_violations,
     "role_repair": q_role_repair,
     "role_merge": q_role_merge,
+    "dedup_diff": q_dedup_diff,
     "turn_latency": q_turn_latency,
     "tool_transitions": q_tool_transitions,
     "tool_trigrams": q_tool_trigrams,
