@@ -44,6 +44,10 @@ def _to_ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
+    if pa.types.is_null(t):
+        # an all-missing ts column infers as null type (e.g. an XML
+        # batch whose entries carry no dateLogged) — typed nulls
+        return pa.nulls(len(col), pa.timestamp("us"))
     if pa.types.is_timestamp(t):
         return col.cast(pa.timestamp("us"))
     if pa.types.is_integer(t):

@@ -154,3 +154,25 @@ def test_xml_roundtrip_v1_v2_and_canonical(tmp_path):
     c0 = rows[("conv-c", 0)]
     assert c0["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 6)
     assert rows[("conv-c", 1)]["tool"] is None
+
+
+def test_xml_escaped_content_roundtrip(tmp_path):
+    """Escaped markup, entities and non-ASCII text inside logEntry
+    children parse back to the original strings."""
+    from xml.sax.saxutils import escape
+
+    from d1_log_aggregation_ray.sources.ingest import read_transcripts_xml
+
+    text = 'a < b && "c" > d — ünïcødé <tag/>'
+    role = "user&agent"
+    doc = f"""<?xml version="1.0" encoding="UTF-8"?>
+<log><logEntry>
+  <conv_id>c-esc</conv_id><turn_idx>0</turn_idx>
+  <role>{escape(role)}</role><text>{escape(text)}</text>
+</logEntry></log>"""
+    (tmp_path / "esc.xml").write_text(doc, encoding="utf-8")
+    rows = read_transcripts_xml(str(tmp_path / "esc.xml")).take_all()
+    assert len(rows) == 1
+    assert rows[0]["text"] == text
+    assert rows[0]["role"] == role
+    assert rows[0]["tool"] is None and rows[0]["ts"] is None
