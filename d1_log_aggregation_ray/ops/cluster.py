@@ -261,9 +261,12 @@ def _fit_centroids_bounded(ds: ray.data.Dataset, k: int, iters: int,
     """Bounded-working-set Lloyd: one streaming smallest-n sample pass
     + a driver-local integer fit.  The fit's memory is O(sample_n * d)
     regardless of corpus size; nothing is pinned in the object
-    store."""
+    store.  sample_n is clamped to >= k so the documented
+    "shrink fit_sample_n for wide embeddings" advice can never trip
+    _lloyd_fit_local's corpus-size check (round-4 ADVICE): the only
+    remaining failure is a corpus genuinely smaller than k."""
     return _lloyd_fit_local(
-        _rank_sample_table(ds, sample_n, id_col, vec_col),
+        _rank_sample_table(ds, max(sample_n, k), id_col, vec_col),
         k, iters, id_col, vec_col)
 
 

@@ -1340,13 +1340,15 @@ def compact_minhash_index(index_dir: str) -> dict:
 
     marker = os.path.join(index_dir, _COMPACT_MARKER)
     # sweep orphans first: a crash between marker write and segment
-    # rename leaves a dead `_tmp-*` dir (and possibly a leaked
-    # marker.tmp) that no recovery path references — without this,
-    # repeated crashes accumulate dead parquet forever.  Safe because
-    # compaction runs offline (documented contract), so no live
-    # append's tmp dir can be present.
+    # rename leaves a dead `_tmp-seg-compact-*` dir (and possibly a
+    # leaked marker.tmp) that no recovery path references — without
+    # this, repeated crashes accumulate dead parquet forever.  The
+    # sweep is scoped to COMPACTION'S OWN tmp prefix (round-4 ADVICE):
+    # append_minhash_index writes `_tmp-seg-<tag>` (no `compact`
+    # infix), so an overlapping append's in-flight segment is never
+    # clobbered even though compaction is documented offline.
     for name in os.listdir(index_dir):
-        if name.startswith("_tmp-"):
+        if name.startswith("_tmp-seg-compact-"):
             shutil.rmtree(os.path.join(index_dir, name),
                           ignore_errors=True)
     if os.path.exists(marker + ".tmp"):

@@ -213,11 +213,14 @@ class MediaDecoder:
         })
         if self.keep_payload:
             out = out.append_column("payload", batch.column("payload"))
-        if not self.fake:
-            if self.on_error == "flag":
-                out = out.append_column("parse_ok", pa.array(ok))
-            elif self.on_error == "skip" and not ok.all():
-                out = out.filter(pa.array(ok.astype(bool)))
+        # on_error shapes the schema in EVERY mode (round-4 ADVICE:
+        # fake=True used to silently drop the flag column): the fake
+        # path never fails a parse, so flag emits all-ones and skip
+        # filters nothing — but the output schema is mode-independent
+        if self.on_error == "flag":
+            out = out.append_column("parse_ok", pa.array(ok))
+        elif self.on_error == "skip" and not ok.all():
+            out = out.filter(pa.array(ok.astype(bool)))
         return out
 
 

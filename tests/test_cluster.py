@@ -313,3 +313,28 @@ def test_bounded_fit_subsample_matches_local_reference():
                kmeans_embeddings(ds, k=k, iters=5,
                                  fit_sample_n=sn).take_all()}
         assert got == want
+
+
+def test_fit_sample_n_below_k_is_clamped():
+    """fit_sample_n < k must NOT raise (round-4 ADVICE): the bounded
+    fit clamps the sample to at least k rows, so a shrunk sample on a
+    corpus with >= k vectors still fits — equivalently to
+    fit_sample_n=k."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from d1_log_aggregation_ray.ops.cluster import kmeans_embeddings
+
+    rng = np.random.default_rng(11)
+    n, d, k = 120, 4, 8
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(rng.normal(size=(n, d)).tolist())})
+    small = sorted((r["vec_id"], r["cluster"]) for r in
+                   kmeans_embeddings(ray.data.from_arrow(t), k=k, iters=3,
+                                     fit_sample_n=2).take_all())
+    at_k = sorted((r["vec_id"], r["cluster"]) for r in
+                  kmeans_embeddings(ray.data.from_arrow(t), k=k, iters=3,
+                                    fit_sample_n=k).take_all())
+    assert small == at_k and len(small) == n

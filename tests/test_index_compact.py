@@ -136,3 +136,21 @@ def test_compact_sweeps_orphaned_tmp_dirs(tmp_path):
     assert rep["action"] == "merged"
     assert not os.path.exists(dead)
     assert not os.path.exists(os.path.join(idx, _COMPACT_MARKER + ".tmp"))
+
+
+def test_compact_sweep_spares_append_tmp_segment(tmp_path):
+    """The orphan sweep is scoped to compaction's OWN tmp prefix
+    (round-4 ADVICE): an append_minhash_index in-flight tmp segment
+    (`_tmp-seg-<tag>`, no `compact` infix) present during a compact
+    run must survive untouched — only `_tmp-seg-compact-*` is swept."""
+    idx, _ = _segmented_index(tmp_path, n_days=2)
+    live_append = os.path.join(idx, "_tmp-seg-0123456789abcdef")
+    os.makedirs(live_append)
+    with open(os.path.join(live_append, "part.parquet"), "wb") as f:
+        f.write(b"in-flight append bytes")
+    dead = os.path.join(idx, "_tmp-seg-compact-deadbeef")
+    os.makedirs(dead)
+    rep = compact_minhash_index(idx)
+    assert rep["action"] == "merged"
+    assert not os.path.exists(dead)
+    assert os.path.isfile(os.path.join(live_append, "part.parquet"))

@@ -259,3 +259,17 @@ def test_wav_size_lie_and_gif_missing_trailer_rejected():
     # drop the trailer byte: a clean between-block truncation
     with pytest.raises(MediaParseError, match="trailer"):
         parse_gif(gif[:-1])
+
+
+def test_media_decoder_fake_flag_schema_mode_independent():
+    """fake=True must honor on_error the same way the real path does
+    (round-4 ADVICE): flag mode emits parse_ok (all ones — the fake
+    path never fails), so downstream schemas don't depend on fake."""
+    from d1_log_aggregation_ray.ops.multimodal import (MediaDecoder,
+                                                       make_fake_media_table)
+    batch = make_fake_media_table(["a", "b"], ["image", "audio"])
+    out = MediaDecoder(fake=True, on_error="flag")(batch)
+    assert "parse_ok" in out.schema.names
+    assert out.column("parse_ok").to_pylist() == [1, 1]
+    skipped = MediaDecoder(fake=True, on_error="skip")(batch)
+    assert skipped.num_rows == 2 and "parse_ok" not in skipped.schema.names
