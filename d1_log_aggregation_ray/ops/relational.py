@@ -1641,27 +1641,55 @@ def drift_terms(ds: ray.data.Dataset, key: str, ts_col: str,
              .group_by([key, "late", "bin"]).aggregate([("n", "sum")]))
         if t.num_rows == 0:
             return empty
-        df = t.to_pandas()
-        outs = []
-        for k, g in df.groupby(key, sort=True):
-            ne = g[g["late"] == 0].set_index("bin")["n_sum"]
-            nl = g[g["late"] == 1].set_index("bin")["n_sum"]
-            if ne.empty or nl.empty:
-                continue  # no reference half to drift against
-            bins = np.array(sorted(set(ne.index) | set(nl.index)))
-            p = ne.reindex(bins, fill_value=0).to_numpy(
-                dtype=np.float64) / float(ne.sum())
-            q = nl.reindex(bins, fill_value=0).to_numpy(
-                dtype=np.float64) / float(nl.sum())
-            s = p + q
-            term = np.where(s > 0, (p - q) * (p - q) / np.where(
-                s > 0, s, 1.0), 0.0)
-            outs.append(pa.table({
-                key: pa.array([k] * len(bins)).cast(key_type),
-                "bin": pa.array(bins, pa.int64()),
-                "p_early": pa.array(p), "p_late": pa.array(q),
-                "drift_term": pa.array(term)}))
-        return pa.concat_tables(outs) if outs else empty
+        # fully vectorized segment math (round-4 verdict item: the
+        # last pandas per-key loop in this file) — dictionary-encode
+        # the key, segment rows by (key, bin), scatter-add the two
+        # halves' counts, divide by per-key half totals.  Identical
+        # float values to the old per-key path: each p / q is the same
+        # int64 / float64 IEEE division.
+        enc = t.column(key).combine_chunks().dictionary_encode()
+        kc = np.asarray(enc.indices).astype(np.int64)
+        late = t.column("late").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        bins = t.column("bin").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False
+                                       ).astype(np.int64)
+        nk = len(enc.dictionary)
+        # per-(key, half) totals
+        tot = np.zeros((nk, 2), dtype=np.int64)
+        np.add.at(tot, (kc, late), n)
+        # segments = distinct (key, bin) pairs; half counts per segment
+        order = np.lexsort((late, bins, kc))
+        kc_s, bin_s, late_s, n_s = kc[order], bins[order], late[order], \
+            n[order]
+        first = np.r_[True, (kc_s[1:] != kc_s[:-1])
+                      | (bin_s[1:] != bin_s[:-1])]
+        seg_of = np.cumsum(first) - 1
+        nseg = int(seg_of[-1]) + 1
+        seg_k = kc_s[first]
+        seg_bin = bin_s[first]
+        ne = np.zeros(nseg, dtype=np.int64)
+        nl = np.zeros(nseg, dtype=np.int64)
+        e = late_s == 0
+        np.add.at(ne, seg_of[e], n_s[e])
+        np.add.at(nl, seg_of[~e], n_s[~e])
+        # keys missing either half are dropped (no reference
+        # distribution to drift against)
+        keep = (tot[seg_k, 0] > 0) & (tot[seg_k, 1] > 0)
+        if not keep.any():
+            return empty
+        seg_k, seg_bin, ne, nl = seg_k[keep], seg_bin[keep], ne[keep], \
+            nl[keep]
+        p = ne / tot[seg_k, 0].astype(np.float64)
+        q = nl / tot[seg_k, 1].astype(np.float64)
+        s = p + q
+        term = np.where(s > 0, (p - q) * (p - q)
+                        / np.where(s > 0, s, 1.0), 0.0)
+        return pa.table({
+            key: enc.dictionary.take(pa.array(seg_k)).cast(key_type),
+            "bin": pa.array(seg_bin, pa.int64()),
+            "p_early": pa.array(p), "p_late": pa.array(q),
+            "drift_term": pa.array(term)})
 
     from ..stages.aggregate import add_part_column
     parts = (ds.select_columns([key, ts_col, val_col])
