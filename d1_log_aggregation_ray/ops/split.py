@@ -121,7 +121,8 @@ def mixture_sample(ds: ray.data.Dataset, budget_chars: float,
                    id_col: str = "doc_id",
                    source_col: str = "source",
                    chars_col: str = "n_chars",
-                   seed: str = "mix") -> ray.data.Dataset:
+                   seed: str = "mix",
+                   cache_narrow: bool = False) -> ray.data.Dataset:
     """Data-mixing downsampler: cap every source at ~budget_chars of
     text by keeping each doc with probability
     min(1, budget / total_chars(source)) — deterministically, via
@@ -135,13 +136,21 @@ def mixture_sample(ds: ray.data.Dataset, budget_chars: float,
       2. a map-only hash-threshold filter with the tiny threshold
          table broadcast in the closure.
     Resume-stable and exactly reproducible in SQL (same md5 domain +
-    FLOOR(1e6 * LEAST(1, B/total)) threshold math)."""
+    FLOOR(1e6 * LEAST(1, B/total)) threshold math).
 
-    # the narrow (id, source, chars) projection is cached ONCE so the
-    # two passes never re-execute the input lineage (the round-2
-    # double-consumption rule, ops/dedup.py)
-    narrow = ds.select_columns(
-        [id_col, source_col, chars_col]).materialize()
+    Default is TWO LAZY STREAMING SCANS of the pruned narrow
+    projection: the totals pass collapses each block to <= |sources|
+    rows before anything crosses the wire, so its cost is one pruned
+    read — nothing is pinned in the object store (round-4 verdict
+    item: the old unconditional materialize() held an O(N) projection
+    across the cluster for the op's lifetime; at 10^11 docs that is
+    TBs of plasma).  `cache_narrow=True` opts back into pinning when
+    the input lineage is expensive to recompute (e.g. the projection
+    feeds other ops too)."""
+
+    narrow = ds.select_columns([id_col, source_col, chars_col])
+    if cache_narrow:
+        narrow = narrow.materialize()
 
     def totals(batch: pa.Table) -> pa.Table:
         g = batch.select([source_col, chars_col]).group_by(
@@ -202,7 +211,8 @@ def temperature_thresholds(counts: dict, alpha: float,
 def temperature_mix(ds: ray.data.Dataset, alpha: float,
                     budget_docs: int, id_col: str = "doc_id",
                     source_col: str = "source",
-                    seed: str = "tmix") -> ray.data.Dataset:
+                    seed: str = "tmix",
+                    cache_narrow: bool = False) -> ray.data.Dataset:
     """Temperature-based source mixing: keep ~floor(budget * q_s)
     docs of each source where q_s ~ n_s^alpha — deterministic
     hash-Bernoulli via md5(seed:id) % 1e6 against the per-source
@@ -211,10 +221,14 @@ def temperature_mix(ds: ray.data.Dataset, alpha: float,
     Same two-pass shape as mixture_sample: (1) per-source doc counts
     via a per-batch combiner (blocks collapse to <= |sources| rows
     before anything crosses the wire), (2) a map-only filter with the
-    tiny threshold table broadcast in the closure.  Resume-stable;
-    the narrow projection is cached once (round-2 double-consumption
-    rule)."""
-    narrow = ds.select_columns([id_col, source_col]).materialize()
+    tiny threshold table broadcast in the closure.  Resume-stable.
+    Like mixture_sample, the default is two lazy streaming scans of
+    the pruned projection — nothing pinned; `cache_narrow=True` opts
+    into materializing when recomputing the input lineage twice is
+    the more expensive side."""
+    narrow = ds.select_columns([id_col, source_col])
+    if cache_narrow:
+        narrow = narrow.materialize()
 
     def cnt(batch: pa.Table) -> pa.Table:
         g = batch.select([source_col]).group_by(
