@@ -243,6 +243,25 @@ class MinHasher:
                       pc.fill_null(batch.column(self.text_col), "")})
         return token_count_batch(t, self.text_col).column("n_tokens")
 
+    def sig_matrix(self, flat: pa.Array, counts: np.ndarray,
+                   n: int) -> np.ndarray:
+        """(n, num_perm) uint64 signature matrix from a pre-tokenized
+        batch — factored out so the fused family-diff stage
+        (dedup_family_diff) can share ONE tokenize pass with simhash
+        while staying bit-identical to the standalone path."""
+        if len(self._vocab) > 4_000_000:
+            self._vocab.clear()
+        codes = _flat_word_codes(flat, self._vocab)
+        allh, offsets = _batch_shingles(codes, counts, self.k)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        M = np.uint64(_MERSENNE31)
+        for p0 in range(0, self.num_perm, 16):  # chunk perms: bounded memory
+            a = self.a[p0:p0 + 16]
+            b = self.b[p0:p0 + 16]
+            vals = (allh[:, None] * a[None, :] + b[None, :]) % M
+            sigs[:, p0:p0 + 16] = np.minimum.reduceat(vals, offsets, axis=0)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
@@ -256,18 +275,8 @@ class MinHasher:
                 out = out.append_column("score",
                                         pa.array([], pa.int64()))
             return out
-        if len(self._vocab) > 4_000_000:
-            self._vocab.clear()
         flat, counts = _tokenize(batch.column(self.text_col))
-        codes = _flat_word_codes(flat, self._vocab)
-        allh, offsets = _batch_shingles(codes, counts, self.k)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        M = np.uint64(_MERSENNE31)
-        for p0 in range(0, self.num_perm, 16):  # chunk perms: bounded memory
-            a = self.a[p0:p0 + 16]
-            b = self.b[p0:p0 + 16]
-            vals = (allh[:, None] * a[None, :] + b[None, :]) % M
-            sigs[:, p0:p0 + 16] = np.minimum.reduceat(vals, offsets, axis=0)
+        sigs = self.sig_matrix(flat, counts, n)
         out = pa.table({
             self.id_col: batch.column(self.id_col),
             self.text_col: batch.column(self.text_col),
@@ -277,6 +286,26 @@ class MinHasher:
         if self.emit_score:
             out = out.append_column("score", self._score(batch))
         return out
+
+
+def _minhash_band_keys(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """(nrows, n_bands) uint64 band keys from a signature matrix:
+    polynomial combine of each band's sig slice plus a band salt
+    (identical slices in different bands never share a bucket).
+    Shared by _band_rows and the fused dedup_family_diff stage."""
+    nrows = sig.shape[0]
+    rows_per = sig.shape[1] // n_bands
+    P = np.uint64(1099511628211)
+    SALT = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.empty((nrows, n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        chunk = sig[:, b * rows_per:(b + 1) * rows_per]
+        salt = np.uint64((b * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
+        k = np.full(nrows, salt, dtype=np.uint64)
+        for j in range(rows_per):
+            k = k * P + chunk[:, j]  # uint64 wraparound is the hash
+        keys[:, b] = k
+    return keys
 
 
 def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
@@ -308,19 +337,8 @@ def _band_rows(batch: pa.Table, n_bands: int, n_parts: int,
             f"num_perm={sig.shape[1]} must be a positive multiple of "
             f"n_bands={n_bands} (otherwise perms are silently dropped or "
             "every doc collapses into one salt-only bucket)")
-    rows_per = sig.shape[1] // n_bands
     ids = batch.column(id_col).to_numpy()
-    P = np.uint64(1099511628211)
-    SALT = np.uint64(0x9E3779B97F4A7C15)
-    keys = np.empty((nrows, n_bands), dtype=np.uint64)
-    for b in range(n_bands):
-        chunk = sig[:, b * rows_per:(b + 1) * rows_per]
-        salt = np.uint64((b * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
-        k = np.full(nrows, salt, dtype=np.uint64)
-        for j in range(rows_per):
-            k = k * P + chunk[:, j]  # uint64 wraparound is the hash
-        keys[:, b] = k
-    flat = keys.reshape(-1)
+    flat = _minhash_band_keys(sig, n_bands).reshape(-1)
     home = np.zeros(nrows * n_bands, dtype=np.int8)
     home[::n_bands] = 1  # row-major: index i*n_bands is doc i's band 0
     cols = {
@@ -401,14 +419,21 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
         keys = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
         home = group.column("home").to_numpy()
-        _, i, starts, counts, _ = _bucket_segments(keys, ids)
-        bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
-        beaten = np.unique(i[bmin_per_row < i])
-        return _marks_table(id_col, ids[home == 1], beaten)
+        return _marks_table(id_col, ids[home == 1],
+                            _minhash_beaten(keys, ids))
 
     marked = band.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
     return _survivors(marked, id_col)
+
+
+def _minhash_beaten(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Ids beaten inside this partition's minhash band buckets: dup iff
+    some bucket's min id is smaller than the doc's own.  Shared by
+    minhash_lsh_dedup and the fused dedup_family_diff scan."""
+    _, i, starts, counts, _ = _bucket_segments(keys, ids)
+    bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
+    return np.unique(i[bmin_per_row < i])
 
 
 def _word_hash64(words: list[str], vocab: dict) -> np.ndarray:
@@ -440,18 +465,15 @@ def simhash64(text: str, vocab: dict | None = None) -> int:
                           "little")
 
 
-def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """Batch-vectorized simhash: one tokenize + dictionary-encode, one
+def _simhash_from_tokens(flat: pa.Array, counts: np.ndarray,
+                         n: int) -> np.ndarray:
+    """uint64 simhash per doc from a pre-tokenized batch: one
     unpackbits over the flat word-hash array, one segment-sum
-    (np.add.reduceat) per batch — no per-doc Python."""
-    n = batch.num_rows
-    if n == 0:
-        return pa.table({id_col: batch.column(id_col),
-                         "simhash": pa.array([], pa.int64())})
+    (np.add.reduceat) — no per-doc Python.  Factored out so the fused
+    family-diff stage shares ONE tokenize pass with minhash."""
     vocab = _WORKER_HASHERS.setdefault("_simhash_vocab", {})
     if len(vocab) > 4_000_000:
         vocab.clear()
-    flat, counts = _tokenize(batch.column(text_col))
     codes = _flat_word_codes(flat, vocab, width64=True)
     hs_out = np.zeros(n, dtype=np.uint64)
     nz = np.flatnonzero(counts > 0)
@@ -467,6 +489,18 @@ def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
         packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
                              bitorder="little")
         hs_out[nz] = np.ascontiguousarray(packed).view(np.uint64).reshape(-1)
+    return hs_out
+
+
+def _add_simhash(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Batch-vectorized simhash: one tokenize + dictionary-encode, then
+    _simhash_from_tokens."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array([], pa.int64())})
+    flat, counts = _tokenize(batch.column(text_col))
+    hs_out = _simhash_from_tokens(flat, counts, n)
     return pa.table({id_col: batch.column(id_col),
                      "simhash": pa.array(hs_out.view(np.int64))})
 
@@ -518,8 +552,6 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
     single max-aggregate tail — input consumed once.  The verify
     python loop runs only over multi-doc buckets (rare)."""
     assert 64 % n_bands == 0
-    bits_per = 64 // n_bands
-    mask = np.uint64((1 << bits_per) - 1)
     n_parts = _num_parts()
     with_h = ds.map_batches(_add_simhash, batch_format="pyarrow",
                             fn_kwargs={"id_col": id_col,
@@ -535,13 +567,7 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
                              "home": pa.array([], pa.int8())})
         sh = batch.column("simhash").to_numpy().view(np.uint64)
         ids = batch.column(id_col).to_numpy()
-        SALT = np.uint64(0x9E3779B97F4A7C15)
-        keys = np.empty((n, n_bands), dtype=np.uint64)
-        for b in range(n_bands):
-            chunk = (sh >> np.uint64(b * bits_per)) & mask
-            salt = np.uint64(((b + 1) * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
-            keys[:, b] = chunk + salt
-        flat = keys.reshape(-1)
+        flat = _simhash_band_keys(sh, n_bands).reshape(-1)
         home = np.zeros(n * n_bands, dtype=np.int8)
         home[::n_bands] = 1
         return pa.table({
@@ -559,45 +585,176 @@ def simhash_near_dedup(ds: ray.data.Dataset, max_hamming: int = 3,
         ids = group.column(id_col).to_numpy()
         sh = group.column("simhash").to_numpy().view(np.uint64)
         home = group.column("home").to_numpy()
-        _, i, starts, counts, order = _bucket_segments(keys, ids)
-        h = sh[order]
-        dup_ids = []
-        for s, c in zip(starts[counts > 1], counts[counts > 1]):
-            # within-bucket verify (ids asc): dup iff ANY strictly-
-            # smaller id is within max_hamming.  HOT-BUCKET GUARD
-            # (e.g. millions of empty docs all share simhash 0 and
-            # bucket together at corpus scale): first collapse
-            # IDENTICAL hashes — everything after the first occurrence
-            # of a hash value is a dup by definition — then run the
-            # pairwise popcount only over the <=c unique hashes, in
-            # fixed-size chunks so memory stays O(chunk * uniq), never
-            # O(c^2)
-            hh = h[s:s + c]
-            ii = i[s:s + c]
-            horder = np.lexsort((ii, hh))
-            hs, is_ = hh[horder], ii[horder]
-            first = np.r_[True, hs[1:] != hs[:-1]]
-            if not first.all():
-                dup_ids.append(is_[~first])  # identical-hash dups
-            uh, ui = hs[first], is_[first]
-            uorder = np.argsort(ui)
-            uh, ui = uh[uorder], ui[uorder]  # unique hashes, ids asc
-            u = len(uh)
-            CH = max(16, 8_000_000 // max(u, 1))  # ~64MB of uint64 tmp
-            for a in range(1, u, CH):
-                b = min(a + CH, u)
-                ham = _popcount64(uh[a:b, None] ^ uh[None, :b])
-                smaller = ui[None, :b] < ui[a:b, None]
-                near = ((ham <= max_hamming) & smaller).any(axis=1)
-                if near.any():
-                    dup_ids.append(ui[a:b][near])
-        beaten = (np.unique(np.concatenate(dup_ids)) if dup_ids
-                  else np.empty(0, dtype=ids.dtype))
+        beaten = _simhash_beaten(keys, ids, sh, max_hamming)
         return _marks_table(id_col, ids[home == 1], beaten)
 
     marked = band.groupby("part").map_groups(partition_scan,
                                              batch_format="pyarrow")
     return _survivors(marked, id_col)
+
+
+def _simhash_band_keys(sh: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_bands) uint64 band keys: each band's bit-slice of the
+    simhash plus a band salt.  Shared by simhash_near_dedup and the
+    fused dedup_family_diff stage."""
+    bits_per = 64 // n_bands
+    mask = np.uint64((1 << bits_per) - 1)
+    SALT = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.empty((len(sh), n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        chunk = (sh >> np.uint64(b * bits_per)) & mask
+        salt = np.uint64(((b + 1) * int(SALT)) & 0xFFFFFFFFFFFFFFFF)
+        keys[:, b] = chunk + salt
+    return keys
+
+
+def _simhash_beaten(keys: np.ndarray, ids: np.ndarray, sh: np.ndarray,
+                    max_hamming: int) -> np.ndarray:
+    """Ids beaten inside this partition's simhash band buckets: dup iff
+    ANY strictly-smaller id in the bucket is within max_hamming.
+    HOT-BUCKET GUARD (e.g. millions of empty docs all share simhash 0
+    and bucket together at corpus scale): first collapse IDENTICAL
+    hashes — everything after the first occurrence of a hash value is
+    a dup by definition — then run the pairwise popcount only over the
+    <=c unique hashes, in fixed-size chunks so memory stays
+    O(chunk * uniq), never O(c^2)."""
+    _, i, starts, counts, order = _bucket_segments(keys, ids)
+    h = sh[order]
+    dup_ids = []
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        hh = h[s:s + c]
+        ii = i[s:s + c]
+        horder = np.lexsort((ii, hh))
+        hs, is_ = hh[horder], ii[horder]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        if not first.all():
+            dup_ids.append(is_[~first])  # identical-hash dups
+        uh, ui = hs[first], is_[first]
+        uorder = np.argsort(ui)
+        uh, ui = uh[uorder], ui[uorder]  # unique hashes, ids asc
+        u = len(uh)
+        CH = max(16, 8_000_000 // max(u, 1))  # ~64MB of uint64 tmp
+        for a in range(1, u, CH):
+            b = min(a + CH, u)
+            ham = _popcount64(uh[a:b, None] ^ uh[None, :b])
+            smaller = ui[None, :b] < ui[a:b, None]
+            near = ((ham <= max_hamming) & smaller).any(axis=1)
+            if near.any():
+                dup_ids.append(ui[a:b][near])
+    return (np.unique(np.concatenate(dup_ids)) if dup_ids
+            else np.empty(0, dtype=ids.dtype))
+
+
+def dedup_family_diff(ds: ray.data.Dataset, num_perm: int = 64,
+                      n_bands: int = 16, sim_bands: int = 4,
+                      max_hamming: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> ray.data.Dataset:
+    """Family-agreement audit in ONE text pass: (doc_id, flag) for
+    docs where minhash-LSH and banded-simhash near-dup disagree —
+    flag = 'minhash_only' (survives minhash, dropped by simhash) or
+    'simhash_only'.  Survivor semantics are EXACTLY
+    minhash_lsh_dedup's and simhash_near_dedup's (the scan/key helpers
+    are shared code), so the diff is byte-identical to composing the
+    two standalone plans — but the corpus text is read and tokenized
+    ONCE (round-4 verdict item 3: the composed plan read it twice and
+    was the suite's slowest query), and the plan runs TWO narrow
+    exchanges total (band rows, marks) instead of five.
+
+    Shape: one fused signature stage computes both families' band
+    keys from a single tokenize (minhash sigs via MinHasher.sig_matrix,
+    simhash via _simhash_from_tokens), emits fam-tagged narrow band
+    rows into ONE hash partition; the partition scan splits by fam and
+    runs each family's shared beaten-scan; marks carry per-family dup
+    columns so ONE max-aggregate on doc_id resolves both verdicts and
+    the disagreement filter is map-only."""
+    from ..stages.aggregate import hash_partition_aggregate
+    n_parts = _num_parts()
+
+    _BAND_EMPTY = pa.table({
+        "part": pa.array([], pa.int64()),
+        "band_key": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "simhash": pa.array([], pa.int64()),
+        "fam": pa.array([], pa.int8()),
+        "home": pa.array([], pa.int8())})
+
+    def dual_band(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _BAND_EMPTY
+        key = ("dual", num_perm, text_col, id_col)
+        h = _WORKER_HASHERS.get(key)
+        if h is None:
+            h = _WORKER_HASHERS[key] = MinHasher(
+                num_perm=num_perm, text_col=text_col, id_col=id_col)
+        flat, counts = _tokenize(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy()
+        mkeys = _minhash_band_keys(
+            h.sig_matrix(flat, counts, n), n_bands).reshape(-1)
+        sh = _simhash_from_tokens(flat, counts, n)
+        skeys = _simhash_band_keys(sh, sim_bands).reshape(-1)
+        m_home = np.zeros(n * n_bands, dtype=np.int8)
+        m_home[::n_bands] = 1
+        s_home = np.zeros(n * sim_bands, dtype=np.int8)
+        s_home[::sim_bands] = 1
+        allk = np.concatenate([mkeys, skeys])
+        return pa.table({
+            "part": pa.array((allk % np.uint64(n_parts)
+                              ).astype(np.int64)),
+            "band_key": pa.array(allk.view(np.int64)),
+            id_col: pa.array(np.concatenate([
+                np.repeat(ids, n_bands), np.repeat(ids, sim_bands)])),
+            "simhash": pa.array(np.concatenate([
+                np.zeros(n * n_bands, np.uint64),
+                np.repeat(sh, sim_bands)]).view(np.int64)),
+            "fam": pa.array(np.concatenate([
+                np.zeros(n * n_bands, np.int8),
+                np.ones(n * sim_bands, np.int8)])),
+            "home": pa.array(np.concatenate([m_home, s_home])),
+        })
+
+    _MARKS_EMPTY = pa.table({id_col: pa.array([], pa.int64()),
+                             "dup_m": pa.array([], pa.int8()),
+                             "dup_s": pa.array([], pa.int8())})
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "fam" not in group.schema.names:
+            return _MARKS_EMPTY
+        fam = group.column("fam").to_numpy()
+        keys = group.column("band_key").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        sh = group.column("simhash").to_numpy().view(np.uint64)
+        home = group.column("home").to_numpy()
+        m = fam == 0
+        m_home = ids[m & (home == 1)]
+        m_beat = _minhash_beaten(keys[m], ids[m])
+        s_home = ids[~m & (home == 1)]
+        s_beat = _simhash_beaten(keys[~m], ids[~m], sh[~m], max_hamming)
+        out_ids = np.concatenate([m_home, m_beat, s_home, s_beat])
+        dup_m = np.zeros(len(out_ids), dtype=np.int8)
+        dup_m[len(m_home):len(m_home) + len(m_beat)] = 1
+        dup_s = np.zeros(len(out_ids), dtype=np.int8)
+        dup_s[len(m_home) + len(m_beat) + len(s_home):] = 1
+        return pa.table({id_col: pa.array(out_ids),
+                         "dup_m": pa.array(dup_m),
+                         "dup_s": pa.array(dup_s)})
+
+    marked = (ds.map_batches(dual_band, batch_format="pyarrow")
+              .groupby("part").map_groups(scan, batch_format="pyarrow"))
+    agg = hash_partition_aggregate(marked, [id_col],
+                                   [("dup_m", "max"), ("dup_s", "max")])
+
+    def diff(t: pa.Table) -> pa.Table:
+        only = t.filter(pc.not_equal(t.column("dup_m_max"),
+                                     t.column("dup_s_max")))
+        dm = only.column("dup_m_max").to_numpy(zero_copy_only=False)
+        # dup_m==0 = survives minhash (and was beaten by simhash)
+        flag = np.where(dm == 0, "minhash_only", "simhash_only")
+        return pa.table({id_col: only.column(id_col),
+                         "flag": pa.array(flag.astype(object),
+                                          pa.string())})
+
+    return agg.map_batches(diff, batch_format="pyarrow")
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -937,39 +937,15 @@ def q_dedup_diff(sf_dir: str):
     choosing its dedup operating point: a large asymmetric diff means
     one family's threshold is off for this corpus.
 
-    Shape: the two survivor streams (each already a narrow one-
-    exchange plan) union with a side tag, then ONE hash-partition
-    aggregate on doc_id — count==1 rows are the symmetric difference,
-    their side-sum names the family.  Oracle: composed from the SAME
-    pinned golden survivor sets the individual families are checked
-    against (EXCEPT in both directions)."""
-    from ..stages.aggregate import hash_partition_aggregate
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
-    m = minhash_lsh_dedup(docs)
-    s = simhash_near_dedup(docs)
-
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "side": pa.array(np.full(batch.num_rows, side, np.int64)),
-                "one": pa.array(np.ones(batch.num_rows, np.int64))})
-        return fn
-
-    both = m.map_batches(tag(0), batch_format="pyarrow").union(
-        s.map_batches(tag(1), batch_format="pyarrow"))
-    agg = hash_partition_aggregate(both, ["doc_id"],
-                                   [("side", "sum"), ("one", "sum")])
-
-    def diff(t: pa.Table) -> pa.Table:
-        only = t.filter(pc.equal(t.column("one_sum"), 1))
-        side = only.column("side_sum").to_numpy(zero_copy_only=False)
-        flag = np.where(side == 0, "minhash_only", "simhash_only")
-        return pa.table({"doc_id": only.column("doc_id"),
-                         "flag": pa.array(flag.astype(object),
-                                          pa.string())})
-
-    return agg.map_batches(diff, batch_format="pyarrow")
+    Round-5: ONE fused text pass (ops/dedup.dedup_family_diff) — both
+    families' band keys come from a single tokenize, two narrow
+    exchanges total; survivor semantics unchanged (the scan helpers
+    are shared with the standalone family ops), so the oracle stays
+    the SAME pinned golden survivor sets the individual families are
+    checked against (EXCEPT in both directions)."""
+    from ..ops.dedup import dedup_family_diff
+    return dedup_family_diff(_docs(sf_dir).select_columns(
+        ["doc_id", "text"]))
 
 
 def q_dedup_embedding(sf_dir: str):

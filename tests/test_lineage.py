@@ -141,3 +141,15 @@ def test_mixture_ops_stream_without_pinning():
             ray.data.from_arrow(tbl), cache_narrow=True,
             **kwargs).take_all())
         assert lazy == cached and 0 < len(lazy) < n, op.__name__
+
+
+def test_family_diff_consumes_input_once():
+    """Round-5 (VERDICT r4 item 3): the family-agreement audit fuses
+    both families' signatures into one map_batches over the text —
+    ONE lineage execution, not two."""
+    from d1_log_aggregation_ray.ops.dedup import dedup_family_diff
+    counter = _Counter.remote()
+    ds = _counted_docs(counter)
+    out = dedup_family_diff(ds).take_all()
+    assert {r["flag"] for r in out} <= {"minhash_only", "simhash_only"}
+    assert ray.get(counter.value.remote()) == 1
