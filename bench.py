@@ -241,7 +241,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # role-alternation repair/merge (bucket scans)
                      "role_repair", "role_merge",
                      # dedup family-agreement audit
-                     "dedup_diff"]:
+                     "dedup_diff",
+                     # round-5: REAL pixel/sample paths — NN resize,
+                     # per-channel pixel sums, PCM sample stats
+                     "media_resize", "media_pixstats", "audio_stats"]:
             samples[name] = []
             for r in range(reps):
                 t = time.time()

@@ -2,17 +2,21 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The DECODE kernel is REAL for the four stdlib-parseable containers —
-PNG/BMP (image), animated GIF (video stand-in), WAV (audio) — via the
-pure struct/zlib header parsers in ops/media_codecs.py (CRC-verified
-IHDR, full GIF block walk, RIFF chunk walk).  Pixel/sample payloads
-are never decompressed: decode cost is O(header), which is exactly
-what a metadata-extraction pass over 100 TB of media should pay.
-`MediaDecoder(fake=True)` keeps the old hash-derived fake decode for
-plumbing tests.  The resize/featurize kernels remain honestly stubbed
-(`fake=False` raises — pixel resampling and model inference need
-codec/model libraries this container lacks); their fake paths keep
-the actor shapes testable.
+Every kernel is REAL for the four stdlib-parseable containers —
+PNG/BMP (image), animated GIF (video stand-in), WAV (audio):
+
+  - DECODE: header parsers in ops/media_codecs.py (CRC-verified IHDR,
+    full GIF block walk, RIFF chunk walk).  Pixel/sample payloads are
+    never decompressed here — metadata extraction over 100 TB of
+    media should pay O(header).
+  - RESIZE / FEATURIZE / PIXSTATS / AUDIOSTATS (round-5): full pixel
+    and sample decodes (PNG defilter incl. all five filter types, BMP
+    un-padding + BGR swap, GIF LZW + palette lookup, PCM-16 frames),
+    integer nearest-neighbor resampling, and content statistics —
+    value-gated by analytic SQL oracles over the planted ramp pixels.
+
+`fake=True` on decoder/resizer/featurizer keeps the cheap hash- or
+geometry-derived paths for plumbing and speed tests.
 
 Scale notes: media payloads are large, so the stage uses a SMALL
 batch_size (payload bytes x batch_size x concurrency must fit the
@@ -247,61 +251,212 @@ def frame_sample_batch(batch: pa.Table, every_n: int = 30) -> pa.Table:
                                  pa.array(flat)))
 
 
-class MediaResizer:
-    """Actor-pool resize stage (decode -> RESIZE -> featurize).
+def resize_geometry(w: int, h: int, max_w: int, max_h: int
+                    ) -> tuple[int, int]:
+    """Aspect-preserving fit into max_w x max_h, never upscaling —
+    in PURE INTEGER math (floor(w * s) with s = max_h/h or max_w/w
+    becomes (w * max_h) // h etc.), so the SQL oracle states the SAME
+    arithmetic with no float-rounding seam.  Degenerate (0, 0) inputs
+    (audio rows) stay (0, 0)."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h <= h * max_w:               # height is the binding side
+        return max(1, (w * max_h) // h), max_h
+    return max_w, max(1, (h * max_w) // w)
 
-    Real resampling kernels would be loaded in __init__ (PIL/ffmpeg not
-    in this container — `fake=False` raises); the fake path computes
-    the deterministic aspect-preserving target geometry (fit into
-    max_w x max_h, never upscale), so schema, batch sizing and actor
-    shape are real and tested."""
+
+def _nn_resize(img: np.ndarray, rw: int, rh: int) -> np.ndarray:
+    """Nearest-neighbor resample to (rh, rw): source index
+    (i * src) // dst — the standard floor rule, integer-exact."""
+    h, w = img.shape[:2]
+    if (rw, rh) == (w, h):
+        return img
+    rows = (np.arange(rh, dtype=np.int64) * h) // rh
+    cols = (np.arange(rw, dtype=np.int64) * w) // rw
+    return img[rows][:, cols]
+
+
+class MediaResizer:
+    """Actor-pool resize stage (decode -> RESIZE -> featurize): REAL
+    pixel path by default (round-5) — full container pixel decode
+    (ops/media_codecs.decode_pixels: PNG defilter incl. all 5 filter
+    types, BMP row un-padding + BGR swap, GIF LZW + palette), integer
+    nearest-neighbor resample, and an exact int64 `px_sum` over the
+    resized RGB bytes (the value the analytic SQL oracle re-derives
+    from the planted ramp pixels).  Audio rows pass through with
+    (0, 0, 0).  `fake=True` keeps a geometry-only path (same integer
+    target math, px_sum=0) for plumbing/speed tests.
+
+    The per-payload decode is per-row Python by nature (bytes are
+    opaque to Arrow); a production deployment swaps decode_pixels for
+    a C codec loaded HERE once per actor — the stage shape (small
+    batches, init-once actor pool, payload dropped at the earliest
+    stage that no longer needs it) is exactly what that needs."""
 
     def __init__(self, max_w: int = 512, max_h: int = 512,
                  fake: bool = False):
         self.max_w, self.max_h, self.fake = max_w, max_h, fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real resize requires imaging libraries not present in "
-                "this environment; construct MediaResizer(fake=True)")
-        w = batch.column("width").to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        h = batch.column("height").to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        scale = np.minimum(1.0, np.minimum(
-            self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)))
+        n = batch.num_rows
+        if self.fake:
+            w = batch.column("width").to_numpy(zero_copy_only=False)
+            h = batch.column("height").to_numpy(zero_copy_only=False)
+            rw = np.empty(n, np.int64)
+            rh = np.empty(n, np.int64)
+            for i in range(n):
+                rw[i], rh[i] = resize_geometry(
+                    int(w[i]), int(h[i]), self.max_w, self.max_h)
+            px_sum = np.zeros(n, np.int64)
+        else:
+            from .media_codecs import decode_pixels
+            payloads = batch.column("payload").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            rw = np.zeros(n, np.int64)
+            rh = np.zeros(n, np.int64)
+            px_sum = np.zeros(n, np.int64)
+            for i, (p, k) in enumerate(zip(payloads, kinds)):
+                if k == "audio":
+                    continue
+                img = decode_pixels(p)
+                tw, th = resize_geometry(img.shape[1], img.shape[0],
+                                         self.max_w, self.max_h)
+                resized = _nn_resize(img, tw, th)
+                rw[i], rh[i] = tw, th
+                px_sum[i] = int(resized.sum(dtype=np.int64))
         return (batch
-                .append_column("resized_w", pa.array(
-                    np.maximum(1, np.floor(w * scale)).astype(np.int64)))
-                .append_column("resized_h", pa.array(
-                    np.maximum(1, np.floor(h * scale)).astype(np.int64))))
+                .append_column("resized_w", pa.array(rw))
+                .append_column("resized_h", pa.array(rh))
+                .append_column("px_sum", pa.array(px_sum)))
 
 
 class MediaFeaturizer:
     """Actor-pool batched-inference stage: payload -> embedding
-    (list<float32>).  A real model would be loaded once per actor in
-    __init__ and run BATCHED in __call__; the fake path derives a
-    deterministic unit vector from the payload bytes so downstream
-    similarity/dedup plumbing can be exercised end-to-end."""
+    (fixed list<float32>, unit norm).  REAL content path by default
+    (round-5): images/video decode to pixels and featurize on actual
+    pixel statistics (per-channel means/stds, gray quartile histogram,
+    log-geometry), audio decodes PCM samples (mean/std/RMS/zero-cross
+    rate/duration).  Deterministic per item and independent of
+    batching, so chained goldens pin stably.  A heavier learned model
+    would be loaded once per actor HERE and run batched; `fake=True`
+    keeps the old crc-seeded random vector for plumbing tests."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "feature extraction requires model libraries not present "
-                "in this environment; construct MediaFeaturizer(fake=True)")
+        if dim < 16 and not fake:
+            raise ValueError("real featurizer emits 16 features")
         self.dim = dim
+        self.fake = fake
+
+    def _feat_real(self, payload: bytes, kind: str) -> np.ndarray:
+        from .media_codecs import decode_pixels, decode_wav_samples
+        f = np.zeros(self.dim, dtype=np.float64)
+        if kind == "audio":
+            arr, rate = decode_wav_samples(payload)
+            x = arr.astype(np.float64).reshape(-1) / 32768.0
+            f[0] = 1.0                        # modality flag
+            f[1] = x.mean()
+            f[2] = x.std()
+            f[3] = np.sqrt(np.mean(x * x))    # RMS
+            f[4] = np.abs(x).max(initial=0.0)
+            f[5] = float(np.count_nonzero(np.signbit(x[1:])
+                                          != np.signbit(x[:-1]))) \
+                / max(len(x) - 1, 1)          # zero-crossing rate
+            f[6] = np.log1p(arr.shape[0])     # frames
+            f[7] = arr.shape[1]               # channels
+            f[8] = np.log1p(rate)
+        else:
+            img = decode_pixels(payload).astype(np.float64) / 255.0
+            ch = img.reshape(-1, 3)
+            f[0:3] = ch.mean(axis=0)          # mean R,G,B
+            f[3:6] = ch.std(axis=0)           # std R,G,B
+            gray = ch.mean(axis=1)
+            hist, _ = np.histogram(gray, bins=4, range=(0.0, 1.0))
+            f[6:10] = hist / max(len(gray), 1)
+            h, w = img.shape[:2]
+            f[10] = np.log1p(w)
+            f[11] = np.log1p(h)
+            f[12] = w / max(h, 1)             # aspect
+            f[13] = gray.min(initial=0.0)
+            f[14] = gray.max(initial=0.0)
+            f[15] = 1.0 if kind == "video" else 0.0
+        return f
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         n = len(payloads)
-        out = np.empty((n, self.dim), dtype=np.float32)
-        for i, p in enumerate(payloads):  # per-payload: bytes are opaque
-            seed = zlib.crc32(p or b"")
-            out[i] = np.random.RandomState(seed).randn(self.dim)
+        out = np.empty((n, self.dim), dtype=np.float64)
+        if self.fake:
+            for i, p in enumerate(payloads):  # per-payload: bytes opaque
+                seed = zlib.crc32(p or b"")
+                out[i] = np.random.RandomState(seed).randn(self.dim)
+        else:
+            kinds = batch.column("kind").to_pylist()
+            for i, (p, k) in enumerate(zip(payloads, kinds)):
+                out[i] = self._feat_real(p, k)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
-        out = out / np.maximum(norms, 1e-9)
+        out = (out / np.maximum(norms, 1e-9)).astype(np.float32)
         return batch.append_column(
             "embedding",
             pa.FixedSizeListArray.from_arrays(
                 pa.array(out.reshape(-1)), self.dim))
+
+
+class MediaPixStats:
+    """Actor-pool pixel-statistics stage: payload -> exact int64
+    per-channel sums over the REAL decoded pixels — (n_px, sum_r,
+    sum_g, sum_b), zeros for audio rows.  Integer-exact, so the
+    registry oracle states the planted ramp arithmetic in SQL and the
+    whole pixel path (defilter / un-pad / LZW / palette / BGR swap)
+    is value-gated end-to-end."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_pixels
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        n = len(payloads)
+        n_px = np.zeros(n, np.int64)
+        sums = np.zeros((n, 3), np.int64)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if k == "audio":
+                continue
+            img = decode_pixels(p)
+            n_px[i] = img.shape[0] * img.shape[1]
+            sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "n_px": pa.array(n_px),
+            "sum_r": pa.array(sums[:, 0]),
+            "sum_g": pa.array(sums[:, 1]),
+            "sum_b": pa.array(sums[:, 2]),
+        })
+
+
+class AudioStats:
+    """Actor-pool PCM-sample statistics: payload -> exact int64
+    (n_frames, n_channels, samp_sum) over the REAL decoded int16
+    samples; zeros for non-audio rows.  samp_sum is an integer sum of
+    signed samples — the SQL oracle restates the ramp-byte -> int16
+    arithmetic analytically."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_wav_samples
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        n = len(payloads)
+        n_frames = np.zeros(n, np.int64)
+        n_ch = np.zeros(n, np.int64)
+        samp_sum = np.zeros(n, np.int64)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if k != "audio":
+                continue
+            arr, _ = decode_wav_samples(p)
+            n_frames[i] = arr.shape[0]
+            n_ch[i] = arr.shape[1]
+            samp_sum[i] = int(arr.sum(dtype=np.int64))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_frames": pa.array(n_frames),
+            "n_channels": pa.array(n_ch),
+            "samp_sum": pa.array(samp_sum),
+        })

@@ -2645,14 +2645,192 @@ def q_media_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _synth_media(sf_dir: str):
+    from ..ops.multimodal import synth_media_batch
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    return docs.map_batches(synth_media_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_media_resize(sf_dir: str):
+    """REAL pixel-path resize (round-5): full container pixel decode
+    (PNG defilter / BMP un-pad+BGR / GIF LZW+palette) -> integer
+    nearest-neighbor resample into a 16x16 box (small enough that
+    every synthetic image actually downsamples) -> exact int64
+    px_sum over the resized RGB bytes.  Audio rows pass through as
+    (0, 0, 0).  The oracle restates the planted ramp pixels, the
+    integer fit geometry and the (i*src)//dst sampling rule
+    analytically in SQL (_media_resize_sql) — fully independent of
+    encoder, decoder and resampler."""
+    from ..ops.multimodal import MediaResizer
+    ds = _synth_media(sf_dir).map_batches(
+        MediaResizer, fn_constructor_kwargs={"max_w": 16, "max_h": 16},
+        batch_size=512, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["media_id", "kind", "resized_w",
+                              "resized_h", "px_sum"])
+
+
+def q_media_pixstats(sf_dir: str):
+    """REAL per-channel pixel statistics (round-5): full pixel decode
+    -> exact int64 (n_px, sum_r, sum_g, sum_b) per media row (zeros
+    for audio).  Value-gates every pixel-path branch — PNG scanline
+    defilter, BMP row padding + bottom-up order + BGR swap, GIF LZW +
+    palette lookup — against closed-form ramp arithmetic in SQL."""
+    from ..ops.multimodal import MediaPixStats
+    return _synth_media(sf_dir).map_batches(
+        MediaPixStats, batch_size=512, batch_format="pyarrow",
+        concurrency=(1, 4))
+
+
+def q_audio_stats(sf_dir: str):
+    """REAL PCM sample statistics (round-5): WAV data-chunk decode ->
+    exact int64 (n_frames, n_channels, samp_sum) of the signed int16
+    samples (zeros for non-audio rows).  The oracle restates the
+    ramp-byte -> little-endian signed int16 arithmetic in SQL."""
+    from ..ops.multimodal import AudioStats
+    return _synth_media(sf_dir).map_batches(
+        AudioStats, batch_size=512, batch_format="pyarrow",
+        concurrency=(1, 4))
+
+
+def _media_geom_cte() -> str:
+    """Shared CTE: per-media container kind, seed and geometry as
+    integer arithmetic on media_id (mirrors
+    ops/multimodal._media_params)."""
+    return """
+        WITH m AS (
+          SELECT doc_id AS media_id, doc_id % 4 AS k,
+                 doc_id % 256 AS seed,
+                 CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 33
+                                 WHEN 1 THEN 8 + (doc_id * 5) % 25
+                                 WHEN 2 THEN 8 + doc_id % 17
+                                 ELSE 0 END AS w,
+                 CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 11) % 29
+                                 WHEN 1 THEN 8 + (doc_id * 3) % 21
+                                 WHEN 2 THEN 8 + (doc_id * 13) % 15
+                                 ELSE 0 END AS h
+          FROM documents)"""
+
+
+def _media_resize_sql() -> str:
+    """Analytic oracle for q_media_resize: integer aspect-fit into
+    16x16 ((w*16)//h floor math — the condition w*mh <= h*mw reduces
+    to w <= h for a square box), nearest-neighbor source index
+    (i*src)//dst, and the planted ramp pixel values:
+      png: byte(y, 3x+c) = (seed + 3x + c) % 256   (rows identical)
+      bmp: stored row y byte i = (seed + y + i) % 256, bottom-up
+           (image row r = stored h-1-r); summing all 3 channels is
+           invariant to the BGR->RGB reorder
+      gif: every pixel is palette color 0 = (seed, seed+29, seed+58)
+           each % 256.
+    All-positive ints, so DuckDB's truncating // equals floor."""
+    return _media_geom_cte() + """
+        , g AS (
+          SELECT *,
+                 CASE WHEN k = 3 THEN 0
+                      WHEN w <= 16 AND h <= 16 THEN w
+                      WHEN w <= h THEN greatest(1, (w * 16) // h)
+                      ELSE 16 END AS rw,
+                 CASE WHEN k = 3 THEN 0
+                      WHEN w <= 16 AND h <= 16 THEN h
+                      WHEN w <= h THEN 16
+                      ELSE greatest(1, (h * 16) // w) END AS rh
+          FROM m)
+        , s AS (SELECT t.g AS x FROM generate_series(0, 63) t(g))
+        , c AS (SELECT t.g AS y FROM generate_series(0, 2) t(g))
+        SELECT media_id,
+               CASE k WHEN 2 THEN 'video' WHEN 3 THEN 'audio'
+                      ELSE 'image' END AS kind,
+               rw AS resized_w, rh AS resized_h,
+               CAST(CASE k
+                 WHEN 0 THEN rh * (
+                   SELECT sum((seed + 3 * ((sj.x * w) // rw) + c.y) % 256)
+                   FROM s sj, c WHERE sj.x < rw)
+                 WHEN 1 THEN (
+                   SELECT sum((seed + (h - 1 - (sr.x * h) // rh)
+                               + 3 * ((sj.x * w) // rw) + c.y) % 256)
+                   FROM s sj, s sr, c
+                   WHERE sj.x < rw AND sr.x < rh)
+                 WHEN 2 THEN rw * rh * (seed % 256 + (seed + 29) % 256
+                                        + (seed + 58) % 256)
+                 ELSE 0 END AS BIGINT) AS px_sum
+        FROM g"""
+
+
+def _media_pixstats_sql() -> str:
+    """Analytic oracle for q_media_pixstats: full-image per-channel
+    sums of the planted ramp pixels.  For BMP the whole-image sum over
+    stored rows equals the sum over flipped rows, and RGB channel c
+    reads stored BGR offset (2 - c)."""
+    return _media_geom_cte() + """
+        , s AS (SELECT t.g AS x FROM generate_series(0, 63) t(g))
+        SELECT media_id,
+               CASE k WHEN 2 THEN 'video' WHEN 3 THEN 'audio'
+                      ELSE 'image' END AS kind,
+               CASE WHEN k = 3 THEN 0 ELSE w * h END AS n_px,
+               CAST(CASE k
+                 WHEN 0 THEN h * (SELECT sum((seed + 3 * sx.x + 0) % 256)
+                                  FROM s sx WHERE sx.x < w)
+                 WHEN 1 THEN (SELECT sum((seed + sy.x + 3 * sx.x + 2) % 256)
+                              FROM s sx, s sy
+                              WHERE sx.x < w AND sy.x < h)
+                 WHEN 2 THEN w * h * (seed % 256)
+                 ELSE 0 END AS BIGINT) AS sum_r,
+               CAST(CASE k
+                 WHEN 0 THEN h * (SELECT sum((seed + 3 * sx.x + 1) % 256)
+                                  FROM s sx WHERE sx.x < w)
+                 WHEN 1 THEN (SELECT sum((seed + sy.x + 3 * sx.x + 1) % 256)
+                              FROM s sx, s sy
+                              WHERE sx.x < w AND sy.x < h)
+                 WHEN 2 THEN w * h * ((seed + 29) % 256)
+                 ELSE 0 END AS BIGINT) AS sum_g,
+               CAST(CASE k
+                 WHEN 0 THEN h * (SELECT sum((seed + 3 * sx.x + 2) % 256)
+                                  FROM s sx WHERE sx.x < w)
+                 WHEN 1 THEN (SELECT sum((seed + sy.x + 3 * sx.x + 0) % 256)
+                              FROM s sx, s sy
+                              WHERE sx.x < w AND sy.x < h)
+                 WHEN 2 THEN w * h * ((seed + 58) % 256)
+                 ELSE 0 END AS BIGINT) AS sum_b
+        FROM m"""
+
+
+def _audio_stats_sql() -> str:
+    """Analytic oracle for q_audio_stats: WAV data byte i =
+    (seed + 7*i) % 256; int16 sample m = lo + 256*hi with two's
+    complement (subtract 65536 when hi >= 128); frames/channels from
+    the planted arithmetic."""
+    return """
+        WITH m AS (
+          SELECT doc_id AS media_id, doc_id % 4 AS k,
+                 doc_id % 256 AS seed,
+                 800 + (doc_id * 37) % 4000 AS ns,
+                 1 + doc_id % 2 AS ch
+          FROM documents),
+        s AS (SELECT t.g AS m FROM generate_series(0, 9599) t(g))
+        SELECT media_id,
+               CASE WHEN k = 3 THEN ns ELSE 0 END AS n_frames,
+               CASE WHEN k = 3 THEN ch ELSE 0 END AS n_channels,
+               CAST(CASE WHEN k = 3 THEN (
+                 SELECT sum((seed + 7 * (2 * s.m)) % 256
+                            + 256 * ((seed + 7 * (2 * s.m + 1)) % 256)
+                            - CASE WHEN (seed + 7 * (2 * s.m + 1)) % 256
+                                        >= 128
+                                   THEN 65536 ELSE 0 END)
+                 FROM s WHERE s.m < ns * ch)
+               ELSE 0 END AS BIGINT) AS samp_sum
+        FROM m"""
+
+
 def _media_chain(sf_dir: str):
     """Full multimodal chain over REAL container payloads: synthesize
     -> actor-pool DECODE (real header parse) -> frame-sample plan ->
-    actor-pool RESIZE -> actor-pool FEATURIZE (batched fake model ->
-    unit embedding) -> payload dropped.  Resize/featurize kernels stay
-    honestly fake (no pixel/model libs in this container); every
-    Ray-side shape (schema, small batches, init-once actors) is
-    real."""
+    actor-pool RESIZE (round-5: REAL pixel decode + integer
+    nearest-neighbor resample) -> actor-pool FEATURIZE (round-5: REAL
+    pixel/sample statistics -> unit embedding) -> payload dropped.
+    Every kernel now runs on actual decoded content; every Ray-side
+    shape (schema, small batches, init-once actors) unchanged."""
     from ..ops.multimodal import (MediaResizer, MediaFeaturizer,
                                   frame_sample_batch, synth_media_batch)
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -2665,13 +2843,10 @@ def _media_chain(sf_dir: str):
                         concurrency=(1, 4))
     ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
-    ds = ds.map_batches(MediaResizer, fn_constructor_kwargs={"fake": True},
-                        batch_size=512, batch_format="pyarrow",
-                        concurrency=(1, 4))
-    ds = ds.map_batches(MediaFeaturizer,
-                        fn_constructor_kwargs={"fake": True},
-                        batch_size=512, batch_format="pyarrow",
-                        concurrency=(1, 4))
+    ds = ds.map_batches(MediaResizer, batch_size=512,
+                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(MediaFeaturizer, batch_size=512,
+                        batch_format="pyarrow", concurrency=(1, 4))
     return ds.drop_columns(["payload"])
 
 
@@ -2899,9 +3074,10 @@ def q_media_summary(sf_dir: str):
     """Value-checkable projection of the multimodal chain: per-kind
     aggregates (doc counts, byte/frame/resize totals, a rounded
     embedding checksum) over the full decode -> frame-sample ->
-    resize -> featurize pipeline.  The fake kernels are deterministic
-    per item (crc math independent of batching), so this pins as a
-    golden — the chain's outputs are value-gated even though the
+    resize -> featurize pipeline.  All kernels are REAL (round-5:
+    pixel decode + NN resample + pixel/sample-statistic features) and
+    deterministic per item (independent of batching), so this pins as
+    a golden — the chain's outputs are value-gated even though the
     full row-level result carries list columns the VALUES oracle
     can't express."""
     ds = _media_chain(sf_dir)
@@ -5075,6 +5251,12 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_dedup": """
             SELECT doc_id FROM documents WHERE doc_id < 400""",
 
+        "media_resize": _media_resize_sql(),
+
+        "media_pixstats": _media_pixstats_sql(),
+
+        "audio_stats": _audio_stats_sql(),
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -5217,6 +5399,9 @@ RAY_QUERIES = {
     "media_decode": q_media_decode,
     "media_audit": q_media_audit,
     "media_dedup": q_media_dedup,
+    "media_resize": q_media_resize,
+    "media_pixstats": q_media_pixstats,
+    "audio_stats": q_audio_stats,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

@@ -43,9 +43,10 @@ ROW_QUERIES = {"approx_distinct_users": ["event_type",
                # fixed multipliers); superset-of-exact guarded in
                # tests/test_sketch.py
                "heavy_tokens": ["token", "est"],
-               # the multimodal chain's fake kernels are deterministic
-               # per item (crc math independent of batching); this
-               # pins its per-kind aggregate projection
+               # the multimodal chain's REAL kernels (round-5 pixel/
+               # sample paths) are deterministic per item (independent
+               # of batching); this pins its per-kind aggregate
+               # projection
                "media_summary": ["kind", "n", "sum_bytes",
                                  "sum_frames", "sum_rw", "emb_sum_q"],
                # BPE merge rules: deterministic (integer counts, total

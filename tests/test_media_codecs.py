@@ -273,3 +273,130 @@ def test_media_decoder_fake_flag_schema_mode_independent():
     assert out.column("parse_ok").to_pylist() == [1, 1]
     skipped = MediaDecoder(fake=True, on_error="skip")(batch)
     assert skipped.num_rows == 2 and "parse_ok" not in skipped.schema.names
+
+
+# ---------------------------------------------------------------------------
+# round-5: full pixel/sample decoders
+# ---------------------------------------------------------------------------
+
+def test_png_pixels_round_trip_ramp():
+    import numpy as np
+    from d1_log_aggregation_ray.ops.media_codecs import (decode_png_pixels,
+                                                         encode_png)
+    w, h, seed = 19, 11, 37
+    px = decode_png_pixels(encode_png(w, h, seed))
+    exp = np.tile(((seed + np.arange(w * 3)) % 256).astype(
+        np.uint8).reshape(1, w, 3), (h, 1, 1))
+    assert px.shape == (h, w, 3) and (px == exp).all()
+
+
+def test_png_defilter_all_five_filters():
+    """Independent forward-filter encoder (test-local, per spec) ->
+    decode must invert every filter type 0-4."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from d1_log_aggregation_ray.ops.media_codecs import (_PNG_SIG,
+                                                         decode_png_pixels)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def forward_filter(img):
+        h, w, _ = img.shape
+        stride = w * 3
+        flat = img.reshape(h, stride).astype(np.int64)
+        out = bytearray()
+        for y in range(h):
+            f = y % 5
+            cur = flat[y]
+            prior = flat[y - 1] if y else np.zeros(stride, np.int64)
+            raw = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prior[x]
+                c = prior[x - 3] if x >= 3 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b if pb_ <= pc_ else c)
+                raw[x] = (cur[x] - pred) & 255
+            out.append(f)
+            out += raw.astype(np.uint8).tobytes()
+        return bytes(out)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(forward_filter(img)))
+               + chunk(b"IEND", b""))
+    assert (decode_png_pixels(payload) == img).all()
+
+
+def test_bmp_pixels_bottom_up_and_bgr():
+    import numpy as np
+    from d1_log_aggregation_ray.ops.media_codecs import (decode_bmp_pixels,
+                                                         encode_bmp)
+    w, h, seed = 13, 9, 201
+    px = decode_bmp_pixels(encode_bmp(w, h, seed))
+    exp = np.empty((h, w, 3), np.uint8)
+    for r in range(h):
+        y = h - 1 - r                      # bottom-up storage
+        exp[r] = ((seed + y + np.arange(w * 3)) % 256).astype(
+            np.uint8).reshape(w, 3)[:, ::-1]   # BGR -> RGB
+    assert (px == exp).all()
+
+
+def test_gif_pixels_real_lzw_palette():
+    import numpy as np
+    from d1_log_aggregation_ray.ops.media_codecs import (decode_gif_pixels,
+                                                         encode_gif)
+    w, h, seed = 17, 12, 99
+    px = decode_gif_pixels(encode_gif(w, h, 3, 5, seed))
+    col = np.array([seed % 256, (seed + 29) % 256, (seed + 58) % 256],
+                   np.uint8)
+    assert px.shape == (h, w, 3) and (px == col).all()
+
+
+def test_wav_samples_signed_int16():
+    import numpy as np
+    from d1_log_aggregation_ray.ops.media_codecs import (
+        decode_wav_samples, encode_wav)
+    ns, ch, seed, rate = 50, 2, 7, 8000
+    arr, r = decode_wav_samples(encode_wav(rate, ns, ch, seed))
+    assert r == rate and arr.shape == (ns, ch)
+    b = ((seed + 7 * np.arange(ns * ch * 2)) % 256).astype(np.uint8)
+    exp = np.frombuffer(b.tobytes(), "<i2")
+    assert (arr.reshape(-1) == exp).all()
+
+
+def test_pixel_decoders_reject_malformed():
+    import pytest
+
+    from d1_log_aggregation_ray.ops.media_codecs import (
+        MediaParseError, decode_pixels, decode_png_pixels, encode_png,
+        encode_wav)
+    with pytest.raises(MediaParseError):
+        decode_pixels(b"not a container")
+    with pytest.raises(MediaParseError):
+        decode_pixels(encode_wav(8000, 10))       # audio has no pixels
+    good = encode_png(6, 5, 1)
+    with pytest.raises(MediaParseError):          # corrupt IDAT CRC
+        bad = bytearray(good)
+        bad[-20] ^= 0xFF
+        decode_png_pixels(bytes(bad))
+    with pytest.raises(MediaParseError):          # truncated
+        decode_png_pixels(good[:40])

@@ -323,10 +323,43 @@ def test_media_chain_resize_featurize_framesample():
         batch_format="pyarrow", concurrency=1)
     e2 = np.asarray(ds2.take_all()[0]["embedding"])
     assert np.allclose(e1, e2)
-    with pytest.raises(NotImplementedError):
-        MediaFeaturizer(fake=False)
-    with pytest.raises(NotImplementedError):
-        MediaResizer(fake=False)(tbl)
+
+
+def test_media_resize_featurize_real_kernels():
+    """Round-5: the REAL pixel/sample paths.  Resize decodes actual
+    pixels and reports an exact px_sum (checked against the planted
+    ramp arithmetic); the featurizer's embedding starts with the true
+    per-channel pixel means (image) or the modality flag (audio)."""
+    from d1_log_aggregation_ray.ops.multimodal import (
+        MediaResizer, MediaFeaturizer, synth_media_batch)
+    ids = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    media = synth_media_batch(ids)
+    out = MediaResizer(max_w=16, max_h=16)(media)
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    # media_id 0: PNG 16x16 (fits) — rows identical ramp (seed=0):
+    # px_sum = h * sum((3x + c) % 256) = 16 * sum(range(48))
+    assert (rows[0]["resized_w"], rows[0]["resized_h"]) == (16, 16)
+    assert rows[0]["px_sum"] == 16 * sum(range(48))
+    # media_id 3: audio — zeros
+    assert (rows[3]["resized_w"], rows[3]["resized_h"],
+            rows[3]["px_sum"]) == (0, 0, 0)
+    # downsampled image never exceeds the box, never upscales
+    for r in rows.values():
+        assert r["resized_w"] <= 16 and r["resized_h"] <= 16
+
+    feat = MediaFeaturizer()(media)
+    frows = {r["media_id"]: np.asarray(r["embedding"])
+             for r in feat.to_pylist()}
+    for mid, emb in frows.items():
+        assert abs(np.linalg.norm(emb) - 1) < 1e-5
+    # image 0 (seed 0): mean R over ramp rows = mean((3x)%256)/255
+    from d1_log_aggregation_ray.ops.media_codecs import decode_pixels
+    img = decode_pixels(media.column("payload")[0].as_py())
+    want = img.reshape(-1, 3).mean(axis=0) / 255.0
+    got = frows[0][:3] * np.linalg.norm(
+        MediaFeaturizer()._feat_real(media.column("payload")[0].as_py(),
+                                     "image"))
+    assert np.allclose(got, want, atol=1e-6)
 
 
 def test_enrich_tolerant_row_fallback():
