@@ -64,11 +64,18 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     reps = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    # round-5 (verdict r4 item 7): 1-min load average recorded PER
+    # SAMPLE so a band breach can be machine-adjudicated as
+    # interference (this box idles at load ~4-5 with bursts to ~10;
+    # see BASELINE.md) instead of re-derived from prose each round
+    loads: dict[str, list[float]] = {}
 
     harvest_samples = []
     rows = 0
     for r in range(reps if not only else 0):
         shutil.rmtree(out_dir, ignore_errors=True)
+        loads.setdefault("harvest", []).append(
+            round(os.getloadavg()[0], 2))
         t0 = time.time()
         summary = run_harvest(fx, out_dir, wave_size=64, resume=False)
         harvest_samples.append(round(time.time() - t0, 3))
@@ -246,7 +253,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # per-channel pixel sums, PCM sample stats
                      "media_resize", "media_pixstats", "audio_stats"]:
             samples[name] = []
+            loads[name] = []
             for r in range(reps):
+                loads[name].append(round(os.getloadavg()[0], 2))
                 t = time.time()
                 res = RAY_QUERIES[name](sf_dir)
                 # consume the stream (count() triggers full execution)
@@ -261,6 +270,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        "loads": loads,
+        "verdicts": _band_verdicts(timings, loads),
         "sf": sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
         "rows": rows,
@@ -269,6 +280,47 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     }
     ray.shutdown()
     return result
+
+
+def _band_verdicts(timings: dict, loads: dict) -> dict:
+    """Machine-readable band adjudication (round-4 verdict item 7):
+    compare each best-of-N timing against the declared operating band
+    in docs/BANDS.json ([lo, hi] seconds per query, written from the
+    round's own quiet+loaded runs) and attach a verdict:
+
+      in_band               best <= hi * 1.10
+      below_band            best < lo * 0.80 (faster than declared —
+                            informational, the engine floor moved)
+      interference_suspect  over band AND some sample started at
+                            1-min load >= $GRAFT_LOAD_SUSPECT
+                            (default 8.0 — this box idles at ~4-5)
+      over_band             over band on a quiet box (a real
+                            regression — investigate)
+
+    Queries without a declared band get no entry."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "BANDS.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        bands = json.load(f)
+    suspect_load = float(os.environ.get("GRAFT_LOAD_SUSPECT", "8.0"))
+    out = {}
+    for name, best in timings.items():
+        band = bands.get(name)
+        if not band:
+            continue
+        lo, hi = float(band[0]), float(band[1])
+        if best <= hi * 1.10:
+            verdict = "below_band" if best < lo * 0.80 else "in_band"
+        elif max(loads.get(name, [0.0])) >= suspect_load:
+            verdict = "interference_suspect"
+        else:
+            verdict = "over_band"
+        out[name] = {"verdict": verdict, "band": [lo, hi],
+                     "best": best,
+                     "max_load_1m": max(loads.get(name, [0.0]))}
+    return out
 
 
 def run_scaling(sf_dir: str | None = None, repeats: int | None = None) -> dict:

@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""One-command cold-start acceptance proof (round-4 verdict item 8).
+
+    python scripts/acceptance.py
+
+Runs, in order, printing a PASS/FAIL table (~3-4 min total):
+
+  1. fixtures   — deterministic corpus synthesis (sf0.001)
+  2. harvest    — flagship parse->enrich->route->aggregate run;
+                  rows_out_total must equal the generator's n_valid
+  3. kill+resume— a REAL SIGKILL mid-harvest in a child process, then
+                  resume=True must finish the job with totals and
+                  per-turn text equality intact
+  4. oracle x3  — three sample queries (one harvest-stage, one
+                  aggregate, one dedup family) value-compared against
+                  their DuckDB oracles
+  5. scaling    — fresh-process mini pair (4 -> 16 CPUs at sf0.1,
+                  same input), reporting both throughputs + efficiency
+                  (informational floor 0.5 here; the declared
+                  criterion sweep is bench.py --scaling at sf5)
+
+Exit code 0 iff every gate PASSes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/acceptance_out"
+
+RESULTS: list[tuple[str, bool, str]] = []
+
+
+def gate(name: str):
+    def deco(fn):
+        def run(*a, **kw):
+            t0 = time.time()
+            try:
+                detail = fn(*a, **kw) or ""
+                RESULTS.append((name, True,
+                                f"{detail} [{time.time() - t0:.1f}s]"))
+                return True
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                RESULTS.append((name, False,
+                                f"{e} [{time.time() - t0:.1f}s]"))
+                return False
+        return run
+    return deco
+
+
+@gate("fixtures")
+def g_fixtures():
+    from d1_log_aggregation_ray.gen.fixtures import generate_fixtures
+    fx = generate_fixtures(SF)
+    meta = json.load(open(os.path.join(fx, "meta.json")))
+    assert meta["n_valid"] > 0, "empty fixture corpus"
+    return f"{meta['n_valid']} valid turns at {fx}"
+
+
+@gate("harvest")
+def g_harvest():
+    import shutil
+
+    from d1_log_aggregation_ray.gen.fixtures import generate_fixtures
+    from d1_log_aggregation_ray.pipelines.harvest import run_harvest
+    fx = generate_fixtures(SF)
+    shutil.rmtree(OUT, ignore_errors=True)
+    s = run_harvest(fx, OUT, resume=False)
+    meta = json.load(open(os.path.join(fx, "meta.json")))
+    assert s["rows_out_total"] == meta["n_valid"], (
+        f"rows_out_total {s['rows_out_total']} != n_valid "
+        f"{meta['n_valid']}")
+    return f"{s['rows_out_total']} rows in {s['duration_s']}s"
+
+
+_KILL_CHILD = r'''
+import sys
+sys.path.insert(0, sys.argv[3])
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from d1_log_aggregation_ray.pipelines.harvest import run_harvest
+print("HARVEST_START", flush=True)
+run_harvest(sys.argv[1], sys.argv[2], resume=False)
+'''
+
+
+@gate("kill+resume")
+def g_kill_resume():
+    import shutil
+
+    import pyarrow.dataset as pa_ds
+
+    from d1_log_aggregation_ray.gen.fixtures import generate_fixtures
+    from d1_log_aggregation_ray.pipelines.harvest import run_harvest
+    fx = generate_fixtures(SF)
+    out = OUT + "_kill"
+    shutil.rmtree(out, ignore_errors=True)
+    # REAL kill: the child announces when the harvest proper starts
+    # (after its ~15 s cold Ray init), the parent SIGKILLs ~40% into
+    # the measured ~2-3 s wave loop
+    p = subprocess.Popen([sys.executable, "-c", _KILL_CHILD, fx, out,
+                          REPO],
+                         stdout=subprocess.PIPE,
+                         stderr=subprocess.DEVNULL, text=True)
+    deadline = time.time() + 90
+    started = False
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "HARVEST_START" in line:
+            started = True
+            break
+        if p.poll() is not None:
+            break
+    assert started, "child never reached the harvest"
+    time.sleep(1.0)
+    killed = p.poll() is None
+    if killed:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+    s = run_harvest(fx, out, resume=True)
+    meta = json.load(open(os.path.join(fx, "meta.json")))
+    assert s["rows_out_total"] == meta["n_valid"], (
+        f"after resume: {s['rows_out_total']} != {meta['n_valid']}")
+    # per-turn equality of the whole output vs a clean reference run
+    ref = OUT  # g_harvest's output
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    t_res = pa_ds.dataset(out, partitioning="hive").to_table()
+    t_ref = pa_ds.dataset(ref, partitioning="hive").to_table()
+    cols = sorted(t_ref.column_names)
+    t_res = t_res.select(cols).sort_by(key)
+    t_ref = t_ref.select(cols).sort_by(key)
+    assert t_res.equals(t_ref), "resumed output != clean-run output"
+    return ("child SIGKILLed mid-run, " if killed else
+            "child finished before kill (tiny corpus), ") + \
+        f"resume completed {s['rows_out_total']} rows, outputs equal"
+
+
+@gate("oracle x3")
+def g_oracles():
+    import duckdb
+    import pandas as pd
+
+    from d1_log_aggregation_ray.pipelines.queries import (
+        RAY_QUERIES, oracle_sql_strings)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    sqls = oracle_sql_strings(SF)
+    checked = []
+    for name in ("clean_project", "route_counts", "dedup_minhash"):
+        eng = RAY_QUERIES[name](SF)
+        eng = eng.to_pandas() if hasattr(eng, "to_pandas") else eng
+        ora = con.execute(sqls[name]).df()
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].astype(str)
+                elif str(df[c].dtype).startswith(("uint", "int", "bool")):
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns),
+                                  kind="mergesort").reset_index(drop=True)
+
+        e, o = norm(eng), norm(ora)
+        assert list(e.columns) == list(o.columns), f"{name}: schema"
+        assert len(e) == len(o), f"{name}: {len(e)} vs {len(o)} rows"
+        assert e.equals(o), f"{name}: value mismatch"
+        checked.append(f"{name}({len(e)})")
+    return " ".join(checked)
+
+
+@gate("scaling")
+def g_scaling():
+    thr = {}
+    for n in (4, 16):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--cpus", str(n), "--headline-only"],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "GRAFT_SF_DIR": "/root/testdata/sf0.1",
+                 "GRAFT_BENCH_OUT": "/dev/shm/graft_acceptance"})
+        assert proc.returncode == 0, f"bench child cpus={n} failed"
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        thr[n] = json.loads(line)["turns_per_sec"]
+    eff = thr[16] / thr[4] / 4.0
+    # informational floor: sf0.1 is fixed-cost-dominated; the declared
+    # criterion runs at sf5 via bench.py --scaling (BASELINE.md)
+    assert eff > 0.5 or thr[16] > thr[4], (
+        f"16-CPU run not faster than 4-CPU: {thr}")
+    return (f"{thr[4]:.0f} -> {thr[16]:.0f} turns/s, "
+            f"eff={eff:.2f} (mini pair; declared sweep is sf5)")
+
+
+def main() -> int:
+    t0 = time.time()
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    ok = True
+    ok &= g_fixtures()
+    ok &= g_harvest()
+    ok &= g_kill_resume()
+    ok &= g_oracles()
+    ray.shutdown()          # scaling children own their sessions
+    ok &= g_scaling()
+    width = max(len(n) for n, _, _ in RESULTS)
+    print("\n" + "=" * 64)
+    for name, passed, detail in RESULTS:
+        print(f"{name:<{width}}  {'PASS' if passed else 'FAIL'}  {detail}")
+    print("=" * 64)
+    print(f"{'ACCEPTANCE':<{width}}  "
+          f"{'PASS' if ok else 'FAIL'}  total {time.time() - t0:.0f}s")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

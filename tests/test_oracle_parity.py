@@ -90,7 +90,15 @@ SCALE_SENSITIVE = ["mixture_sample", "approx_quantiles",
                    "cluster_sample", "temperature_mix",
                    "stratified_sample", "length_trim",
                    "quality_buckets", "weighted_sample", "winsorize",
-                   "length_quantiles", "exact_sample", "sample_docs"]
+                   "length_quantiles", "exact_sample", "sample_docs",
+                   # round-5 (verdict r4 item 6): the ANN/kNN family —
+                   # bucket widths, probe sets and plane counts are
+                   # all corpus-size-coupled, so top-k results that
+                   # pass at sf0.001 could degrade at the driver's
+                   # scale without this gate
+                   "ann_cosine_topk", "ann_multi_topk", "ann_lsh_topk",
+                   "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+                   "pca_ann_topk", "knn_join"]
 
 
 @pytest.fixture(scope="module")
