@@ -430,7 +430,12 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64,
 def _minhash_beaten(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
     """Ids beaten inside this partition's minhash band buckets: dup iff
     some bucket's min id is smaller than the doc's own.  Shared by
-    minhash_lsh_dedup and the fused dedup_family_diff scan."""
+    minhash_lsh_dedup and the fused dedup_family_diff scan.  Empty
+    input (a fused-diff partition holding only the OTHER family's
+    rows) returns empty — _bucket_segments emits starts=[0] for empty
+    arrays, which would otherwise index out of bounds."""
+    if len(ids) == 0:
+        return np.empty(0, dtype=ids.dtype)
     _, i, starts, counts, _ = _bucket_segments(keys, ids)
     bmin_per_row = np.repeat(i[starts], counts)  # each row's bucket min
     return np.unique(i[bmin_per_row < i])
@@ -668,6 +673,16 @@ def dedup_family_diff(ds: ray.data.Dataset, num_perm: int = 64,
     columns so ONE max-aggregate on doc_id resolves both verdicts and
     the disagreement filter is map-only."""
     from ..stages.aggregate import hash_partition_aggregate
+    # the standalone paths' parameter validations, enforced here too —
+    # otherwise mismatched bands silently drop perms/bits and the
+    # "survivor semantics are EXACTLY the standalone ops'" guarantee
+    # breaks (review finding)
+    if num_perm % n_bands != 0 or num_perm < n_bands:
+        raise ValueError(
+            f"num_perm={num_perm} must be a positive multiple of "
+            f"n_bands={n_bands}")
+    if 64 % sim_bands != 0:
+        raise ValueError(f"64 %% sim_bands={sim_bands} != 0")
     n_parts = _num_parts()
 
     _BAND_EMPTY = pa.table({
@@ -1503,11 +1518,27 @@ def compact_minhash_index(index_dir: str) -> dict:
     # sweep is scoped to COMPACTION'S OWN tmp prefix (round-4 ADVICE):
     # append_minhash_index writes `_tmp-seg-<tag>` (no `compact`
     # infix), so an overlapping append's in-flight segment is never
-    # clobbered even though compaction is documented offline.
+    # clobbered even though compaction is documented offline.  A
+    # CRASHED append's tmp dir would otherwise leak forever, so
+    # foreign `_tmp-*` dirs are reclaimed too — but only past an age
+    # threshold (default 1 h, $GRAFT_TMP_SWEEP_AGE_S) no live append
+    # can straddle.
+    import time as _time
+    age_s = float(os.environ.get("GRAFT_TMP_SWEEP_AGE_S", "3600"))
+    now = _time.time()
     for name in os.listdir(index_dir):
+        if not name.startswith("_tmp-"):
+            continue
+        p = os.path.join(index_dir, name)
         if name.startswith("_tmp-seg-compact-"):
-            shutil.rmtree(os.path.join(index_dir, name),
-                          ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                old = now - os.path.getmtime(p) > age_s
+            except OSError:
+                old = False
+            if old:
+                shutil.rmtree(p, ignore_errors=True)
     if os.path.exists(marker + ".tmp"):
         os.remove(marker + ".tmp")
     if os.path.exists(marker):

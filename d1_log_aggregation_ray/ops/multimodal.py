@@ -300,13 +300,23 @@ class MediaResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if self.fake:
-            w = batch.column("width").to_numpy(zero_copy_only=False)
-            h = batch.column("height").to_numpy(zero_copy_only=False)
-            rw = np.empty(n, np.int64)
-            rh = np.empty(n, np.int64)
-            for i in range(n):
-                rw[i], rh[i] = resize_geometry(
-                    int(w[i]), int(h[i]), self.max_w, self.max_h)
+            # vectorized mirror of resize_geometry (the speed-test
+            # path must not pay a per-row Python loop); max(h, 1)
+            # divisors guard the audio (0, 0) rows whose branch never
+            # selects the division result
+            w = batch.column("width").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = batch.column("height").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mw, mh = self.max_w, self.max_h
+            fits = (w <= mw) & (h <= mh)
+            hbound = w * mh <= h * mw
+            rw = np.where(fits, w, np.where(
+                hbound,
+                np.maximum(1, (w * mh) // np.maximum(h, 1)), mw))
+            rh = np.where(fits, h, np.where(
+                hbound, mh,
+                np.maximum(1, (h * mw) // np.maximum(w, 1))))
             px_sum = np.zeros(n, np.int64)
         else:
             from .media_codecs import decode_pixels
@@ -376,8 +386,8 @@ class MediaFeaturizer:
             f[10] = np.log1p(w)
             f[11] = np.log1p(h)
             f[12] = w / max(h, 1)             # aspect
-            f[13] = gray.min(initial=0.0)
-            f[14] = gray.max(initial=0.0)
+            f[13] = gray.min(initial=1.0)   # gray in [0,1]: identity
+            f[14] = gray.max(initial=0.0)   # guards for both bounds
             f[15] = 1.0 if kind == "video" else 0.0
         return f
 

@@ -2518,11 +2518,7 @@ def q_media_decode(sf_dir: str):
     never decompressed).  The oracle states the expected metadata
     ANALYTICALLY from the same arithmetic (_media_decode_sql) — fully
     independent of both encoder and decoder."""
-    from ..ops.multimodal import synth_media_batch
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id"])
-    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    ds = _synth_media(sf_dir)
     # batch_size sizes to PAYLOAD bytes x batch x concurrency per the
     # module contract: these synthetic containers are KB-scale, so 512
     # rows/batch is ~2 MB; a real image/video corpus drops this to
@@ -2544,12 +2540,8 @@ def q_media_audit(sf_dir: str):
     Oracle: pure arithmetic on media_id — the corruption rule is SQL,
     so the expected counts are stated independently of encoder,
     corrupter and decoder."""
-    from ..ops.multimodal import synth_media_batch
     from ..stages.aggregate import hash_partition_aggregate
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id"])
-    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    ds = _synth_media(sf_dir)
 
     def corrupt(batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
@@ -2832,11 +2824,8 @@ def _media_chain(sf_dir: str):
     Every kernel now runs on actual decoded content; every Ray-side
     shape (schema, small batches, init-once actors) unchanged."""
     from ..ops.multimodal import (MediaResizer, MediaFeaturizer,
-                                  frame_sample_batch, synth_media_batch)
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id"])
-    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                                  frame_sample_batch)
+    ds = _synth_media(sf_dir)
     ds = ds.map_batches(MediaDecoder,
                         fn_constructor_kwargs={"keep_payload": True},
                         batch_size=512, batch_format="pyarrow",

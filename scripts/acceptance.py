@@ -3,7 +3,7 @@
 
     python scripts/acceptance.py
 
-Runs, in order, printing a PASS/FAIL table (~3-4 min total):
+Runs, in order, printing a PASS/FAIL table (~30-60 s total):
 
   1. fixtures   — deterministic corpus synthesis (sf0.001)
   2. harvest    — flagship parse->enrich->route->aggregate run;
@@ -112,16 +112,22 @@ def g_kill_resume():
                           REPO],
                          stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, text=True)
-    deadline = time.time() + 90
-    started = False
-    while time.time() < deadline:
-        line = p.stdout.readline()
-        if "HARVEST_START" in line:
-            started = True
-            break
-        if p.poll() is not None:
-            break
-    assert started, "child never reached the harvest"
+    # a hung child (wedged ray.init) must FAIL this gate, not block
+    # it: readline() has no timeout, so read on a daemon thread and
+    # bound the wait
+    import threading
+    started = threading.Event()
+
+    def _watch():
+        for line in p.stdout:
+            if "HARVEST_START" in line:
+                started.set()
+                return
+
+    threading.Thread(target=_watch, daemon=True).start()
+    if not started.wait(timeout=90):
+        p.kill()
+        raise AssertionError("child never reached the harvest in 90s")
     time.sleep(1.0)
     killed = p.poll() is None
     if killed:

@@ -153,3 +153,19 @@ def test_family_diff_consumes_input_once():
     out = dedup_family_diff(ds).take_all()
     assert {r["flag"] for r in out} <= {"minhash_only", "simhash_only"}
     assert ray.get(counter.value.remote()) == 1
+
+
+def test_family_diff_tiny_corpus_and_validations():
+    """Review regression: a 1-doc corpus leaves some hash partitions
+    holding only one family's rows — the fused scan must not crash;
+    and the fused op enforces the standalone paths' band validations
+    instead of silently dropping perms/bits."""
+    from d1_log_aggregation_ray.ops.dedup import dedup_family_diff
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["just one doc"])}))
+    assert dedup_family_diff(one).take_all() == []
+    with pytest.raises(ValueError):
+        dedup_family_diff(one, num_perm=64, n_bands=10)
+    with pytest.raises(ValueError):
+        dedup_family_diff(one, sim_bands=3)
