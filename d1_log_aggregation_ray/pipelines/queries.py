@@ -2520,11 +2520,11 @@ def q_media_decode(sf_dir: str):
     independent of both encoder and decoder."""
     ds = _synth_media(sf_dir)
     # batch_size sizes to PAYLOAD bytes x batch x concurrency per the
-    # module contract: these synthetic containers are KB-scale, so 512
-    # rows/batch is ~2 MB; a real image/video corpus drops this to
+    # module contract: these synthetic containers are KB-scale, so 256
+    # rows/batch is ~1 MB; a real image/video corpus drops this to
     # 16-64
-    ds = ds.map_batches(MediaDecoder, batch_size=512,
-                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(MediaDecoder, batch_size=256,
+                        batch_format="pyarrow", concurrency=(1, 8))
     return ds.select_columns(["media_id", "kind", "width", "height",
                               "n_frames", "duration_ms"])
 
@@ -2558,8 +2558,8 @@ def q_media_audit(sf_dir: str):
     ds = ds.map_batches(corrupt, batch_format="pyarrow")
     ds = ds.map_batches(MediaDecoder,
                         fn_constructor_kwargs={"on_error": "flag"},
-                        batch_size=512, batch_format="pyarrow",
-                        concurrency=(1, 4))
+                        batch_size=256, batch_format="pyarrow",
+                        concurrency=(1, 8))
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -2658,7 +2658,7 @@ def q_media_resize(sf_dir: str):
     from ..ops.multimodal import MediaResizer
     ds = _synth_media(sf_dir).map_batches(
         MediaResizer, fn_constructor_kwargs={"max_w": 16, "max_h": 16},
-        batch_size=512, batch_format="pyarrow", concurrency=(1, 4))
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 8))
     return ds.select_columns(["media_id", "kind", "resized_w",
                               "resized_h", "px_sum"])
 
@@ -2671,8 +2671,8 @@ def q_media_pixstats(sf_dir: str):
     palette lookup — against closed-form ramp arithmetic in SQL."""
     from ..ops.multimodal import MediaPixStats
     return _synth_media(sf_dir).map_batches(
-        MediaPixStats, batch_size=512, batch_format="pyarrow",
-        concurrency=(1, 4))
+        MediaPixStats, batch_size=256, batch_format="pyarrow",
+        concurrency=(1, 8))
 
 
 def q_audio_stats(sf_dir: str):
@@ -2682,8 +2682,8 @@ def q_audio_stats(sf_dir: str):
     ramp-byte -> little-endian signed int16 arithmetic in SQL."""
     from ..ops.multimodal import AudioStats
     return _synth_media(sf_dir).map_batches(
-        AudioStats, batch_size=512, batch_format="pyarrow",
-        concurrency=(1, 4))
+        AudioStats, batch_size=256, batch_format="pyarrow",
+        concurrency=(1, 8))
 
 
 def _media_geom_cte() -> str:
@@ -2828,14 +2828,14 @@ def _media_chain(sf_dir: str):
     ds = _synth_media(sf_dir)
     ds = ds.map_batches(MediaDecoder,
                         fn_constructor_kwargs={"keep_payload": True},
-                        batch_size=512, batch_format="pyarrow",
-                        concurrency=(1, 4))
+                        batch_size=256, batch_format="pyarrow",
+                        concurrency=(1, 8))
     ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
-    ds = ds.map_batches(MediaResizer, batch_size=512,
-                        batch_format="pyarrow", concurrency=(1, 4))
-    ds = ds.map_batches(MediaFeaturizer, batch_size=512,
-                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(MediaResizer, batch_size=256,
+                        batch_format="pyarrow", concurrency=(1, 8))
+    ds = ds.map_batches(MediaFeaturizer, batch_size=256,
+                        batch_format="pyarrow", concurrency=(1, 8))
     return ds.drop_columns(["payload"])
 
 
