@@ -250,8 +250,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # dedup family-agreement audit
                      "dedup_diff",
                      # round-5: REAL pixel/sample paths — NN resize,
-                     # per-channel pixel sums, PCM sample stats
-                     "media_resize", "media_pixstats", "audio_stats"]:
+                     # per-channel pixel sums, PCM sample stats, and
+                     # the featurize -> cosine-top-k composition
+                     "media_resize", "media_pixstats", "audio_stats",
+                     "media_embed_knn"]:
             samples[name] = []
             loads[name] = []
             for r in range(reps):

@@ -2686,6 +2686,41 @@ def q_audio_stats(sf_dir: str):
         concurrency=(1, 8))
 
 
+def q_media_embed_knn(sf_dir: str):
+    """Multimodal similarity search — the decode -> featurize -> ANN
+    composition a multimodal curation pipeline runs: REAL
+    content-statistic embeddings (MediaFeaturizer over decoded
+    pixels/samples) fed to the exact cosine top-k (ops/similarity.
+    brute_force_topk) against media 0's own embedding (computed
+    driver-side from its payload — no extra corpus scan), excluding
+    the query row; output (media_id, score_q) with the cosine in
+    int64 FIXED POINT (round(score * 2^20) — the float-checksum pin
+    rule).  Deterministic per item, so the oracle is a pinned golden
+    generated from the INDEPENDENT analytic reference
+    (tests/media_feat_reference.py: pixels rebuilt straight from the
+    ramp formulas, codecs never touched) and cross-checked against
+    the engine at pin time."""
+    from ..ops.multimodal import MediaFeaturizer, synth_media_payload
+    from ..ops.similarity import brute_force_topk
+    ds = _synth_media(sf_dir).map_batches(
+        MediaFeaturizer, batch_size=256, batch_format="pyarrow",
+        concurrency=(1, 8))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("media_id"), 0))
+                           ).select(["media_id", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    feat = MediaFeaturizer()
+    q = feat._feat_real(synth_media_payload(0), "image")
+    q = (q / max(np.linalg.norm(q), 1e-9)).astype(np.float32)
+    out = brute_force_topk(ds, q, k=10, id_col="media_id")
+    return pa.table({
+        "media_id": out.column("media_id"),
+        "score_q": pa.array(np.rint(
+            out.column("score").to_numpy(zero_copy_only=False)
+            * (1 << 20)).astype(np.int64)),
+    })
+
+
 def _media_geom_cte() -> str:
     """Shared CTE: per-media container kind, seed and geometry as
     integer arithmetic on media_id (mirrors
@@ -5391,6 +5426,7 @@ RAY_QUERIES = {
     "media_resize": q_media_resize,
     "media_pixstats": q_media_pixstats,
     "audio_stats": q_audio_stats,
+    "media_embed_knn": q_media_embed_knn,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

@@ -179,6 +179,27 @@ def main() -> None:
             "columns": ["doc_id", "n_tokens"],
             "rows": sorted([i, n] for i, n in enc_ref.items())}
         print(f"{sf} bpe_encode: {len(enc_ref)} pinned rows")
+        # media_embed_knn pin: generated from the INDEPENDENT analytic
+        # reference (pixels rebuilt from the ramp formulas, codecs
+        # never touched) and cross-checked against the engine — a
+        # divergence in codec round-trip OR featurizer fails loudly
+        # at pin time.
+        import pyarrow.parquet as _pq_m
+        from media_feat_reference import ref_media_embed_knn
+        _mids = _pq_m.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"]).column("doc_id").to_pylist()
+        ref_rows = ref_media_embed_knn(_mids)
+        eng_rows = sorted(
+            [int(r["media_id"]), int(r["score_q"])] for r in
+            RAY_QUERIES["media_embed_knn"](sf_dir).to_pylist())
+        if eng_rows != ref_rows:
+            raise AssertionError(
+                f"media_embed_knn engine != reference at {sf}:\n"
+                f"  engine    {eng_rows}\n  reference {ref_rows}")
+        out[sf]["media_embed_knn"] = {
+            "columns": ["media_id", "score_q"], "rows": ref_rows}
+        print(f"{sf} media_embed_knn: {len(ref_rows)} pinned rows")
         # kmeans pin: generated from the independent reference and
         # cross-checked against the engine so a divergence fails
         # loudly at pin time instead of shipping a wrong golden.
