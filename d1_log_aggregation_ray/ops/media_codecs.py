@@ -484,11 +484,10 @@ def _lzw_decode(data: bytes, min_code_size: int,
     return out
 
 
-def decode_gif_pixels(payload: bytes) -> np.ndarray:
-    """First-frame GIF pixel decode -> (H, W, 3) uint8 RGB via a real
-    LZW decode + color-table lookup.  Non-interlaced, full-logical-
-    screen first frame only (the repo's encoder always emits that;
-    anything else raises MediaParseError)."""
+def _gif_frame_streams(payload: bytes) -> list[dict]:
+    """Walk a validated GIF and return every frame's decode inputs
+    WITHOUT decoding: [{ct, min_code, lzw, fw, fh}] — the shared
+    front half of first-frame and per-frame pixel decode."""
     parse_gif(payload)                        # structural validation
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
@@ -500,15 +499,18 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                             offset=pos).reshape(n_colors, 3)
         pos += 3 * n_colors
     n = len(payload)
+    frames = []
     while pos < n:
         b = payload[pos]
         pos += 1
+        if b == 0x3B:                         # trailer
+            break
         if b == 0x21:                         # extension: skip
             pos += 1
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
-        elif b == 0x2C:                       # first image descriptor
+        elif b == 0x2C:                       # image descriptor
             x0, y0, fw, fh = struct.unpack_from("<HHHH", payload, pos)
             flags = payload[pos + 8]
             pos += 9
@@ -532,18 +534,48 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                 size = payload[pos]
                 lzw += payload[pos + 1:pos + 1 + size]
                 pos += 1 + size
-            idx = np.frombuffer(
-                _lzw_decode(bytes(lzw), min_code, fw * fh), np.uint8)
-            if len(idx) < fw * fh:
-                raise MediaParseError(
-                    f"GIF LZW produced {len(idx)} of {fw * fh} pixels")
-            idx = idx[:fw * fh]
-            if int(idx.max(initial=0)) >= len(ct):
-                raise MediaParseError("GIF pixel index out of palette")
-            return ct[idx].reshape(fh, fw, 3)
+            pos += 1                          # sub-block terminator
+            frames.append({"ct": ct, "min_code": min_code,
+                           "lzw": bytes(lzw), "fw": fw, "fh": fh})
         else:
             raise MediaParseError("GIF ended before any image frame")
-    raise MediaParseError("GIF ended before any image frame")
+    if not frames:
+        raise MediaParseError("GIF ended before any image frame")
+    return frames
+
+
+def _gif_decode_frame(fr: dict) -> np.ndarray:
+    idx = np.frombuffer(
+        _lzw_decode(fr["lzw"], fr["min_code"], fr["fw"] * fr["fh"]),
+        np.uint8)
+    if len(idx) < fr["fw"] * fr["fh"]:
+        raise MediaParseError(
+            f"GIF LZW produced {len(idx)} of {fr['fw'] * fr['fh']} "
+            "pixels")
+    idx = idx[:fr["fw"] * fr["fh"]]
+    if int(idx.max(initial=0)) >= len(fr["ct"]):
+        raise MediaParseError("GIF pixel index out of palette")
+    return fr["ct"][idx].reshape(fr["fh"], fr["fw"], 3)
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """First-frame GIF pixel decode -> (H, W, 3) uint8 RGB via a real
+    LZW decode + color-table lookup.  Non-interlaced, full-logical-
+    screen frames only (the repo's encoder always emits that;
+    anything else raises MediaParseError)."""
+    return _gif_decode_frame(_gif_frame_streams(payload)[0])
+
+
+def decode_gif_frame_pixels(payload: bytes,
+                            frame_idx: int) -> np.ndarray:
+    """Pixel decode of ONE selected GIF frame (the real consumer of a
+    frame-sampling plan): the block walk is O(file), the LZW decode
+    runs only for the requested frame."""
+    frames = _gif_frame_streams(payload)
+    if not 0 <= frame_idx < len(frames):
+        raise MediaParseError(
+            f"frame {frame_idx} out of range ({len(frames)} frames)")
+    return _gif_decode_frame(frames[frame_idx])
 
 
 def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:

@@ -442,6 +442,40 @@ class MediaPixStats:
         })
 
 
+class FrameStats:
+    """Actor-pool frame extractor — the REAL consumer of the
+    frame-sampling plan (frame_sample_batch): for each video row,
+    decode exactly the planned frames (per-frame LZW, not the whole
+    file) and emit one row per sampled frame with its exact int64
+    pixel sum: (media_id, frame_idx, px_sum).  Non-video rows emit
+    nothing.  This is the shape of a production video pipeline's
+    keyframe pass: plan cheaply from metadata, decode only the
+    sampled frames."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_gif_frame_pixels
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        plans = batch.column("sample_frames").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        out_mid: list[int] = []
+        out_fi: list[int] = []
+        out_ps: list[int] = []
+        for mid, p, k, plan in zip(mids, payloads, kinds, plans):
+            if k != "video" or not plan:
+                continue
+            for fi in plan:
+                px = decode_gif_frame_pixels(p, int(fi))
+                out_mid.append(int(mid))
+                out_fi.append(int(fi))
+                out_ps.append(int(px.sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(out_mid, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "px_sum": pa.array(out_ps, pa.int64()),
+        })
+
+
 class AudioStats:
     """Actor-pool PCM-sample statistics: payload -> exact int64
     (n_frames, n_channels, samp_sum) over the REAL decoded int16

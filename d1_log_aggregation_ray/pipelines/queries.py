@@ -2686,6 +2686,42 @@ def q_audio_stats(sf_dir: str):
         concurrency=(1, 8))
 
 
+def q_frame_stats(sf_dir: str):
+    """REAL video-frame sampling (round-5): decode metadata -> plan
+    sampled frames (frame_sample_batch, every 2nd frame) -> decode
+    ONLY the planned frames (per-frame GIF LZW,
+    ops/media_codecs.decode_gif_frame_pixels) -> one row per sampled
+    frame with its exact int64 pixel sum.  The frame-sample plan
+    column finally has a real consumer — the keyframe-pass shape of a
+    production video pipeline.  Oracle: planted uniform frames make
+    each frame's sum analytic; sampled indices are the arithmetic
+    series 0, 2, 4... below n_frames."""
+    from ..ops.multimodal import FrameStats, frame_sample_batch
+    ds = _synth_media(sf_dir).map_batches(
+        MediaDecoder, fn_constructor_kwargs={"keep_payload": True},
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 8))
+    ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow",
+                        zero_copy_batch=True, fn_kwargs={"every_n": 2})
+    return ds.map_batches(FrameStats, batch_size=256,
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _frame_stats_sql() -> str:
+    """Analytic oracle for q_frame_stats: video rows (k=2) have
+    n_frames = 1 + (id//4) % 5 identical uniform frames (every pixel
+    is palette color 0), so each sampled frame's px_sum is
+    w*h*(seed + (seed+29)%256 + (seed+58)%256) and the sampled
+    indices are the even series below n_frames."""
+    return _media_geom_cte() + """
+        , s AS (SELECT t.g AS x FROM generate_series(0, 4) t(g))
+        SELECT media_id, s.x AS frame_idx,
+               CAST(w * h * (seed % 256 + (seed + 29) % 256
+                             + (seed + 58) % 256) AS BIGINT) AS px_sum
+        FROM m, s
+        WHERE k = 2 AND s.x < 1 + (media_id // 4) % 5
+          AND s.x % 2 = 0"""
+
+
 def q_media_embed_knn(sf_dir: str):
     """Multimodal similarity search — the decode -> featurize -> ANN
     composition a multimodal curation pipeline runs: REAL
@@ -5281,6 +5317,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
         "audio_stats": _audio_stats_sql(),
 
+        "frame_stats": _frame_stats_sql(),
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -5427,6 +5465,7 @@ RAY_QUERIES = {
     "media_pixstats": q_media_pixstats,
     "audio_stats": q_audio_stats,
     "media_embed_knn": q_media_embed_knn,
+    "frame_stats": q_frame_stats,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

@@ -400,3 +400,23 @@ def test_pixel_decoders_reject_malformed():
         decode_png_pixels(bytes(bad))
     with pytest.raises(MediaParseError):          # truncated
         decode_png_pixels(good[:40])
+
+
+def test_gif_per_frame_decode():
+    """Per-frame extraction (the frame-sampling consumer): every
+    frame of the planted GIF decodes to the uniform palette color;
+    out-of-range frame indices raise."""
+    import numpy as np
+    import pytest
+
+    from d1_log_aggregation_ray.ops.media_codecs import (
+        MediaParseError, decode_gif_frame_pixels, decode_gif_pixels,
+        encode_gif)
+    p = encode_gif(9, 6, 4, 3, 17)
+    col = np.array([17, 46, 75], np.uint8)
+    for fi in range(4):
+        f = decode_gif_frame_pixels(p, fi)
+        assert f.shape == (6, 9, 3) and (f == col).all()
+    assert (decode_gif_pixels(p) == col).all()
+    with pytest.raises(MediaParseError):
+        decode_gif_frame_pixels(p, 4)
