@@ -484,10 +484,16 @@ def _lzw_decode(data: bytes, min_code_size: int,
     return out
 
 
-def _gif_frame_streams(payload: bytes) -> list[dict]:
-    """Walk a validated GIF and return every frame's decode inputs
-    WITHOUT decoding: [{ct, min_code, lzw, fw, fh}] — the shared
-    front half of first-frame and per-frame pixel decode."""
+def _gif_frame_streams(payload: bytes,
+                       max_frames: int | None = None) -> list[dict]:
+    """Walk a validated GIF and return frame decode inputs WITHOUT
+    decoding: [{ct, min_code, lzw, fw, fh}] — the shared front half
+    of first-frame and per-frame pixel decode.  `max_frames` stops
+    the walk (and the per-frame LZW byte assembly, and the
+    full-screen/interlace checks) after that many frames — so
+    first-frame decode costs O(first frame), not O(file), and a GIF
+    whose LATER frames are partial-screen deltas still first-frame
+    decodes (the pre-round-5 behavior)."""
     parse_gif(payload)                        # structural validation
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
@@ -537,8 +543,10 @@ def _gif_frame_streams(payload: bytes) -> list[dict]:
             pos += 1                          # sub-block terminator
             frames.append({"ct": ct, "min_code": min_code,
                            "lzw": bytes(lzw), "fw": fw, "fh": fh})
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         else:
-            raise MediaParseError("GIF ended before any image frame")
+            raise MediaParseError(f"unknown GIF block 0x{b:02x}")
     if not frames:
         raise MediaParseError("GIF ended before any image frame")
     return frames
@@ -560,19 +568,25 @@ def _gif_decode_frame(fr: dict) -> np.ndarray:
 
 def decode_gif_pixels(payload: bytes) -> np.ndarray:
     """First-frame GIF pixel decode -> (H, W, 3) uint8 RGB via a real
-    LZW decode + color-table lookup.  Non-interlaced, full-logical-
-    screen frames only (the repo's encoder always emits that;
-    anything else raises MediaParseError)."""
-    return _gif_decode_frame(_gif_frame_streams(payload)[0])
+    LZW decode + color-table lookup.  The FIRST frame must be
+    non-interlaced and full-logical-screen; later frames are never
+    touched (partial-screen delta frames — the standard animated-GIF
+    optimization — don't block a first-frame decode)."""
+    return _gif_decode_frame(_gif_frame_streams(payload,
+                                                max_frames=1)[0])
 
 
 def decode_gif_frame_pixels(payload: bytes,
                             frame_idx: int) -> np.ndarray:
-    """Pixel decode of ONE selected GIF frame (the real consumer of a
-    frame-sampling plan): the block walk is O(file), the LZW decode
-    runs only for the requested frame."""
-    frames = _gif_frame_streams(payload)
-    if not 0 <= frame_idx < len(frames):
+    """Pixel decode of ONE selected GIF frame: the walk stops at the
+    requested frame and only its LZW stream is decoded.  For MANY
+    frames of one payload, walk once with _gif_frame_streams and
+    decode each with _gif_decode_frame (the FrameStats pattern) —
+    repeated calls here would re-walk the file per frame."""
+    if frame_idx < 0:
+        raise MediaParseError(f"frame {frame_idx} out of range")
+    frames = _gif_frame_streams(payload, max_frames=frame_idx + 1)
+    if frame_idx >= len(frames):
         raise MediaParseError(
             f"frame {frame_idx} out of range ({len(frames)} frames)")
     return _gif_decode_frame(frames[frame_idx])

@@ -237,7 +237,10 @@ def frame_sample_indices(n_frames: int, every_n: int = 30) -> np.ndarray:
 
 def frame_sample_batch(batch: pa.Table, every_n: int = 30) -> pa.Table:
     """Vectorized frame-sample plan column: for each row, the sampled
-    frame indices as list<int64> (empty for non-video rows).  Stateless
+    frame indices as list<int64>, derived purely from the decoded
+    n_frames — a single-frame image row gets [0] (its only frame),
+    audio rows (n_frames == 0) get [].  Consumers that only want
+    video frames gate on `kind` (FrameStats does).  Stateless
     map_batches stage between decode and a real frame extractor."""
     nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
     counts = np.where(nf > 0, (nf + every_n - 1) // every_n, 0).astype(np.int64)
@@ -453,7 +456,8 @@ class FrameStats:
     sampled frames."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .media_codecs import decode_gif_frame_pixels
+        from .media_codecs import (MediaParseError, _gif_decode_frame,
+                                   _gif_frame_streams)
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
         plans = batch.column("sample_frames").to_pylist()
@@ -464,8 +468,16 @@ class FrameStats:
         for mid, p, k, plan in zip(mids, payloads, kinds, plans):
             if k != "video" or not plan:
                 continue
+            # walk the container ONCE per payload, then decode only
+            # the planned frames — O(file + sampled frames), not a
+            # re-walk per frame
+            frames = _gif_frame_streams(p)
             for fi in plan:
-                px = decode_gif_frame_pixels(p, int(fi))
+                if not 0 <= int(fi) < len(frames):
+                    raise MediaParseError(
+                        f"planned frame {fi} out of range "
+                        f"({len(frames)} frames)")
+                px = _gif_decode_frame(frames[int(fi)])
                 out_mid.append(int(mid))
                 out_fi.append(int(fi))
                 out_ps.append(int(px.sum(dtype=np.int64)))

@@ -184,12 +184,8 @@ def main() -> None:
         # never touched) and cross-checked against the engine — a
         # divergence in codec round-trip OR featurizer fails loudly
         # at pin time.
-        import pyarrow.parquet as _pq_m
         from media_feat_reference import ref_media_embed_knn
-        _mids = _pq_m.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id"]).column("doc_id").to_pylist()
-        ref_rows = ref_media_embed_knn(_mids)
+        ref_rows = ref_media_embed_knn(_dids)  # bpe block's id list
         eng_rows = sorted(
             [int(r["media_id"]), int(r["score_q"])] for r in
             RAY_QUERIES["media_embed_knn"](sf_dir).to_pylist())

@@ -420,3 +420,23 @@ def test_gif_per_frame_decode():
     assert (decode_gif_pixels(p) == col).all()
     with pytest.raises(MediaParseError):
         decode_gif_frame_pixels(p, 4)
+
+
+def test_media_embed_knn_matches_independent_reference():
+    """The pin-time double-gate, run in CI too (mirrors test_bpe's
+    pattern): the engine's decode -> featurize -> cosine-top-k must
+    equal the codec-free analytic reference on every test run, not
+    only when goldens are regenerated."""
+    import pyarrow.parquet as pq
+
+    from media_feat_reference import ref_media_embed_knn
+
+    from d1_log_aggregation_ray.pipelines.queries import RAY_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(sf + "/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    ref = ref_media_embed_knn(ids)
+    eng = sorted([int(r["media_id"]), int(r["score_q"])] for r in
+                 RAY_QUERIES["media_embed_knn"](sf).to_pylist())
+    assert eng == ref and len(ref) == 10
