@@ -253,7 +253,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # per-channel pixel sums, PCM sample stats, and
                      # the featurize -> cosine-top-k composition
                      "media_resize", "media_pixstats", "audio_stats",
-                     "media_embed_knn", "frame_stats"]:
+                     "media_embed_knn", "frame_stats",
+                     "audio_resample"]:
             samples[name] = []
             loads[name] = []
             for r in range(reps):

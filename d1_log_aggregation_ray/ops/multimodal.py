@@ -445,6 +445,49 @@ class MediaPixStats:
         })
 
 
+class AudioResampler:
+    """Actor-pool sample-rate conversion — the audio sibling of
+    MediaResizer: decode PCM-16 frames, nearest-neighbor resample to
+    `target_rate` (source frame index (f * src_rate) // target_rate —
+    the same integer floor rule as the pixel path, so values stay
+    EXACT int16 and the SQL oracle restates the arithmetic), and emit
+    (media_id, out_frames, n_channels, samp_sum) over the RESAMPLED
+    signal.  Non-audio rows emit zeros.  A production pipeline would
+    swap the NN gather for a polyphase filter loaded once per actor —
+    the stage shape is identical."""
+
+    def __init__(self, target_rate: int = 3000):
+        if target_rate <= 0:
+            raise ValueError("target_rate must be positive")
+        self.target_rate = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_wav_samples
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        n = len(payloads)
+        out_frames = np.zeros(n, np.int64)
+        n_ch = np.zeros(n, np.int64)
+        samp_sum = np.zeros(n, np.int64)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if k != "audio":
+                continue
+            arr, rate = decode_wav_samples(p)
+            nf = (arr.shape[0] * self.target_rate) // rate
+            src = (np.arange(nf, dtype=np.int64) * rate) \
+                // self.target_rate
+            res = arr[src]
+            out_frames[i] = nf
+            n_ch[i] = arr.shape[1]
+            samp_sum[i] = int(res.sum(dtype=np.int64))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "out_frames": pa.array(out_frames),
+            "n_channels": pa.array(n_ch),
+            "samp_sum": pa.array(samp_sum),
+        })
+
+
 class FrameStats:
     """Actor-pool frame extractor — the REAL consumer of the
     frame-sampling plan (frame_sample_batch): for each video row,

@@ -2686,6 +2686,56 @@ def q_audio_stats(sf_dir: str):
         concurrency=(1, 8))
 
 
+def q_audio_resample(sf_dir: str):
+    """REAL sample-rate conversion (round-5) — the audio sibling of
+    media_resize: PCM-16 decode -> nearest-neighbor resample 8000 ->
+    3000 Hz (source frame (f*8000)//3000, integer floor — values stay
+    exact int16) -> (media_id, out_frames, n_channels, samp_sum) over
+    the RESAMPLED signal; zeros for non-audio rows.  The oracle
+    restates the non-uniform stride and the ramp-byte -> signed int16
+    arithmetic analytically (_audio_resample_sql)."""
+    from ..ops.multimodal import AudioResampler
+    return _synth_media(sf_dir).map_batches(
+        AudioResampler, fn_constructor_kwargs={"target_rate": 3000},
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _audio_resample_sql() -> str:
+    """Analytic oracle for q_audio_resample: out_frames =
+    (ns*3000)//8000, resampled frame f reads source frame (8f)//3,
+    flat int16 index m = src_frame*ch + c, byte pair
+    (seed + 7*2m) % 256 / (seed + 7*(2m+1)) % 256, two's complement
+    via the hi >= 128 subtraction.  All-positive ints before the
+    subtraction, so DuckDB's truncating // equals floor."""
+    return """
+        WITH m AS (
+          SELECT doc_id AS media_id, doc_id % 4 AS k,
+                 doc_id % 256 AS seed,
+                 800 + (doc_id * 37) % 4000 AS ns,
+                 1 + doc_id % 2 AS ch
+          FROM documents),
+        f AS (SELECT t.g AS f FROM generate_series(0, 1800) t(g)),
+        c AS (SELECT t.g AS c FROM generate_series(0, 1) t(g))
+        SELECT media_id,
+               CASE WHEN k = 3 THEN (ns * 3000) // 8000
+                    ELSE 0 END AS out_frames,
+               CASE WHEN k = 3 THEN ch ELSE 0 END AS n_channels,
+               CAST(CASE WHEN k = 3 THEN (
+                 SELECT sum(lo + 256 * hi
+                            - CASE WHEN hi >= 128 THEN 65536
+                                   ELSE 0 END)
+                 FROM (SELECT
+                         (seed + 7 * (2 * (((f.f * 8000) // 3000) * ch
+                                           + c.c))) % 256 AS lo,
+                         (seed + 7 * (2 * (((f.f * 8000) // 3000) * ch
+                                           + c.c) + 1)) % 256 AS hi
+                       FROM f, c
+                       WHERE f.f < (ns * 3000) // 8000
+                         AND c.c < ch))
+               ELSE 0 END AS BIGINT) AS samp_sum
+        FROM m"""
+
+
 def q_frame_stats(sf_dir: str):
     """REAL video-frame sampling (round-5): decode metadata -> plan
     sampled frames (frame_sample_batch, every 2nd frame) -> decode
@@ -5319,6 +5369,8 @@ def oracle_sql_strings(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
         "frame_stats": _frame_stats_sql(),
 
+        "audio_resample": _audio_resample_sql(),
+
         **_golden_dedup_sql(sf_dir),
     }
 
@@ -5466,6 +5518,7 @@ RAY_QUERIES = {
     "audio_stats": q_audio_stats,
     "media_embed_knn": q_media_embed_knn,
     "frame_stats": q_frame_stats,
+    "audio_resample": q_audio_resample,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

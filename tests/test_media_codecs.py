@@ -440,3 +440,30 @@ def test_media_embed_knn_matches_independent_reference():
     eng = sorted([int(r["media_id"]), int(r["score_q"])] for r in
                  RAY_QUERIES["media_embed_knn"](sf).to_pylist())
     assert eng == ref and len(ref) == 10
+
+
+def test_audio_resampler_nn_rule():
+    """NN sample-rate conversion: resampled values are exact source
+    int16s at (f*src)//dst, verified against a direct numpy gather."""
+    import numpy as np
+
+    from d1_log_aggregation_ray.ops.media_codecs import (
+        decode_wav_samples, encode_wav)
+    from d1_log_aggregation_ray.ops.multimodal import (AudioResampler,
+                                                       synth_media_batch)
+    import pyarrow as pa
+    ids = pa.table({"doc_id": pa.array([3, 7, 0], pa.int64())})
+    media = synth_media_batch(ids)
+    out = {r["media_id"]: r for r in
+           AudioResampler(target_rate=3000)(media).to_pylist()}
+    for mid in (3, 7):
+        arr, rate = decode_wav_samples(
+            media.filter(pa.compute.equal(media.column("media_id"),
+                                          mid)).column("payload")[0]
+            .as_py())
+        nf = (arr.shape[0] * 3000) // rate
+        src = (np.arange(nf, dtype=np.int64) * rate) // 3000
+        assert out[mid]["out_frames"] == nf
+        assert out[mid]["samp_sum"] == int(arr[src].sum(dtype=np.int64))
+    assert out[0] == {"media_id": 0, "out_frames": 0,
+                      "n_channels": 0, "samp_sum": 0}
