@@ -254,7 +254,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                      # the featurize -> cosine-top-k composition
                      "media_resize", "media_pixstats", "audio_stats",
                      "media_embed_knn", "frame_stats",
-                     "audio_resample"]:
+                     "audio_resample",
+                     # day-2 incremental IVF (frozen-centroid append)
+                     "ann_ivf_day2"]:
             samples[name] = []
             loads[name] = []
             for r in range(reps):

@@ -144,22 +144,73 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
     return cent
 
 
+def append_ivf_index(new_ds: ray.data.Dataset, index_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """Day-N IVF growth — the vector sibling of append_minhash_index:
+    assign the NEW vectors to the EXISTING persisted centroids (the
+    coarse quantizer is never retrained — day-2 ingest at 100 TB must
+    not re-shuffle the old corpus) and write them as an additive
+    SEGMENT subdirectory `seg-<tag>/list_id=N/` beside the base
+    partitions.  Crash-trivial: the segment is written `_`-prefixed
+    (invisible to discovery and to ivf_topk's glob) and becomes
+    visible with one atomic dir rename.  ivf_topk reads base + every
+    live segment for its probed lists, so queries see appended
+    vectors immediately; IO still scales with n_probe/n_lists.
+    Returns the segment path."""
+    import os
+    import uuid
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    cref = ray.put(cent)
+
+    def assign_list(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        mb = _normalize(_as_matrix(batch, vec_col))
+        lid = (mb @ cm.T).argmax(axis=1).astype(np.int32) \
+            if batch.num_rows else np.empty(0, np.int32)
+        return batch.append_column("list_id", pa.array(lid))
+
+    tag = uuid.uuid4().hex[:16]
+    tmp = os.path.join(index_dir, f"_tmp-seg-{tag}")
+    final = os.path.join(index_dir, f"seg-{tag}")
+    new_ds.map_batches(assign_list,
+                       batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["list_id"])
+    os.replace(tmp, final)
+    return final
+
+
+def _ivf_list_files(index_dir: str, list_id: int) -> list[str]:
+    """All live parquet files of one IVF list: the base partition plus
+    every `seg-*` segment's partition; `_`-prefixed dirs (in-flight
+    appends, centroids) are invisible."""
+    import glob
+    import os
+    paths = sorted(glob.glob(os.path.join(
+        index_dir, f"list_id={list_id}", "*.parquet")))
+    for seg in sorted(glob.glob(os.path.join(index_dir, "seg-*"))):
+        if os.path.basename(seg).startswith(("_", ".")):
+            continue
+        paths.extend(sorted(glob.glob(os.path.join(
+            seg, f"list_id={list_id}", "*.parquet"))))
+    return paths
+
+
 def ivf_topk(index_dir: str, query: np.ndarray, k: int = 10,
              n_probe: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pa.Table:
     """Query a persisted IVF index: rank centroids by cosine to the
-    query, read ONLY the n_probe nearest list partitions, exact cosine
-    within them.  IO scales with n_probe/n_lists of the corpus."""
+    query, read ONLY the n_probe nearest list partitions (base +
+    appended segments), exact cosine within them.  IO scales with
+    n_probe/n_lists of the corpus."""
     import os
     cent = np.load(os.path.join(index_dir, "_centroids.npy"))
     q = query.astype(np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     probes = np.argsort(-(cent @ q))[:n_probe]
-    import glob
     paths = []
     for p in probes:  # empty lists have no dir; expand dirs to files
-        paths.extend(sorted(glob.glob(
-            os.path.join(index_dir, f"list_id={int(p)}", "*.parquet"))))
+        paths.extend(_ivf_list_files(index_dir, int(p)))
     if not paths:
         # every probed list is empty (tiny corpus + aggressive n_probe,
         # or a stale/partial index dir): honor the approximate contract

@@ -849,6 +849,44 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["vec_id"])
 
 
+def q_ann_ivf_day2(sf_dir: str):
+    """Incremental persisted-IVF (round-5): the index is BUILT on the
+    even-id half of the corpus (training the coarse quantizer), the
+    odd-id half arrives later and is APPENDED as an additive segment
+    against the frozen centroids (ops/similarity.append_ivf_index —
+    day-2 ingest never retrains or re-shuffles the old corpus), and
+    the query reads base + segment partitions for its probed lists.
+    Deterministic end to end, so the oracle is a pinned golden
+    (scripts/make_goldens.py).  vec_id only, as the other ANN
+    variants."""
+    import hashlib as _hl
+    from ..ops.similarity import (append_ivf_index, build_ivf_index,
+                                  ivf_topk)
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/graft_ivf_day2/{tag}"
+    key = ("day2", sf_dir, index_dir)
+    if key not in _IVF_CACHE or not os.path.isdir(index_dir):
+        base = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"))
+        even = base.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(pc.bit_wise_and(pc.cast(t.column("vec_id"),
+                                                 pa.int64()), 1), 0),
+                pc.invert(pc.equal(t.column("vec_id"), 0)))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        odd = base.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(
+                pc.cast(t.column("vec_id"), pa.int64()), 1), 1)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        import shutil as _sh
+        _sh.rmtree(index_dir, ignore_errors=True)
+        build_ivf_index(even, index_dir, n_lists=16)
+        append_ivf_index(odd, index_dir)
+        _IVF_CACHE[key] = True
+    out = ivf_topk(index_dir, _query_vec(sf_dir), k=10, n_probe=4)
+    return out.select(["vec_id"])
+
+
 def q_ann_pq_topk(sf_dir: str):
     """Product-quantization ADC top-10 — the vector-compression half
     of the billion-scale IVF+PQ recipe (ops/quantize.pq_train/encode/
@@ -3663,7 +3701,8 @@ def _golden_dedup_sql(sf_dir: str) -> dict[str, str]:
         else:
             col = "vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
                                     "semantic_dedup", "pca_ann_topk",
-                                    "ann_pq_topk", "ann_ivfpq_topk") \
+                                    "ann_pq_topk", "ann_ivfpq_topk",
+                                    "ann_ivf_day2") \
                 else "doc_id"
             out[q] = ("SELECT CAST(unnest([{}]) AS BIGINT) AS {}".format(
                 ", ".join(str(i) for i in pin), col))
@@ -5519,6 +5558,7 @@ RAY_QUERIES = {
     "media_embed_knn": q_media_embed_knn,
     "frame_stats": q_frame_stats,
     "audio_resample": q_audio_resample,
+    "ann_ivf_day2": q_ann_ivf_day2,
     "funnel_counts": q_funnel_counts,
     "funnel_window": q_funnel_window,
     "retention": q_retention,

@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "dedup_survivors.json")
 QUERIES = ["dedup_minhash", "dedup_simhash", "dedup_simhash_near",
            "dedup_ngram", "dedup_embedding", "ann_ivf_topk",
-           "ann_pq_topk", "ann_ivfpq_topk",
+           "ann_pq_topk", "ann_ivfpq_topk", "ann_ivf_day2",
            "incremental_minhash", "dedup_keep_best"]
 # multi-column pins: whole deterministic result rows (the HLL estimate
 # is md5-hashed + fixed-p -> batch/partition-count independent)
@@ -141,7 +141,8 @@ def main() -> None:
         out[sf] = {}
         for q in QUERIES:
             col = ("vec_id" if q in ("dedup_embedding", "ann_ivf_topk",
-                                     "ann_pq_topk", "ann_ivfpq_topk")
+                                     "ann_pq_topk", "ann_ivfpq_topk",
+                                     "ann_ivf_day2")
                    else "doc_id")
             res = RAY_QUERIES[q](sf_dir)
             rows = res.take_all() if hasattr(res, "take_all") \

@@ -230,3 +230,63 @@ def test_ivfpq_recall(corpus, tmp_path):
         want = _exact_topk(ids, mat, q)
         recalls.append(len(got & want) / K)
     assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_ivf_append_segment_query(tmp_path):
+    """Day-2 IVF append (round-5): vectors appended against the
+    FROZEN centroids are immediately findable (an appended vector's
+    own embedding returns itself first); an in-flight `_tmp-seg-*`
+    dir stays invisible; base+segment read equals a brute-force scan
+    of the same probed lists."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from d1_log_aggregation_ray.ops.similarity import (
+        _ivf_list_files, append_ivf_index, build_ivf_index,
+        brute_force_topk, ivf_topk)
+
+    rng = np.random.RandomState(4)
+    d = 8
+    base_n, new_n = 120, 40
+    mat = rng.randn(base_n + new_n, d)
+
+    def tbl(lo, hi):
+        return pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(mat[lo:hi].tolist())})
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_arrow(tbl(0, base_n)), idx,
+                    n_lists=8, sample_n=base_n)
+    before = [r["vec_id"] for r in ivf_topk(
+        idx, mat[base_n + 3], k=5, n_probe=8).to_pylist()]
+    assert base_n + 3 not in before            # not ingested yet
+
+    seg = append_ivf_index(ray.data.from_arrow(tbl(base_n,
+                                                   base_n + new_n)), idx)
+    assert os.path.basename(seg).startswith("seg-")
+    after = ivf_topk(idx, mat[base_n + 3], k=5, n_probe=8).to_pylist()
+    assert after[0]["vec_id"] == base_n + 3    # own vector wins
+
+    # full-probe IVF == brute force over everything (n_probe = all)
+    want = [r["vec_id"] for r in brute_force_topk(
+        ray.data.from_arrow(tbl(0, base_n + new_n)),
+        mat[7], k=5).to_pylist()]
+    got = [r["vec_id"] for r in ivf_topk(idx, mat[7], k=5,
+                                         n_probe=8).to_pylist()]
+    assert got == want
+
+    # an in-flight (crashed) append tmp dir is invisible
+    dead = os.path.join(idx, "_tmp-seg-deadbeef", "list_id=0")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert not any("_tmp-seg-deadbeef" in p
+                   for p in _ivf_list_files(idx, 0))
+    got2 = [r["vec_id"] for r in ivf_topk(idx, mat[7], k=5,
+                                          n_probe=8).to_pylist()]
+    assert got2 == want
