@@ -1476,6 +1476,9 @@ def append_minhash_index(ds: ray.data.Dataset, index_dir: str,
     (band.select_columns(["part", "band_key"])
      .groupby("part").map_groups(unique_keys, batch_format="pyarrow")
      .write_parquet(tmp))
+    if not os.path.isdir(tmp):
+        return ""   # empty delta ("nothing new today"): a no-op —
+        # Ray's write_parquet creates no dir for a zero-row dataset
     os.replace(tmp, final)
     return final
 

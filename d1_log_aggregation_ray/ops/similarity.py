@@ -130,22 +130,27 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_lists: int = 64,
     cent = coarse_centroids(ds, n_lists, sample_n, iters, id_col, vec_col)
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "_centroids.npy"), cent)
-    cref = ray.put(cent)
+    ds.map_batches(_assign_list_fn(ray.put(cent), vec_col),
+                   batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"])
+    return cent
 
+
+def _assign_list_fn(cref, vec_col: str):
+    """Shared centroid-assignment stage for build_ivf_index and
+    append_ivf_index — one definition, so base and segment list
+    assignment can never drift (appended vectors must land exactly
+    where a rebuild would place them)."""
     def assign_list(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
         mb = _normalize(_as_matrix(batch, vec_col))
         lid = (mb @ cm.T).argmax(axis=1).astype(np.int32) \
             if batch.num_rows else np.empty(0, np.int32)
         return batch.append_column("list_id", pa.array(lid))
-
-    ds.map_batches(assign_list, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["list_id"])
-    return cent
+    return assign_list
 
 
 def append_ivf_index(new_ds: ray.data.Dataset, index_dir: str,
-                     id_col: str = "vec_id",
                      vec_col: str = "embedding") -> str:
     """Day-N IVF growth — the vector sibling of append_minhash_index:
     assign the NEW vectors to the EXISTING persisted centroids (the
@@ -157,40 +162,46 @@ def append_ivf_index(new_ds: ray.data.Dataset, index_dir: str,
     visible with one atomic dir rename.  ivf_topk reads base + every
     live segment for its probed lists, so queries see appended
     vectors immediately; IO still scales with n_probe/n_lists.
-    Returns the segment path."""
+    Returns the segment path, or "" for an empty delta (a "nothing
+    new today" ingest is a no-op, not a crash — Ray's write_parquet
+    creates no directory for a zero-row dataset)."""
     import os
     import uuid
     cent = np.load(os.path.join(index_dir, "_centroids.npy"))
     cref = ray.put(cent)
-
-    def assign_list(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        mb = _normalize(_as_matrix(batch, vec_col))
-        lid = (mb @ cm.T).argmax(axis=1).astype(np.int32) \
-            if batch.num_rows else np.empty(0, np.int32)
-        return batch.append_column("list_id", pa.array(lid))
-
     tag = uuid.uuid4().hex[:16]
     tmp = os.path.join(index_dir, f"_tmp-seg-{tag}")
     final = os.path.join(index_dir, f"seg-{tag}")
-    new_ds.map_batches(assign_list,
+    new_ds.map_batches(_assign_list_fn(cref, vec_col),
                        batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["list_id"])
+    if not os.path.isdir(tmp):
+        return ""                 # empty delta: nothing was written
     os.replace(tmp, final)
     return final
 
 
-def _ivf_list_files(index_dir: str, list_id: int) -> list[str]:
+def _ivf_segments(index_dir: str) -> list[str]:
+    """Live segment dirs of an IVF index, listed ONCE per query.  The
+    `seg-*` glob itself is the visibility rule: in-flight appends are
+    `_tmp-seg-*` and the centroid file is `_centroids.npy`, neither
+    of which the pattern can match."""
+    import glob
+    import os
+    return sorted(glob.glob(os.path.join(index_dir, "seg-*")))
+
+
+def _ivf_list_files(index_dir: str, list_id: int,
+                    segments: list[str] | None = None) -> list[str]:
     """All live parquet files of one IVF list: the base partition plus
-    every `seg-*` segment's partition; `_`-prefixed dirs (in-flight
-    appends, centroids) are invisible."""
+    every segment's partition.  Pass `segments` (from _ivf_segments)
+    when probing several lists so the directory is scanned once."""
     import glob
     import os
     paths = sorted(glob.glob(os.path.join(
         index_dir, f"list_id={list_id}", "*.parquet")))
-    for seg in sorted(glob.glob(os.path.join(index_dir, "seg-*"))):
-        if os.path.basename(seg).startswith(("_", ".")):
-            continue
+    for seg in (_ivf_segments(index_dir) if segments is None
+                else segments):
         paths.extend(sorted(glob.glob(os.path.join(
             seg, f"list_id={list_id}", "*.parquet"))))
     return paths
@@ -208,9 +219,10 @@ def ivf_topk(index_dir: str, query: np.ndarray, k: int = 10,
     q = query.astype(np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     probes = np.argsort(-(cent @ q))[:n_probe]
+    segs = _ivf_segments(index_dir)   # one directory scan per query
     paths = []
     for p in probes:  # empty lists have no dir; expand dirs to files
-        paths.extend(_ivf_list_files(index_dir, int(p)))
+        paths.extend(_ivf_list_files(index_dir, int(p), segs))
     if not paths:
         # every probed list is empty (tiny corpus + aggressive n_probe,
         # or a stale/partial index dir): honor the approximate contract

@@ -822,6 +822,7 @@ def q_token_count_bpe(sf_dir: str):
 
 
 _IVF_CACHE: dict = {}
+_IVF_DAY2_CACHE: dict = {}
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -864,8 +865,10 @@ def q_ann_ivf_day2(sf_dir: str):
                                   ivf_topk)
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     index_dir = f"/tmp/graft_ivf_day2/{tag}"
-    key = ("day2", sf_dir, index_dir)
-    if key not in _IVF_CACHE or not os.path.isdir(index_dir):
+    key = (sf_dir, index_dir)
+    # own cache dict: q_ann_ivf_topk's rebuild path clears _IVF_CACHE,
+    # which must not evict an intact day-2 index (review finding)
+    if key not in _IVF_DAY2_CACHE or not os.path.isdir(index_dir):
         base = ray.data.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"))
         even = base.map_batches(
@@ -882,7 +885,7 @@ def q_ann_ivf_day2(sf_dir: str):
         _sh.rmtree(index_dir, ignore_errors=True)
         build_ivf_index(even, index_dir, n_lists=16)
         append_ivf_index(odd, index_dir)
-        _IVF_CACHE[key] = True
+        _IVF_DAY2_CACHE[key] = True
     out = ivf_topk(index_dir, _query_vec(sf_dir), k=10, n_probe=4)
     return out.select(["vec_id"])
 

@@ -290,3 +290,43 @@ def test_ivf_append_segment_query(tmp_path):
     got2 = [r["vec_id"] for r in ivf_topk(idx, mat[7], k=5,
                                           n_probe=8).to_pylist()]
     assert got2 == want
+
+
+def test_appenders_noop_on_empty_delta(tmp_path):
+    """A 'nothing new today' day-N ingest must be a no-op for BOTH
+    segment appenders (review finding: Ray's write_parquet creates no
+    directory for a zero-row dataset, so the atomic rename would
+    crash)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from d1_log_aggregation_ray.ops.dedup import (append_minhash_index,
+                                                  build_minhash_index)
+    from d1_log_aggregation_ray.ops.similarity import (append_ivf_index,
+                                                       build_ivf_index,
+                                                       ivf_topk)
+
+    rng = np.random.RandomState(1)
+    vecs = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                     "embedding": pa.array(rng.randn(50, 6).tolist())})
+    empty_vecs = vecs.slice(0, 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_arrow(vecs), idx, n_lists=4,
+                    sample_n=50)
+    assert append_ivf_index(ray.data.from_arrow(empty_vecs), idx) == ""
+    assert not glob.glob(os.path.join(idx, "seg-*"))
+    assert len(ivf_topk(idx, rng.randn(6), k=5, n_probe=4)) == 5
+
+    docs = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                     "text": pa.array([f"w{i} x y" for i in range(20)])})
+    midx = str(tmp_path / "mh")
+    build_minhash_index(ray.data.from_arrow(docs), midx)
+    out = append_minhash_index(ray.data.from_arrow(docs.slice(0, 0)),
+                               midx)
+    assert out == ""
+    assert not glob.glob(os.path.join(midx, "seg-*"))

@@ -447,8 +447,7 @@ def test_audio_resampler_nn_rule():
     int16s at (f*src)//dst, verified against a direct numpy gather."""
     import numpy as np
 
-    from d1_log_aggregation_ray.ops.media_codecs import (
-        decode_wav_samples, encode_wav)
+    from d1_log_aggregation_ray.ops.media_codecs import decode_wav_samples
     from d1_log_aggregation_ray.ops.multimodal import (AudioResampler,
                                                        synth_media_batch)
     import pyarrow as pa

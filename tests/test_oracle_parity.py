@@ -98,7 +98,7 @@ SCALE_SENSITIVE = ["mixture_sample", "approx_quantiles",
                    # scale without this gate
                    "ann_cosine_topk", "ann_multi_topk", "ann_lsh_topk",
                    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-                   "pca_ann_topk", "knn_join"]
+                   "pca_ann_topk", "knn_join", "ann_ivf_day2"]
 
 
 @pytest.fixture(scope="module")
